@@ -1,13 +1,742 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.fs.Serving
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Sessionize, Similarity}
+
+/** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2).
+  *
+  * Determinism conventions (SURVEY.md §7.3): every query ends in a total
+  * ORDER BY with a unique tie-break; money aggregates go through exact
+  * decimal sums ([[Tables.dsum]]) so Spark's partial-agg ordering can't
+  * drift from DuckDB's sequential sum; timestamps are emitted as
+  * formatted strings (events.ts is parquet timestamp[ns] — Spark
+  * truncates to micros, DuckDB doesn't).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_pit_latest")(spark, "/root/testdata/sf0.001")
+
+  private final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  private val AsOf = "2024-03-01 00:00:00"
+
+  // ---------------------------------------------------------------------
+  // Feature-store parity: point-in-time serving (R8/R9), as-of join,
+  // group statistics (R10) — reference feature_store.py:372-508.
+  // ---------------------------------------------------------------------
+
+  private val pitLatest = Q("q_pit_latest",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      Serving.latestAsOf(e, "user_id", "ts",
+          Some(to_timestamp(lit(AsOf))), Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          Tables.tsStr(col("ts")).as("ts_s"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      SELECT user_id, event_id, event_type, round(value, 6) AS value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '$AsOf')
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  private val pitJoin = Q("q_pit_join",
+    (s, d) => {
+      val entities = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_name"),
+          col("c_mktsegment"))
+      val latest = Serving.latestAsOf(Tables.events(s, d), "user_id", "ts",
+          Some(to_timestamp(lit(AsOf))), Seq(col("event_id")))
+        .select(col("user_id"), round(col("value"), 6).as("f_value"),
+          col("event_type").as("f_event_type"),
+          Tables.tsStr(col("ts")).as("f_ts"))
+      entities.join(latest, Seq("user_id"), "left")
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      SELECT c.c_custkey AS user_id, c.c_name, c.c_mktsegment,
+             l.f_value, l.f_event_type, l.f_ts
+      FROM customer c LEFT JOIN (
+        SELECT user_id, round(value, 6) AS f_value,
+               event_type AS f_event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS f_ts
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '$AsOf')
+        WHERE rn = 1) l ON c.c_custkey = l.user_id
+      ORDER BY user_id"""))
+
+  private val asofJoin = Q("q_asof_join",
+    (s, d) => {
+      val left = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      Serving.asOfJoin(left, right, "user_id", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"), Seq("o_orderdate", "o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          Tables.tsStr(col("ts")).as("ts_s"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             o.o_orderkey, o.o_totalprice
+      FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+      ) o ON true
+      ORDER BY e.event_id"""))
+
+  private val groupStats = Q("q_group_stats",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("cnt"),
+        sum(col("value").isNull.cast("long")).as("nulls"),
+        Tables.dmean(col("value")).as("mean"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(value) AS cnt,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS mean,
+             round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // Relational sweep (SURVEY.md §2.B ✦ rows)
+  // ---------------------------------------------------------------------
+
+  private val q1Agg = Q("q1_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Tables.dsum(col("l_quantity")).as("sum_qty"),
+        Tables.dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          * (lit(1) + dec2(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        Tables.dmean(col("l_quantity")).as("avg_qty"),
+        Tables.dmean(col("l_extendedprice")).as("avg_price"),
+        Tables.dmean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val joinBroadcast = Q("q_join_regions",
+    (s, d) => Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Tables.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name")),
+    Some("""
+      SELECT r_name, n_name,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  private val semiJoin = Q("q_semi_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        Tables.dsum(col("c_acctbal")).as("acctbal_sum"))
+      .orderBy(col("c_mktsegment")),
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  private val antiJoin = Q("q_anti_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  private val distinctAgg = Q("q_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val rollupAgg = Q("q_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Tables.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("rf"), col("ls")),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
+  private val windowRank = Q("q_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rank
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+      WHERE rank <= 3 ORDER BY o_custkey, rank"""))
+
+  private val windowFrames = Q("q_window_frames",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType)
+            .as("running_total"))
+        .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+      FROM orders ORDER BY o_custkey, od, o_orderkey"""))
+
+  private val topK = Q("q_topk",
+    (s, d) => Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price")),
+    Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  private val setOps = Q("q_setops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct()
+      val p = o.filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey")).distinct()
+      val neg = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("o_custkey"))
+      f.intersect(p).except(neg).orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      ORDER BY o_custkey"""))
+
+  // ---------------------------------------------------------------------
+  // Scalar-function sweep: string / datetime / JSON (events.props)
+  // ---------------------------------------------------------------------
+
+  private val stringFns = Q("q_string_fns",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        upper(regexp_extract(col("text"), "^(\\w+)", 1)).as("first_word"),
+        length(col("text")).as("n_char"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        substring(col("text"), 1, 20).as("prefix"),
+        regexp_replace(col("text"), "spark", "SPARK").as("replaced"))
+      .filter(col("doc_id") < 100)
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, upper(regexp_extract(text, '^(\w+)', 1)) AS first_word,
+             CAST(length(text) AS INT) AS n_char,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+             substring(text, 1, 20) AS prefix,
+             regexp_replace(text, 'spark', 'SPARK', 'g') AS replaced
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
+
+  private val trigger = Q("q_trigger_route",
+    (s, d) => {
+      val msgs = Tables.documents(s, d).withColumn("msg",
+        concat(
+          when(col("doc_id") % 4 === 0, lit("@OLLAMA "))
+            .when(col("doc_id") % 4 === 1, lit("ask @CoPilot: "))
+            .when(col("doc_id") % 4 === 2, lit("email@example.com "))
+            .otherwise(lit("")),
+          col("text")))
+      val (trig, routed, prompt) = TextFns.routeCols(col("msg"))
+      msgs.select(col("doc_id"), trig.as("trigger"), routed.as("routed"),
+          substring(prompt, 1, 40).as("prompt40"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             lower(coalesce(regexp_extract(msg,
+               '(?i)(@blackboxprogramming|@copilot|@lucidia|@ollama)', 1), ''))
+               AS trigger,
+             lower(coalesce(regexp_extract(msg,
+               '(?i)(@blackboxprogramming|@copilot|@lucidia|@ollama)', 1), ''))
+               <> '' AS routed,
+             substring(trim(regexp_replace(msg,
+               '(?i)(@blackboxprogramming|@copilot|@lucidia|@ollama)', '', 'g')),
+               1, 40) AS prompt40
+      FROM (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 4 = 0 THEN '@OLLAMA '
+                     WHEN doc_id % 4 = 1 THEN 'ask @CoPilot: '
+                     WHEN doc_id % 4 = 2 THEN 'email@example.com '
+                     ELSE '' END) || text AS msg
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  private val dateTime = Q("q_datetime",
+    (s, d) => Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), Tables.dmean(col("value")).as("mean_value"))
+      .orderBy(col("day"), col("hr")),
+    Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(hour(ts) AS INT) AS hr, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS mean_value
+      FROM events GROUP BY 1, 2 ORDER BY day, hr"""))
+
+  private val jsonFns = Q("q_json_fns",
+    (s, d) => Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(col("k")).as("n"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // LLM-pipeline extensions (SURVEY.md §2.C): dedup, text analysis,
+  // similarity search, sessionization
+  // ---------------------------------------------------------------------
+
+  private val dedupExact = Q("q_dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id")),
+    Some("""
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  private val dedupFp = Q("q_dedup_fingerprint",
+    (s, d) => Dedup.byFingerprint(Tables.documents(s, d), "text", "doc_id")
+      .select(col("fp"), col("keep_id"), col("n_copies"))
+      .orderBy(col("fp")),
+    Some("""
+      SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY fp"""))
+
+  private val langDist = Q("q_lang_dist",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Tables.dmean(col("n_chars").cast(DoubleType)).as("mean_chars"))
+      .orderBy(col("lang"), col("source")),
+    Some("""
+      SELECT lang, source, count(*) AS n_docs,
+             round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(n_chars), 6) AS mean_chars
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
+  private val quality = Q("q_text_quality",
+    (s, d) => {
+      val cols = TextFns.qualityCols(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .filter(col("doc_id") < 200)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks), 6) AS mean_token_len,
+             round(CAST(len(list_distinct(list_intersect(
+               list_transform(toks, x -> lower(x)),
+               ['the','a','of','and','to','in','is','it','that','for'])))
+               AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+             round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+               AS DOUBLE) / length(text), 6) AS punct_ratio,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS DOUBLE) / length(text), 6) AS alpha_ratio
+      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE doc_id < 200)
+      ORDER BY doc_id"""))
+
+  private val tokenCounts = Q("q_token_counts",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(TextFns.bpeishCount(col("text")).cast("long")).as("bpeish_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source")),
+    Some("""
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens,
+             count(*) AS n_docs
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  private val cosineTopK = Q("q_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                 c.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  private val sessionize = Q("q_sessionize",
+    (s, d) => Sessionize.sessionStats(
+        Tables.events(s, d), "user_id", "ts", "value", 1800L)
+      .orderBy(col("user_id"), col("session_id")),
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+          AS session_id
+        FROM g)
+      SELECT user_id, session_id, count(*) AS n_events,
+             CAST(floor(epoch(max(ts))) AS BIGINT)
+               - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_seconds,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
+  // ---------------------------------------------------------------------
+  // Batch 2: array/map scalar sweep, cube, math fns, PIT multi-group,
+  // LSH near-dup + ANN (approx → rows-only checks), multimodal plumbing
+  // ---------------------------------------------------------------------
+
+  private val arrayFns = Q("q_array_fns",
+    (s, d) => {
+      val toks = TextFns.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n") >= 10)
+        .orderBy(col("word"))
+    },
+    Some("""
+      SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      GROUP BY word HAVING count(*) >= 10 ORDER BY word"""))
+
+  private val arrayHof = Q("q_array_hof",
+    (s, d) => {
+      val toks = TextFns.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          array_contains(toks, "spark").as("has_spark"),
+          size(filter(toks, t => length(t) > 5)).as("n_long"),
+          aggregate(toks, lit(0), (a, t) => a + length(t)).as("sum_len"),
+          array_max(transform(toks, t => length(t))).as("max_len"))
+        .filter(col("doc_id") < 200)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             list_contains(toks, 'spark') AS has_spark,
+             CAST(len(list_filter(toks, x -> len(x) > 5)) AS INT) AS n_long,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS INT) AS sum_len,
+             CAST(list_max(list_transform(toks, x -> len(x))) AS INT) AS max_len
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE doc_id < 200)
+      ORDER BY doc_id"""))
+
+  /** R9 merge semantics as a map operation: later map wins on key
+    * collision (spark.sql.mapKeyDedupPolicy=LAST_WIN ≡ row.update,
+    * feature_store.py:436); emitted as scalar lookups for oracle
+    * comparability. */
+  private val mapFns = Q("q_map_fns",
+    (s, d) => Tables.events(s, d)
+      .withColumn("m1", map(lit("k"), get_json_object(col("props"), "$.k"),
+        lit("src"), lit("g1")))
+      .withColumn("m2", map(lit("src"), lit("g2"),
+        lit("et"), col("event_type")))
+      .withColumn("merged", map_concat(col("m1"), col("m2")))
+      .select(col("event_id"),
+        element_at(col("merged"), "k").cast("long").as("k"),
+        element_at(col("merged"), "src").as("src"),
+        element_at(col("merged"), "et").as("et"),
+        size(map_keys(col("merged"))).as("n_keys"))
+      .filter(col("event_id") < 300)
+      .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             'g2' AS src, event_type AS et, 3 AS n_keys
+      FROM events WHERE event_id < 300 ORDER BY event_id"""))
+
+  private val cubeAgg = Q("q_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("total"))
+      .orderBy(col("st"), col("pri")),
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY st, pri"""))
+
+  private val mathFns = Q("q_math_fns",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(abs(-col("l_quantity")), 6).as("abs_q"),
+        ceil(col("l_quantity") / 7).cast("long").as("ceil_q"),
+        floor(col("l_quantity") / 7).cast("long").as("floor_q"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(pow(col("l_discount"), lit(2)), 6).as("disc_sq"),
+        pmod(col("l_partkey"), lit(7)).as("mod_pk"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(abs(-l_quantity), 6) AS abs_q,
+             CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q,
+             CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q,
+             round(sqrt(l_extendedprice), 6) AS sqrt_p,
+             round(ln(l_extendedprice), 6) AS ln_p,
+             round(pow(l_discount, 2), 6) AS disc_sq,
+             CAST(l_partkey % 7 AS BIGINT) AS mod_pk
+      FROM lineitem WHERE l_orderkey < 200
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** R9 flagship: PIT join folding TWO feature groups (purchase-value
+    * features, then error-value features) onto an entity list, later
+    * group overwriting the shared `last_value` name — the distributed
+    * re-expression of feature_store.py:411-448. */
+  private val pitMultiGroup = Q("q_pit_multigroup",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val entities = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      def grp(et: String) = e.filter(col("event_type") === et)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value"), 6).as("last_value"))
+      val out = Serving.pointInTimeJoin(
+        entities,
+        Seq((grp("purchase"), Seq("last_value")),
+          (grp("error"), Seq("last_value"))),
+        "user_id", "ts", to_timestamp(lit(AsOf)), Seq(col("event_id")))
+      out.orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH latest AS (
+        SELECT user_id, event_type, round(value, 6) AS last_value
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '$AsOf') t
+        WHERE rn = 1)
+      SELECT c.c_custkey AS user_id, c.c_mktsegment,
+             coalesce(e2.last_value, e1.last_value) AS last_value
+      FROM customer c
+      LEFT JOIN (SELECT * FROM latest WHERE event_type = 'purchase') e1
+        ON c.c_custkey = e1.user_id
+      LEFT JOIN (SELECT * FROM latest WHERE event_type = 'error') e2
+        ON c.c_custkey = e2.user_id
+      ORDER BY user_id"""))
+
+  private val embedNearDup = Q("q_embed_neardup",
+    (s, d) => Similarity.embeddingNearDups(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, nBits = 8)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH b AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+               (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+               (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+               (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+               (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        FROM embeddings)
+      SELECT l.id AS id_a, r.id AS id_b,
+             round(list_cosine_similarity(l.v, r.v), 6) AS sim
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+      WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
+      ORDER BY id_a, id_b"""))
+
+  // Approximate / seeded-hash operators: no SQL oracle (contract allows
+  // omission → driver records a rows-only check).
+
+  private val minhashDup = Q("q_minhash_neardup",
+    (s, d) => Dedup.minhashNearDups(
+        Tables.documents(s, d).filter(col("doc_id") < 2000),
+        "text", "doc_id", shingleN = 3, bands = 4, rows = 4,
+        threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  private val simhashDup = Q("q_simhash_neardup",
+    (s, d) => Dedup.simhashNearDups(
+        Tables.documents(s, d).filter(col("doc_id") < 2000),
+        "text", "doc_id", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  private val bucketedAnn = Q("q_ann_bucketed",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 5, nBits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  private val mediaFeatures = Q("q_media_features",
+    (s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticMedia(
+        Tables.documents(s, d))
+      graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 2), 4).as("byte_mean"))
+        .orderBy(col("media_id"))
+    },
+    None)
+
+  // ---------------------------------------------------------------------
+
+  private def all: Seq[Q] = Seq(
+    pitLatest, pitJoin, asofJoin, groupStats,
+    q1Agg, joinBroadcast, semiJoin, antiJoin, distinctAgg, rollupAgg,
+    windowRank, windowFrames, topK, setOps,
+    stringFns, trigger, dateTime, jsonFns,
+    dedupExact, dedupFp, langDist, quality, tokenCounts,
+    cosineTopK, sessionize,
+    arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
+    embedNearDup, minhashDup, simhashDup, bucketedAnn, mediaFeatures)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

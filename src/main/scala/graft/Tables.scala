@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.Column
+
+/** Loaders + determinism helpers shared by every declared query.
+  *
+  * Determinism conventions (SURVEY.md §7.3): float aggregates go through
+  * exact decimal(18,2) sums and are cast back to double so Spark and the
+  * DuckDB oracle see bit-identical values regardless of partial-agg
+  * ordering; event timestamps (parquet timestamp[ns], truncated to micros
+  * by Spark) are only ever emitted as formatted strings.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = t(s, d, "region")
+  def nation(s: SparkSession, d: String)    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = t(s, d, "part")
+  def orders(s: SparkSession, d: String)    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
+  /** events.ts is parquet timestamp[ns], which Spark refuses outright
+    * (PARQUET_TYPE_ILLEGAL). With spark.sql.legacy.parquet.nanosAsLong
+    * (set in Verify/Bench/tests) the column arrives as Long nanos; we
+    * floor-divide to micros in integer space (a double division would
+    * lose precision at 1e18) and restore TimestampType. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String) = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+
+  /** Exact money sum: sum over decimal(18,2) (no float drift), back to
+    * double for a type the oracle hash-compares cleanly. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact mean built from the exact sum — identical IEEE division on
+    * both engines; round at the edge. */
+  def dmean(c: Column): Column = round(dsum(c) / count(c), 6)
+
+  /** Timestamps only leave the engine as strings (micros precision drift
+    * between Spark and DuckDB on timestamp[ns] columns otherwise). */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}

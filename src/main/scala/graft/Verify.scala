@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is timestamp[ns]; read as Long nanos (converted back
+      // to TimestampType in graft.Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

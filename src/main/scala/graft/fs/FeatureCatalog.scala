@@ -1,0 +1,122 @@
+package graft.fs
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Parquet-backed feature registry — R1-R6, R11 of the reference
+  * (feature_store.py:195-320,510-516) re-expressed as small Dataset
+  * transforms over a versioned catalog directory.
+  *
+  * Storage: `root/features/v_<n>/` + `root/groups/v_<n>/` parquet dirs;
+  * every mutation writes a fresh versioned dir and flips a `_CURRENT`
+  * pointer file (atomic move). No Delta/Iceberg on the offline classpath,
+  * so versioning is hand-rolled; this matches the reference's
+  * single-writer reality (SQLite writer lock, feature_store.py:147-150)
+  * while keeping every historical catalog state readable.
+  *
+  * Catalog tables are tiny (thousands of rows at most) — driver-side
+  * collect here is deliberate and scale-safe; the 100 TB data path never
+  * goes through this class.
+  */
+final class FeatureCatalog(val spark: SparkSession, val root: String) {
+  import spark.implicits._
+
+  private val featuresDir = s"$root/features"
+  private val groupsDir = s"$root/groups"
+
+  // ---- versioned-dir plumbing -------------------------------------------
+
+  private def currentPtr(dir: String): Path = Paths.get(dir, "_CURRENT")
+
+  private def currentVersion(dir: String): Option[Int] = {
+    val p = currentPtr(dir)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toInt)
+    else None
+  }
+
+  private def readTable[T: org.apache.spark.sql.Encoder](dir: String): Dataset[T] =
+    currentVersion(dir) match {
+      case Some(v) => spark.read.parquet(s"$dir/v_$v").as[T]
+      case None    => spark.emptyDataset[T]
+    }
+
+  private def writeTable[T](dir: String, ds: Dataset[T]): Unit = {
+    val next = currentVersion(dir).getOrElse(-1) + 1
+    ds.coalesce(1).write.mode("overwrite").parquet(s"$dir/v_$next")
+    val tmp = Paths.get(dir, s"_CURRENT.tmp$next")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(tmp, next.toString.getBytes)
+    Files.move(tmp, currentPtr(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- R1-R3: features ---------------------------------------------------
+
+  def features: Dataset[FeatureDef] = readTable[FeatureDef](featuresDir)
+
+  /** R1 `register_feature` (feature_store.py:195-241): validate dtype,
+    * upsert keyed by unique name (INSERT OR REPLACE ≡ filter-out + union). */
+  def registerFeature(fd: FeatureDef): FeatureDef = {
+    if (!Dtypes.All.contains(fd.dtype))
+      throw new IllegalArgumentException(
+        s"Invalid dtype: ${fd.dtype}. Must be one of ${Dtypes.All.toSeq.sorted.mkString(", ")}")
+    val stamped =
+      if (fd.createdAt.getTime != 0L) fd
+      else fd.copy(createdAt = new Timestamp(System.currentTimeMillis()))
+    val updated = features.filter(_.name != fd.name).collect() :+ stamped
+    writeTable(featuresDir, spark.createDataset(updated.toSeq))
+    stamped
+  }
+
+  /** R2 `get_feature` (feature_store.py:243-247). */
+  def getFeature(name: String): Option[FeatureDef] =
+    features.filter($"name" === name).collect().headOption
+
+  /** R3 `list_features` (feature_store.py:249-261): active only, ordered. */
+  def listFeatures(entityType: Option[String] = None): Seq[FeatureDef] = {
+    val base = features.filter($"isActive")
+    val filtered = entityType.fold(base)(et => base.filter($"entityType" === et))
+    filtered.orderBy($"entityType", $"name").collect().toSeq
+  }
+
+  /** Soft delete (reference `is_active` flag, feature_store.py:164). */
+  def deactivateFeature(name: String): Unit = {
+    val updated = features.collect().map(f =>
+      if (f.name == name) f.copy(isActive = false) else f)
+    writeTable(featuresDir, spark.createDataset(updated.toSeq))
+  }
+
+  // ---- R4-R6, R11: groups ------------------------------------------------
+
+  def groups: Dataset[FeatureGroup] = readTable[FeatureGroup](groupsDir)
+
+  /** R4 `create_group` (feature_store.py:263-306): every member must exist
+    * in the registry (the reference loops one SELECT per member,
+    * feature_store.py:284-286 — here a single anti-join reports all
+    * missing members at once); (name, version) unique. */
+  def createGroup(g: FeatureGroup): FeatureGroup = {
+    if (!FeatureGroup.Frequencies.contains(g.frequency))
+      throw new IllegalArgumentException(s"Invalid frequency: ${g.frequency}")
+    val registered = features.map(_.name).collect().toSet
+    val missing = g.features.filterNot(registered)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Features not registered: ${missing.mkString(", ")}")
+    if (groups.filter(x => x.name == g.name && x.version == g.version).count() > 0)
+      throw new IllegalArgumentException(
+        s"Group ${g.name} version ${g.version} already exists")
+    writeTable(groupsDir, spark.createDataset(groups.collect().toSeq :+ g))
+    g
+  }
+
+  /** R6 `get_group_by_name` (feature_store.py:314-320). */
+  def getGroup(name: String, version: Int = 1): Option[FeatureGroup] =
+    groups.filter(g => g.name == name && g.version == version)
+      .collect().headOption
+
+  /** R11 `list_groups` (feature_store.py:510-516). */
+  def listGroups(): Seq[FeatureGroup] =
+    groups.orderBy($"name", $"version").collect().toSeq
+}

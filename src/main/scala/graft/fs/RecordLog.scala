@@ -1,0 +1,49 @@
+package graft.fs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only entity-snapshot log — R7 `write_features`
+  * (feature_store.py:322-370) re-expressed as wide columnar parquet.
+  *
+  * Physical layout (designed for the 100 TB case, SURVEY.md §1.3-1.4):
+  * one directory per (group, version) — `root/group=<name>/v=<n>/` —
+  * partitioned by snapshot date (`p_date`). Group/version pruning is a
+  * directory lookup; date pruning is handled by Catalyst's
+  * PruneFileSourcePartitions; the `ts` min/max parquet stats skip files
+  * inside a day. Values are real typed columns (not the reference's
+  * JSON-in-TEXT blob, feature_store.py:366) so scans are columnar and
+  * filters/projections push down to the footer.
+  *
+  * Required columns on write: the group's entityKey + `ts: timestamp`.
+  * Like the reference, extra columns not declared in the group are
+  * stored anyway with a warning (feature_store.py:347-349) — lax on
+  * write, schema-on-read.
+  */
+final class RecordLog(val spark: SparkSession, val root: String) {
+
+  def dir(group: FeatureGroup): String =
+    s"$root/group=${group.name}/v=${group.version}"
+
+  /** R7: append a batch of snapshots (the reference writes one row per
+    * call; a DataFrame append is the batch generalization). */
+  def write(group: FeatureGroup, snapshots: DataFrame): Unit = {
+    require(snapshots.columns.contains(group.entityKey),
+      s"snapshot batch must carry entity key '${group.entityKey}'")
+    require(snapshots.columns.contains("ts"),
+      "snapshot batch must carry a 'ts' timestamp column")
+    val declared = (group.features :+ group.entityKey).toSet + "ts"
+    val extra = snapshots.columns.filterNot(declared)
+    if (extra.nonEmpty)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"columns not in group '${group.name}': ${extra.mkString(", ")}")
+    snapshots
+      .withColumn("p_date", to_date(col("ts")))
+      .write.mode("append").partitionBy("p_date").parquet(dir(group))
+  }
+
+  /** Full log for a group (schema-on-read; partition column `p_date`
+    * retained for pruning by callers). */
+  def read(group: FeatureGroup): DataFrame =
+    spark.read.parquet(dir(group))
+}

@@ -1,0 +1,165 @@
+package graft.fs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
+
+/** Point-in-time serving — R8/R9/R10 of the reference
+  * (feature_store.py:372-508) as single distributed plans.
+  *
+  * The reference's PIT join is an O(entities × groups) loop of
+  * single-row SQLite queries (feature_store.py:431-434, the N+1
+  * pattern); here each group costs exactly one hash-partition shuffle
+  * on the entity key (window) plus one join — and the join is
+  * broadcastable whenever the entity list is dimension-sized.
+  */
+object Serving {
+
+  /** R8 `get_features` (feature_store.py:372-409): latest snapshot per
+    * entity at-or-before `asOf`. The reference's `ORDER BY ts DESC
+    * LIMIT 1` leaves ties to SQLite; we make them deterministic with
+    * caller-supplied tie-break columns (SURVEY.md §7.3).
+    *
+    * One shuffle on `entityKey`; Catalyst 4.x rewrites the rn=1 window
+    * into a group-limit (InferWindowGroupLimit) so no full sort of each
+    * key's history materializes.
+    */
+  def latestAsOf(
+      records: DataFrame,
+      entityKey: String,
+      ts: String = "ts",
+      asOf: Option[Column] = None,
+      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val inWindow = asOf.fold(records)(a => records.filter(col(ts) <= a))
+    val order = (col(ts).desc +: tieBreak.map(_.desc))
+    val w = Window.partitionBy(col(entityKey)).orderBy(order: _*)
+    inWindow
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** R9 `point_in_time_join` (feature_store.py:411-448): for an entity
+    * frame and N feature groups, attach each group's latest-as-of
+    * snapshot. Later groups overwrite colliding feature names
+    * (row.update, feature_store.py:436) — reproduced by dropping the
+    * earlier column before attaching the later one. Entities with no
+    * snapshot get nulls (the reference's None-fill, :440-442). Input
+    * entity order is preserved by callers via their own ORDER BY.
+    *
+    * `groups` = (records, declared feature columns) per group; all keyed
+    * by `entityKey`.
+    */
+  def pointInTimeJoin(
+      entities: DataFrame,
+      groups: Seq[(DataFrame, Seq[String])],
+      entityKey: String,
+      ts: String = "ts",
+      asOf: Column,
+      tieBreak: Seq[Column] = Seq.empty): DataFrame =
+    groups.foldLeft(entities) { case (acc, (records, featureCols)) =>
+      val latest = latestAsOf(records, entityKey, ts, Some(asOf), tieBreak)
+        .select(entityKey, featureCols: _*)
+      val collisions = featureCols.filter(acc.columns.contains)
+      // Later group wins on collision — but only where it has a value:
+      // the reference's None-fill uses setdefault, which never clobbers
+      // an earlier non-null (feature_store.py:436-442).
+      val renamed = collisions.foldLeft(acc)(
+        (a, c) => a.withColumnRenamed(c, s"${c}__prev"))
+      val joined = renamed.join(latest, Seq(entityKey), "left")
+      collisions.foldLeft(joined)((a, c) =>
+        a.withColumn(c, coalesce(col(c), col(s"${c}__prev")))
+          .drop(s"${c}__prev"))
+    }
+
+  /** Generalized as-of join (SURVEY.md §7.3 "per-row as-of"): every left
+    * row carries its own event time; attach the latest right payload
+    * with `rightTime <= leftTime` per key. This is the union-tag
+    * technique — one shuffle on the key, a single ordered window, no
+    * range-explosion and no per-row loop; it scales linearly and keeps
+    * AQE/whole-stage-codegen in play, unlike a theta-join
+    * (`r.ts <= l.ts`) which Spark would plan as a broadcast
+    * nested-loop.
+    *
+    * Right payload columns are struct-packed; ties at equal time let the
+    * right row win (inclusive as-of, matching the reference's
+    * `timestamp <= ?` at feature_store.py:395).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val restCols = leftCols.filterNot(_ == key)
+    val packCols = (payloadCols ++ rightTieBreak).distinct
+    val rSide = right.select(
+      col(key), col(rightTime).as("__t"), lit(0).as("__isLeft"),
+      struct(packCols.map(col): _*).as("__payload"))
+    val payloadType = rSide.schema("__payload").dataType
+    val lSide = left.select(
+      (Seq(col(key), col(leftTime).as("__t"), lit(1).as("__isLeft"),
+        lit(null).cast(payloadType).as("__payload")) ++ restCols.map(col)): _*)
+    val unioned = lSide.unionByName(rSide.select(
+      (Seq(col(key), col("__t"), col("__isLeft"), col("__payload")) ++
+        restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
+    // right rows (__isLeft=0) sort before left rows at equal time →
+    // inclusive as-of; rightTieBreak makes the winner among equal-time
+    // right rows deterministic (last() picks the max tie value).
+    val order = Seq(col("__t").asc, col("__isLeft").asc) ++
+      rightTieBreak.map(c => col(s"__payload.$c").asc)
+    val w = Window.partitionBy(col(key))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__latest", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__isLeft") === 1)
+      .select((leftCols.map(col) ++
+        payloadCols.map(c => col(s"__latest.$c").as(c))): _*)
+  }
+
+  /** R10 `statistics` (feature_store.py:450-508): one aggregation pass
+    * over a group's records producing per-feature `count` (non-null),
+    * `null_count`, and — for numeric dtypes, where Python `bool` counts
+    * as numeric (feature_store.py:484) — `mean` (rounded to 6 dp,
+    * :486,490), `min`, `max`. Non-numeric features report null
+    * mean/min/max. Output is long-form (feature, count, null_count,
+    * mean, min, max), one row per declared feature, via a single
+    * `groupBy().agg(...)` + stack — no per-feature scan.
+    */
+  def statistics(records: DataFrame, features: Seq[(String, String)]): DataFrame = {
+    val aggs: Seq[Column] = features.flatMap { case (name, dtype) =>
+      val c = col(name)
+      val numeric = dtype match {
+        case "int" | "float" => Some(c.cast(DoubleType))
+        case "bool"          => Some(c.cast(BooleanType).cast(DoubleType))
+        case _               => None
+      }
+      Seq(
+        count(c).as(s"${name}__count"),
+        sum(c.isNull.cast(LongType)).as(s"${name}__nulls")) ++
+        (numeric match {
+          case Some(n) => Seq(
+            round(avg(n), 6).as(s"${name}__mean"),
+            min(n).as(s"${name}__min"),
+            max(n).as(s"${name}__max"))
+          case None => Seq(
+            lit(null).cast(DoubleType).as(s"${name}__mean"),
+            lit(null).cast(DoubleType).as(s"${name}__min"),
+            lit(null).cast(DoubleType).as(s"${name}__max"))
+        })
+    } :+ count(lit(1)).as("total_records")
+    val wide = records.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = features.map { case (name, _) =>
+      s"'$name', ${name}__count, ${name}__nulls, ${name}__mean, ${name}__min, ${name}__max"
+    }.mkString(", ")
+    wide.selectExpr(
+      "total_records",
+      s"stack(${features.size}, $stackExpr) as (feature, count, null_count, mean, min, max)")
+      .select("feature", "count", "null_count", "mean", "min", "max", "total_records")
+  }
+}

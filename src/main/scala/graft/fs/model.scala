@@ -1,0 +1,54 @@
+package graft.fs
+
+import java.sql.Timestamp
+
+/** Catalog model — Spark-native re-expression of the reference's three
+  * entities (reference: feature_store.py:37-123). Catalog rows are tiny
+  * Datasets persisted as parquet; record data lives in wide columnar
+  * tables per group (see [[RecordLog]]), not JSON blobs.
+  */
+
+/** A feature definition (reference: feature_store.py:37-67). `name` is
+  * globally unique; `sourceQuery` is documentation only (never executed,
+  * feature_store.py:163,227); `isActive` is a soft-delete flag. */
+final case class FeatureDef(
+    name: String,
+    entityType: String,
+    dtype: String,
+    description: String = "",
+    tags: Seq[String] = Seq.empty,
+    sourceQuery: String = "",
+    createdAt: Timestamp = new Timestamp(0L),
+    isActive: Boolean = true)
+
+/** A named, versioned set of features served together (reference:
+  * feature_store.py:70-96). Schema evolution = new row at version n+1
+  * (UNIQUE(name, version), feature_store.py:173-175). */
+final case class FeatureGroup(
+    name: String,
+    version: Int,
+    features: Seq[String],
+    entityKey: String,
+    frequency: String = FeatureGroup.FreqBatch)
+
+object FeatureGroup {
+  val FreqBatch = "batch"
+  val FreqStreaming = "streaming"
+  val Frequencies: Set[String] = Set(FreqBatch, FreqStreaming)
+}
+
+object Dtypes {
+  /** Declared dtypes (reference: feature_store.py:25-31). */
+  val All: Set[String] = Set("int", "float", "str", "bool", "list")
+
+  import org.apache.spark.sql.types._
+  /** Spark mapping (SURVEY.md §1.4). */
+  def toSpark(dtype: String): DataType = dtype match {
+    case "int"   => LongType
+    case "float" => DoubleType
+    case "str"   => StringType
+    case "bool"  => BooleanType
+    case "list"  => ArrayType(DoubleType)
+    case other   => throw new IllegalArgumentException(s"Invalid dtype: $other")
+  }
+}

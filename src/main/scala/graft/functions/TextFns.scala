@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text operators.
+  *
+  * O1/O2 router parity (reference: ollama_router.py:41-55) plus the
+  * text-analysis battery a large-scale training-data pipeline needs
+  * (language ID, quality scoring, token counting, fingerprinting).
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * — zero UDFs in these paths, so whole-stage codegen spans stay wide
+  * and every op is DuckDB-oracle-expressible.
+  */
+object TextFns {
+
+  /** Alias alternation, longest-first (reference sorts by length desc,
+    * ollama_router.py:41-44). No word boundary — `x@copilotfoo` matches,
+    * same as the reference. */
+  val TriggerPattern: String =
+    "(?i)(@blackboxprogramming|@copilot|@lucidia|@ollama)"
+
+  /** O1 `detect_trigger` (ollama_router.py:47-50): leftmost
+    * case-insensitive alias match, lowercased; empty string ↔ None. */
+  def detectTrigger(c: Column): Column =
+    lower(regexp_extract(c, TriggerPattern, 1))
+
+  /** O2 `strip_triggers` (ollama_router.py:53-55): remove every alias
+    * occurrence, then trim. */
+  def stripTriggers(c: Column): Column =
+    trim(regexp_replace(c, TriggerPattern, ""))
+
+  /** O4 `route` routing decision (ollama_router.py:103-130) minus the
+    * HTTP hop (zero-egress): adds `trigger`, `routed`, `prompt`. */
+  def routeCols(text: Column): (Column, Column, Column) = {
+    val trig = detectTrigger(text)
+    (trig, trig =!= lit(""), stripTriggers(text))
+  }
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish sub-word count: runs of letters, runs of digits, single
+    * other non-space chars — a cheap stand-in for a real tokenizer's
+    * piece count. */
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny multi-language stopword inventories for the n-gram-free
+    * language-ID heuristic. Deterministic, order-stable. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans", "que", "pas"))
+
+  /** Language-ID heuristic: score = |tokens ∩ stopwords(lang)| per
+    * language; argmax with deterministic tie order (en > de > es > fr >
+    * unknown). Pure column algebra — scales as a map-side expression. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = Seq("en", "de", "es", "fr").map { lang =>
+      lang -> size(array_intersect(toks,
+        array(Stopwords(lang).map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality-score component columns (length, token stats, stopword
+    * ratio, punctuation ratio, alpha ratio) — the usual cheap filters a
+    * pretraining pipeline applies before anything expensive. */
+  def qualityCols(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val stop = array(Stopwords("en").map(lit): _*)
+    Seq(
+      "n_tokens" -> nTok,
+      "mean_token_len" ->
+        round(aggregate(toks, lit(0), (a, t) => a + length(t))
+          .cast("double") / nTok, 6),
+      "stopword_ratio" ->
+        round(size(array_intersect(transform(toks, t => lower(t)), stop))
+          .cast("double") / nTok, 6),
+      "punct_ratio" ->
+        round((nChar - length(regexp_replace(text, "[^\\w\\s]", "")))
+          .cast("double") / nChar, 6),
+      "alpha_ratio" ->
+        round(length(regexp_replace(text, "[^A-Za-z]", ""))
+          .cast("double") / nChar, 6))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased
+    * text — the exact-dup key that survives formatting noise. (The
+    * rolling-hash shingle variant lives in [[graft.operators.Dedup]].) */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash over an `array<string>` token column.
+  *
+  * Classic Charikar scheme: each token hashes to 64 bits (xxHash64-style
+  * mix of the token bytes via Spark's XXH64, here Murmur-free inline
+  * FNV-1a 64 for self-containment); bit b of the fingerprint is 1 iff
+  * the signed sum of (+1 for set / -1 for clear) across tokens is
+  * positive. Near-duplicate docs differ in a few bits → candidate
+  * pairing by hamming distance on bucketed prefixes.
+  *
+  * A 64-counter inner loop is imperative by nature — exactly the case
+  * where a native expression (with codegen) beats both HOF chains and
+  * UDFs (SURVEY.md §4.2).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = SimHash64.fnv1a64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val out = ctx.freshName("out"); val n = ctx.freshName("n")
+      val cls = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int[] $counts = new int[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $cls.fnv1a64($a.getUTF8String($i));
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** FNV-1a 64-bit over the UTF-8 bytes — deterministic, seed-free,
+    * cheap; adequate bit diffusion for simhash voting. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def column(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  /** Hamming distance between two fingerprints as a column. */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,183 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.fs._
+
+/** Mirrors the reference's pytest semantics 1:1
+  * (reference: tests/test_feature_store.py; cases catalogued in
+  * FIXTURES.md §A). */
+class FeatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): FeatureCatalog =
+    new FeatureCatalog(spark, tmpDir("catalog"))
+
+  private def registered(): FeatureCatalog = {
+    val c = freshCatalog()
+    c.registerFeature(FeatureDef("age", "user", "int"))
+    c.registerFeature(FeatureDef("income", "user", "float"))
+    c.registerFeature(FeatureDef("city", "user", "str"))
+    c
+  }
+
+  test("register + get feature round-trip") {
+    val c = registered()
+    val f = c.getFeature("age")
+    assert(f.exists(x => x.entityType == "user" && x.dtype == "int"))
+    assert(c.getFeature("nope").isEmpty)
+  }
+
+  test("register upserts by unique name (INSERT OR REPLACE semantics)") {
+    val c = registered()
+    c.registerFeature(FeatureDef("age", "user", "float", description = "v2"))
+    assert(c.features.count() == 3)
+    assert(c.getFeature("age").exists(_.dtype == "float"))
+  }
+
+  test("invalid dtype rejected (test_register_feature_invalid_dtype :47-49)") {
+    val c = freshCatalog()
+    intercept[IllegalArgumentException] {
+      c.registerFeature(FeatureDef("bad", "user", "invalid_dtype"))
+    }
+  }
+
+  test("list_features filters active + entity_type, ordered") {
+    val c = registered()
+    c.registerFeature(FeatureDef("clicks", "session", "int"))
+    c.deactivateFeature("city")
+    val names = c.listFeatures(Some("user")).map(_.name)
+    assert(names == Seq("age", "income"))
+    assert(c.listFeatures(None).map(_.name) == Seq("clicks", "age", "income"))
+  }
+
+  test("create group validates members (test_create_group_invalid_feature :83-86)") {
+    val c = registered()
+    val err = intercept[IllegalArgumentException] {
+      c.createGroup(FeatureGroup("g", 1, Seq("age", "not_registered"), "user_id"))
+    }
+    assert(err.getMessage.contains("not_registered"))
+  }
+
+  test("group versioning: UNIQUE(name, version), new version allowed") {
+    val c = registered()
+    c.createGroup(FeatureGroup("demo", 1, Seq("age"), "user_id"))
+    intercept[IllegalArgumentException] {
+      c.createGroup(FeatureGroup("demo", 1, Seq("income"), "user_id"))
+    }
+    c.createGroup(FeatureGroup("demo", 2, Seq("age", "income"), "user_id"))
+    assert(c.listGroups().map(g => (g.name, g.version)) ==
+      Seq(("demo", 1), ("demo", 2)))
+  }
+
+  private val demoGroup = FeatureGroup(
+    "user_demographics", 1, Seq("age", "income", "city"), "user_id")
+
+  private def writeDemo(log: RecordLog, rows: Seq[(String, String, Long, Double, String)]): Unit = {
+    val df = rows.toDF("user_id", "ts_s", "age", "income", "city")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    log.write(demoGroup, df)
+  }
+
+  test("typed write/read round-trip (:89-96)") {
+    val log = new RecordLog(spark, tmpDir("records"))
+    writeDemo(log, Seq(("user-1", "2024-01-01 00:00:00", 30L, 75000.0, "NYC")))
+    val got = Serving.latestAsOf(log.read(demoGroup), "user_id")
+      .select("age", "income", "city").as[(Long, Double, String)].collect()
+    assert(got.toSeq == Seq((30L, 75000.0, "NYC")))
+  }
+
+  test("missing entity → empty (:99-102)") {
+    val log = new RecordLog(spark, tmpDir("records"))
+    writeDemo(log, Seq(("user-1", "2024-01-01 00:00:00", 30L, 75000.0, "NYC")))
+    assert(Serving.latestAsOf(log.read(demoGroup), "user_id")
+      .filter($"user_id" === "ghost").count() == 0)
+  }
+
+  test("PIT correctness: as-of sees the older snapshot (:105-117)") {
+    val log = new RecordLog(spark, tmpDir("records"))
+    writeDemo(log, Seq(
+      ("user-1", "2023-01-01 00:00:00", 25L, 1000.0, "LA"),
+      ("user-1", "2024-01-01 00:00:00", 26L, 2000.0, "SF")))
+    val asOf = Serving.latestAsOf(log.read(demoGroup), "user_id",
+      asOf = Some(to_timestamp(lit("2023-06-01 00:00:00"))))
+    assert(asOf.select("age").as[Long].head() == 25L)
+    val latest = Serving.latestAsOf(log.read(demoGroup), "user_id")
+    assert(latest.select("age").as[Long].head() == 26L)
+  }
+
+  test("PIT join: row count, input order, null-fill (:120-133)") {
+    val log = new RecordLog(spark, tmpDir("records"))
+    writeDemo(log, Seq(
+      ("user-1", "2024-01-01 00:00:00", 30L, 75000.0, "NYC"),
+      ("user-2", "2024-01-01 00:00:00", 40L, 85000.0, "LA")))
+    val entities = Seq("user-1", "user-2", "user-3").toDF("user_id")
+    val out = Serving.pointInTimeJoin(
+        entities, Seq((log.read(demoGroup), Seq("age", "income", "city"))),
+        "user_id", "ts", to_timestamp(lit("2024-06-01 00:00:00")))
+      .orderBy("user_id")
+    val rows = out.collect()
+    assert(rows.length == 3)
+    val u3 = rows.find(_.getString(0) == "user-3").get
+    assert(u3.isNullAt(u3.fieldIndex("age")))
+    assert(rows.head.getAs[Long]("age") == 30L)
+  }
+
+  test("PIT join: later group overwrites colliding names (:436)") {
+    val log = new RecordLog(spark, tmpDir("records"))
+    writeDemo(log, Seq(("user-1", "2024-01-01 00:00:00", 30L, 75000.0, "NYC")))
+    val g2 = FeatureGroup("g2", 1, Seq("age"), "user_id")
+    val df2 = Seq(("user-1", "2024-02-01 00:00:00", 99L))
+      .toDF("user_id", "ts_s", "age")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val log2 = new RecordLog(spark, tmpDir("records2"))
+    log2.write(g2, df2)
+    val out = Serving.pointInTimeJoin(
+      Seq("user-1").toDF("user_id"),
+      Seq((log.read(demoGroup), Seq("age", "income", "city")),
+        (log2.read(g2), Seq("age"))),
+      "user_id", "ts", to_timestamp(lit("2024-06-01 00:00:00")))
+    assert(out.select("age").as[Long].head() == 99L)
+    assert(out.select("income").as[Double].head() == 75000.0)
+  }
+
+  test("statistics: empty group (:136-140)") {
+    val stats = Serving.statistics(
+      spark.emptyDataset[(String, Long)].toDF("user_id", "age"),
+      Seq(("age", "int")))
+    val rows = stats.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("total_records") == 0L)
+  }
+
+  test("statistics: exact mean/min/max over 5 rows (:143-152)") {
+    val df = (0 until 5).map(i => (s"u$i", 20L + i, 40000.0 + 1000 * i))
+      .toDF("user_id", "age", "income")
+    val stats = Serving.statistics(df, Seq(("age", "int"), ("income", "float")))
+      .orderBy("feature").collect()
+    val age = stats.find(_.getString(0) == "age").get
+    assert(age.getAs[Long]("count") == 5L)
+    assert(age.getAs[Double]("mean") == 22.0)
+    assert(age.getAs[Double]("min") == 20.0)
+    assert(age.getAs[Double]("max") == 24.0)
+    val inc = stats.find(_.getString(0) == "income").get
+    assert(inc.getAs[Double]("mean") == 42000.0)
+  }
+
+  test("statistics: bool counts as numeric (feature_store.py:484)") {
+    val df = Seq(("u1", true), ("u2", false), ("u3", true))
+      .toDF("user_id", "active")
+    val stats = Serving.statistics(df, Seq(("active", "bool"))).collect()
+    assert(stats.head.getAs[Double]("mean") == 0.666667)
+  }
+
+  test("non-numeric features get null mean/min/max (:494-501)") {
+    val df = Seq(("u1", "NYC")).toDF("user_id", "city")
+    val row = Serving.statistics(df, Seq(("city", "str"))).collect().head
+    assert(row.getAs[Long]("count") == 1L)
+    assert(row.isNullAt(row.fieldIndex("mean")))
+  }
+}

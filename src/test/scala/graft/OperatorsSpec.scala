@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.plans.SimHash64
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (2L, "completely different content about spark query engines and planning"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Long]("keep_id") == 0L)
+    assert(out.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // one-word difference
+    assert(pairs.contains((0L, 3L))) // identical
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash hamming distance separates near-dups from distinct docs") {
+    val fp = docs.select($"doc_id",
+        SimHash64.column(split(lower($"text"), "\\s+")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(3L)) // identical text, identical fingerprint
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(1L)) < ham(fp(0L), fp(2L)))
+  }
+
+  test("simhash codegen path agrees with eval path") {
+    val toks = split(lower($"text"), "\\s+")
+    // force interpreted eval via filter on a row-by-row collect comparison
+    val viaExpr = docs.select($"doc_id", SimHash64.column(toks).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val viaScala = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val e = graft.plans.SimHash64(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            t.toLowerCase.split("\\s+").toSeq,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))
+        id -> e.eval(null).asInstanceOf[Long]
+      }.toMap
+    assert(viaExpr == viaScala)
+  }
+
+  test("ngram jaccard on explicit candidate pairs") {
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(pairs, docs, "text", "doc_id")
+      .orderBy("id_a", "id_b")
+      .select($"id_b", $"jaccard").as[(Long, Double)].collect()
+    assert(out(0)._2 > 0.5)  // near-dup
+    assert(out(1)._2 == 0.0) // unrelated
+  }
+
+  test("cosine HOF form and native expression agree") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.5f, 0.0f))).toDF("id", "v")
+    val both = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+      .select(
+        VectorFns.cosine($"a.v", $"b.v").as("hof"),
+        VectorFns.cosineFast($"a.v", $"b.v").as("fast"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (h, f) => assert(math.abs(h - f) < 1e-12) }
+    assert(both.exists { case (h, _) => math.abs(h - 1.0) < 1e-12 })
+  }
+
+  test("brute-force topK returns k ranked neighbors per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", 4)
+    val rows = out.collect()
+    assert(rows.length == 12)
+    assert(out.filter($"query_id" === $"neighbor_id").count() == 0)
+    val sims = out.filter($"query_id" === 0)
+      .orderBy($"rank").select("sim").as[Double].collect()
+    assert(sims.sliding(2).forall(p => p(0) >= p(1))) // descending
+  }
+
+  test("bucketed topK candidates stay within the query's sign bucket") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.bucketedTopK(
+      emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", 4, nBits = 4)
+    assert(out.count() > 0)
+  }
+
+  test("sessionize splits on gaps and keeps within-gap events together") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0), // same session (gap 600s)
+      (1L, "2024-01-01 12:00:00", 3.0), // new session (gap 6600s)
+      (2L, "2024-01-01 09:00:00", 4.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Sessionize.sessionStats(ev, "user_id", "ts", "value", 1800L)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "value_sum")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 0L, 2L, 3.0), (1L, 1L, 1L, 3.0), (2L, 0L, 1L, 4.0)))
+  }
+}

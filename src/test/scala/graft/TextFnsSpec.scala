@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Router text-op parity matrix (reference: tests/test_ollama_router.py
+  * :21-57, catalogued in FIXTURES.md §A). */
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def detect(texts: String*): Seq[String] =
+    texts.toDF("t").select(TextFns.detectTrigger($"t")).as[String].collect().toSeq
+
+  private def strip(texts: String*): Seq[String] =
+    texts.toDF("t").select(TextFns.stripTriggers($"t")).as[String].collect().toSeq
+
+  test("trigger matrix incl. case-insensitivity (:21-34)") {
+    assert(detect("hello @ollama world") == Seq("@ollama"))
+    assert(detect("@COPILOT help") == Seq("@copilot"))
+    assert(detect("ping @Lucidia now") == Seq("@lucidia"))
+    assert(detect("cc @blackboxprogramming") == Seq("@blackboxprogramming"))
+    assert(detect("@OLLAMA") == Seq("@ollama"))
+  }
+
+  test("non-match: plain email (:30)") {
+    assert(detect("email@example.com") == Seq(""))
+    assert(detect("no trigger here") == Seq(""))
+  }
+
+  test("leftmost match wins") {
+    assert(detect("@lucidia then @ollama") == Seq("@lucidia"))
+  }
+
+  test("no word boundary — embedded alias matches (ollama_router.py:41-44)") {
+    assert(detect("x@copilotfoo") == Seq("@copilot"))
+  }
+
+  test("strip removes all aliases then trims (:48-57)") {
+    assert(strip("@lucidia @ollama clean both") == Seq("clean both"))
+    assert(strip("@ollama  hi") == Seq("hi"))
+    assert(strip("untouched text") == Seq("untouched text"))
+  }
+
+  test("route decision columns (ollama_router.py:103-130)") {
+    val (trig, routed, prompt) = TextFns.routeCols($"t")
+    val rows = Seq("@ollama do it", "nothing").toDF("t")
+      .select(trig.as("trigger"), routed.as("routed"), prompt.as("prompt"))
+      .as[(String, Boolean, String)].collect().toSeq
+    assert(rows == Seq(("@ollama", true, "do it"), ("", false, "nothing")))
+  }
+
+  test("langId picks the max-overlap stopword language") {
+    val got = Seq(
+      "the cat sat on the mat and it is fine",
+      "der hund ist nicht auf das sofa und die katze",
+      "el perro es un animal y la casa no es grande",
+      "zzz qqq www").toDF("t")
+      .select(TextFns.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "und"))
+  }
+
+  test("quality columns are sane on a known sentence") {
+    val row = Seq("The quick fox, it jumps!").toDF("t")
+      .select(TextFns.qualityCols($"t").map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(row.getAs[Int]("n_tokens") == 5)
+    assert(row.getAs[Double]("punct_ratio") > 0.0)
+    assert(row.getAs[Double]("stopword_ratio") == 0.4) // "the", "it"
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = Seq("Hello  World", "hello world", "different").toDF("t")
+      .select(TextFns.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
