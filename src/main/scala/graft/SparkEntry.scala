@@ -512,6 +512,70 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
 
+  /** R10 `statistics` in its reference shape (feature_store.py:450-508):
+    * long-form per-feature count/null_count/mean/min/max + total_records,
+    * one aggregation pass + stack — numeric features get moments,
+    * string features get nulls for mean/min/max. */
+  private val featureStats = Q("q_feature_stats",
+    (s, d) => Serving.statistics(
+        Tables.events(s, d).select(col("value"), col("event_type")),
+        Seq("value" -> "float", "event_type" -> "str"))
+      .orderBy(col("feature")),
+    Some("""
+      SELECT * FROM (
+        SELECT 'value' AS feature, count(value) AS count,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+               round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(value), 6) AS mean,
+               min(value) AS min, max(value) AS max,
+               count(*) AS total_records
+        FROM events
+        UNION ALL
+        SELECT 'event_type', count(event_type),
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               count(*)
+        FROM events)
+      ORDER BY feature"""))
+
+  /** Analytic window sweep: lag/lead over each user's event sequence —
+    * the per-entity delta features a training pipeline derives from an
+    * event log. */
+  private val windowLag = Q("q_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 6).as("delta_prev"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          first(col("event_type")).over(w).as("first_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             round(value - lag(value, 1) OVER w, 6) AS delta_prev,
+             lead(event_type, 1) OVER w AS next_type,
+             first_value(event_type) OVER w AS first_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""))
+
+  /** JSON with an explicit schema (`from_json`, vs q_json_fns'
+    * point-extraction `get_json_object`). */
+  private val fromJson = Q("q_from_json",
+    (s, d) => Tables.events(s, d)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .select(col("event_id"), col("p.k").as("k"), col("event_type"))
+      .filter(col("k") % 7 === 0)
+      .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id, k, event_type FROM (
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               event_type
+        FROM events)
+      WHERE k % 7 = 0 ORDER BY event_id"""))
+
   // ---------------------------------------------------------------------
   // Batch 2: array/map scalar sweep, cube, math fns, PIT multi-group,
   // LSH near-dup + ANN (approx → rows-only checks), multimodal plumbing
@@ -725,7 +789,7 @@ object SparkEntry {
     pitLatest, pitJoin, asofJoin, groupStats,
     q1Agg, joinBroadcast, semiJoin, antiJoin, distinctAgg, rollupAgg,
     windowRank, windowFrames, topK, setOps,
-    stringFns, trigger, dateTime, jsonFns,
+    stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, langDist, quality, tokenCounts,
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,

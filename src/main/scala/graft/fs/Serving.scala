@@ -144,7 +144,10 @@ object Serving {
         sum(c.isNull.cast(LongType)).as(s"${name}__nulls")) ++
         (numeric match {
           case Some(n) => Seq(
-            round(avg(n), 6).as(s"${name}__mean"),
+            // decimal-exact sum → identical IEEE division on any
+            // partial-agg order (matches Tables.dmean's convention)
+            round((sum(n.cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+              .cast(DoubleType) / count(n)), 6).as(s"${name}__mean"),
             min(n).as(s"${name}__min"),
             max(n).as(s"${name}__max"))
           case None => Seq(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.plans.SimHash64
+import graft.plans.{MinHashBands, SimHash64}
 
 /** Deduplication operators for a pretraining-data pipeline: exact,
   * fingerprint, MinHash+LSH, SimHash, n-gram Jaccard. All are
@@ -41,22 +41,17 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** MinHash signature: `k` independent min-hashes over the shingle
-    * set, h_j(S) = min over s∈S of xxhash64(j, s). Map-side only. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
-    }: _*)
-
   /** MinHash + LSH banding near-dup candidates, verified by exact
     * Jaccard. `bands` × `rows` hash functions; docs sharing any band
     * bucket are candidates; candidates are then verified with exact
     * shingle Jaccard ≥ `threshold`.
     *
-    * Plan shape: map-side signature → explode(bands) → shuffle on
-    * (band, bucket) — the only exchange proportional to corpus size —
-    * → within-bucket self-join (buckets are tiny by construction) →
-    * verification join back to shingle sets.
+    * Plan shape: map-side [[graft.plans.MinHashBands]] (one fused pass:
+    * each shingle hashed once, k derived mins, band buckets) →
+    * posexplode(bands) → shuffle on (band, bucket) — the only exchange
+    * proportional to corpus size — → within-bucket self-join (buckets
+    * are tiny by construction) → verification join back to shingle
+    * sets.
     */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
@@ -66,14 +61,11 @@ object Dedup {
     // stay out of the ×bands-duplicated exchange and are joined back
     // exactly once for the verify stage.
     val banded = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), bands * rows))
-      .select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .select(col(idCol).as("id"),
+        posexplode(MinHashBands.column(
+          shingles(col(textCol), shingleN), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
     val l = banded.as("l"); val r = banded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") &&

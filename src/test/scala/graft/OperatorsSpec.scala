@@ -59,6 +59,27 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExpr == viaScala)
   }
 
+  test("minhash bands codegen path agrees with eval path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val sh = Dedup.shingles(lower($"text"), 3)
+    val viaExpr = docs
+      .select($"doc_id", graft.plans.MinHashBands.column(sh, 4, 4).as("bb"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // interpreted eval over the same shingle arrays
+    val shingled = docs.select($"doc_id", sh.as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val viaEval = shingled.map { case (id, ss) =>
+      val e = graft.plans.MinHashBands(
+        Literal.create(ss, ArrayType(StringType)), 4, 4)
+      id -> e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    }.toMap
+    assert(viaExpr == viaEval)
+    assert(viaExpr(0L) == viaExpr(3L)) // identical docs, identical bands
+  }
+
   test("ngram jaccard on explicit candidate pairs") {
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(pairs, docs, "text", "doc_id")

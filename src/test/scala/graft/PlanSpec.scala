@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Physical-plan shape checks — the 100 TB posture (SURVEY.md §7.3)
+  * verified structurally, since the harness only runs sf ≤ 0.1:
+  * dimension joins must broadcast, scans must push filters and prune
+  * columns, and nothing in the declared query set may plan a cartesian
+  * product (the one deliberate broadcast-nested-loop is the brute-force
+  * ANN, which is |queries|-bounded by contract).
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q_join_regions broadcasts the nation/region dims") {
+    val plan = physical(run("q_join_regions"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val scan = run("q1_agg").queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed filter in:\n$scan")
+  }
+
+  test("projection prunes scan columns to those referenced") {
+    val df = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected 2-column ReadSchema in:\n$scan")
+  }
+
+  test("no declared query plans a cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = physical(fn(spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("semi/anti joins plan as semi/anti, not materialized subqueries") {
+    assert(physical(run("q_semi_join")).contains("LeftSemi"))
+    assert(physical(run("q_anti_join")).contains("LeftAnti"))
+  }
+
+  test("pit latest window rewrites to a group-limit (no full sort rank)") {
+    // Catalyst 4.x InferWindowGroupLimit turns rn=1 into WindowGroupLimit
+    val plan = physical(run("q_pit_latest"))
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the aggregation hot path") {
+    // AQE only materializes the final (codegen'd) plan after execution;
+    // the short toString renders spans as "*(n)", so check structurally.
+    val df = run("q1_agg")
+    df.collect()
+    val spans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, s"no codegen span in:\n${physical(df)}")
+  }
+}
