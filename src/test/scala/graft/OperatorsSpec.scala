@@ -122,6 +122,75 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("bounded top-k agrees with the window row_number reference form") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 4).select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+    val scored = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
+      .withColumn("sim", round(VectorFns.cosineFast($"qv", $"cv"), 6))
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+        .orderBy($"sim".desc, $"neighbor_id".asc)))
+      .filter($"rank" <= 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaAgg = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" < 4), emb, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("bounded top-k heap keeps the best k under adversarial insert order") {
+    val h = new graft.plans.TopKHeap(3)
+    // ascending, descending, ties (ids break ties ascending), and -0.0
+    Seq((1.0, 10L), (5.0, 9L), (3.0, 8L), (5.0, 7L), (-0.0, 6L), (0.0, 5L),
+      (4.0, 4L), (5.0, 11L)).foreach { case (s, i) => h.insert(s, i) }
+    assert(h.sortedDesc.toSeq == Seq((5.0, 7L), (5.0, 9L), (5.0, 11L)))
+  }
+
+  test("LSH bucket guard drops a planted degenerate bucket") {
+    import graft.operators.Guards
+    // 50 identical empty-ish docs = one degenerate bucket in every band,
+    // plus the regular near-dup pair.
+    val degenerate = (100L until 150L).map(i => (i, "x x x"))
+    val all = docs.union(degenerate.toDF("doc_id", "text"))
+    val guarded = Dedup.minhashNearDups(all, "text", "doc_id",
+      threshold = 0.5, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // degenerate ids never reach the self-join...
+    assert(!guarded.exists(p => p._1 >= 100L || p._2 >= 100L))
+    // ...while real near-dups still surface
+    assert(guarded.contains((0L, 1L)) && guarded.contains((0L, 3L)))
+    // and the dropped bucket is observable for logging
+    val banded = all.select($"doc_id",
+      posexplode(graft.plans.MinHashBands.column(
+        Dedup.shingles($"text", 3), 4, 4)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val dropped = Guards.oversizedBuckets(banded, Seq("band", "bucket"), 10)
+    assert(dropped.count() >= 4) // the degenerate bucket, in every band
+  }
+
+  test("simhash banding finds every pair within the declared hamming radius") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val variants = (0 until 12).map { i =>
+      (i.toLong, base.split(" ").updated(i, s"weird$i").mkString(" "))
+    }
+    val df = variants.toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+        graft.plans.SimHash64.column(split(lower($"text"), "\\s+")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val maxH = 8
+    val expected = (for {
+      a <- variants.map(_._1); b <- variants.map(_._1) if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= maxH
+    } yield (a, b)).toSet
+    val found = Dedup.simhashNearDups(df, "text", "doc_id", maxHamming = maxH)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == expected) // exact recall at radius maxH by pigeonhole
+  }
+
   test("sessionize splits on gaps and keeps within-gap events together") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),

@@ -57,6 +57,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("WindowGroupLimit"), s"no group-limit in:\n$plan")
   }
 
+  test("top-k queries use the bounded aggregate, not a per-query window") {
+    // A Window.partitionBy(query_id) would funnel every scored corpus
+    // row for a query into one task; the BoundedTopK aggregate keeps
+    // partial aggregation map-side (≤ k rows per partition per query).
+    Seq("q_cosine_topk", "q_ann_bucketed").foreach { name =>
+      val plan = physical(run(name))
+      assert(!plan.contains("Window"), s"$name still plans a Window:\n$plan")
+      assert(plan.contains("top_k"), s"$name lost the top_k aggregate:\n$plan")
+      assert(plan.contains("partial_top_k"),
+        s"$name does not partial-aggregate top_k map-side:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE only materializes the final (codegen'd) plan after execution;
     // the short toString renders spans as "*(n)", so check structurally.
