@@ -1,7 +1,8 @@
 package graft.fs
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
+import java.util.UUID
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -12,9 +13,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * Storage: `root/features/v_<n>/` + `root/groups/v_<n>/` parquet dirs;
   * every mutation writes a fresh versioned dir and flips a `_CURRENT`
   * pointer file (atomic move). No Delta/Iceberg on the offline classpath,
-  * so versioning is hand-rolled; this matches the reference's
-  * single-writer reality (SQLite writer lock, feature_store.py:147-150)
-  * while keeping every historical catalog state readable.
+  * so versioning is hand-rolled; a `_LOCK` file serializes the
+  * read-modify-write across processes on a shared filesystem (the
+  * reference's SQLite writer lock, feature_store.py:147-150, played the
+  * same role), while keeping every historical catalog state readable.
   *
   * Catalog tables are tiny (thousands of rows at most) — driver-side
   * collect here is deliberate and scale-safe; the 100 TB data path never
@@ -52,21 +54,48 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Serialize a catalog read-modify-write: without it two writers can
+    * both read version n and race to write v_(n+1) (ADVICE r1). Lock =
+    * exclusive `_LOCK` file creation; stale locks time out loudly
+    * rather than being stolen. */
+  private def withLock[A](dir: String)(body: => A): A = {
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_LOCK")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: FileAlreadyExistsException =>
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"catalog lock $lock held for >30s; remove it if the owner died")
+          Thread.sleep(10)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+
   // ---- R1-R3: features ---------------------------------------------------
 
   def features: Dataset[FeatureDef] = readTable[FeatureDef](featuresDir)
 
   /** R1 `register_feature` (feature_store.py:195-241): validate dtype,
-    * upsert keyed by unique name (INSERT OR REPLACE ≡ filter-out + union). */
+    * mint uuid, upsert keyed by unique name (INSERT OR REPLACE ≡
+    * filter-out + union). */
   def registerFeature(fd: FeatureDef): FeatureDef = {
     if (!Dtypes.All.contains(fd.dtype))
       throw new IllegalArgumentException(
         s"Invalid dtype: ${fd.dtype}. Must be one of ${Dtypes.All.toSeq.sorted.mkString(", ")}")
-    val stamped =
-      if (fd.createdAt.getTime != 0L) fd
-      else fd.copy(createdAt = new Timestamp(System.currentTimeMillis()))
-    val updated = features.filter(_.name != fd.name).collect() :+ stamped
-    writeTable(featuresDir, spark.createDataset(updated.toSeq))
+    val stamped = fd.copy(
+      id = if (fd.id.nonEmpty) fd.id else UUID.randomUUID().toString,
+      createdAt = fd.createdAt.orElse(Some(now())))
+    withLock(featuresDir) {
+      val updated = features.filter(_.name != fd.name).collect() :+ stamped
+      writeTable(featuresDir, spark.createDataset(updated.toSeq))
+    }
     stamped
   }
 
@@ -82,7 +111,7 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
   }
 
   /** Soft delete (reference `is_active` flag, feature_store.py:164). */
-  def deactivateFeature(name: String): Unit = {
+  def deactivateFeature(name: String): Unit = withLock(featuresDir) {
     val updated = features.collect().map(f =>
       if (f.name == name) f.copy(isActive = false) else f)
     writeTable(featuresDir, spark.createDataset(updated.toSeq))
@@ -95,7 +124,8 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
   /** R4 `create_group` (feature_store.py:263-306): every member must exist
     * in the registry (the reference loops one SELECT per member,
     * feature_store.py:284-286 — here a single anti-join reports all
-    * missing members at once); (name, version) unique. */
+    * missing members at once); (name, version) unique; uuid + created_at
+    * stamped (feature_store.py:74,88). */
   def createGroup(g: FeatureGroup): FeatureGroup = {
     if (!FeatureGroup.Frequencies.contains(g.frequency))
       throw new IllegalArgumentException(s"Invalid frequency: ${g.frequency}")
@@ -104,12 +134,21 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"Features not registered: ${missing.mkString(", ")}")
-    if (groups.filter(x => x.name == g.name && x.version == g.version).count() > 0)
-      throw new IllegalArgumentException(
-        s"Group ${g.name} version ${g.version} already exists")
-    writeTable(groupsDir, spark.createDataset(groups.collect().toSeq :+ g))
-    g
+    val stamped = g.copy(
+      id = if (g.id.nonEmpty) g.id else UUID.randomUUID().toString,
+      createdAt = g.createdAt.orElse(Some(now())))
+    withLock(groupsDir) {
+      if (groups.filter(x => x.name == g.name && x.version == g.version).count() > 0)
+        throw new IllegalArgumentException(
+          s"Group ${g.name} version ${g.version} already exists")
+      writeTable(groupsDir, spark.createDataset(groups.collect().toSeq :+ stamped))
+    }
+    stamped
   }
+
+  /** R5 `get_group` by uuid (feature_store.py:308-312). */
+  def getGroupById(id: String): Option[FeatureGroup] =
+    groups.filter(_.id == id).collect().headOption
 
   /** R6 `get_group_by_name` (feature_store.py:314-320). */
   def getGroup(name: String, version: Int = 1): Option[FeatureGroup] =

@@ -10,7 +10,11 @@ import java.sql.Timestamp
 
 /** A feature definition (reference: feature_store.py:37-67). `name` is
   * globally unique; `sourceQuery` is documentation only (never executed,
-  * feature_store.py:163,227); `isActive` is a soft-delete flag. */
+  * feature_store.py:163,227); `isActive` is a soft-delete flag; `id` is
+  * the reference's uuid (feature_store.py:42,224), minted on register
+  * when empty; `createdAt` None = unset (stamped on register — an
+  * Option, not an epoch-0 sentinel, so a legitimate epoch-0 timestamp
+  * round-trips). */
 final case class FeatureDef(
     name: String,
     entityType: String,
@@ -18,18 +22,23 @@ final case class FeatureDef(
     description: String = "",
     tags: Seq[String] = Seq.empty,
     sourceQuery: String = "",
-    createdAt: Timestamp = new Timestamp(0L),
-    isActive: Boolean = true)
+    createdAt: Option[Timestamp] = None,
+    isActive: Boolean = true,
+    id: String = "")
 
 /** A named, versioned set of features served together (reference:
   * feature_store.py:70-96). Schema evolution = new row at version n+1
-  * (UNIQUE(name, version), feature_store.py:173-175). */
+  * (UNIQUE(name, version), feature_store.py:173-175). `id` is the
+  * reference's uuid group_id (feature_store.py:74,291 — R5 lookups);
+  * `createdAt` mirrors feature_store.py:88. */
 final case class FeatureGroup(
     name: String,
     version: Int,
     features: Seq[String],
     entityKey: String,
-    frequency: String = FeatureGroup.FreqBatch)
+    frequency: String = FeatureGroup.FreqBatch,
+    id: String = "",
+    createdAt: Option[Timestamp] = None)
 
 object FeatureGroup {
   val FreqBatch = "batch"
