@@ -135,14 +135,26 @@ object SparkEntry {
   private val q1Agg = Q("q1_agg",
     (s, d) => Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      // Money math with BOUNDED decimal precision (VERDICT r2 task #2):
+      // the naive dec2×dec2(×dec2) chains escalate to Decimal(38,·),
+      // which drops every row's sum onto the BigDecimal slow path. Here
+      // the product is computed once per row and immediately cast back
+      // to a compact long-backed decimal — exact (disc_price has scale
+      // 4 ≤ 18 digits, charge scale 6 ≤ 18 digits at any realistic
+      // price), so the aggregation buffers stay on Decimal's long fast
+      // path and the DuckDB oracle hashes identically.
+      .withColumn("__disc_price",
+        (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DecimalType(18, 4)))
+      .withColumn("__charge",
+        (col("__disc_price") * (lit(1) + dec2(col("l_tax"))))
+          .cast(DecimalType(18, 6)))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Tables.dsum(col("l_quantity")).as("sum_qty"),
         Tables.dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .cast(DoubleType).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
-          * (lit(1) + dec2(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        sum(col("__disc_price")).cast(DoubleType).as("sum_disc_price"),
+        sum(col("__charge")).cast(DoubleType).as("sum_charge"),
         Tables.dmean(col("l_quantity")).as("avg_qty"),
         Tables.dmean(col("l_extendedprice")).as("avg_price"),
         Tables.dmean(col("l_discount")).as("avg_disc"),
@@ -428,6 +440,36 @@ object SparkEntry {
              round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(n_chars), 6) AS mean_chars
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** Language-ID heuristic wired to an oracled distribution query
+    * (VERDICT r2 task #6): stopword-intersect argmax per document,
+    * reproduced in DuckDB with the same tie order (en>de>es>fr>und). */
+  private val langIdDist = Q("q_langid",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(TextFns.langId(col("text")).as("lang_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        Tables.dmean(col("n_chars").cast(DoubleType)).as("mean_chars"))
+      .orderBy(col("lang_id")),
+    Some("""
+      WITH t AS (
+        SELECT n_chars, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      sc AS (
+        SELECT n_chars,
+          len(list_distinct(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for']))) AS s_en,
+          len(list_distinct(list_intersect(toks, ['der','die','das','und','ist','ein','nicht','mit','auf','zu']))) AS s_de,
+          len(list_distinct(list_intersect(toks, ['el','la','de','que','y','en','un','es','no','por']))) AS s_es,
+          len(list_distinct(list_intersect(toks, ['le','la','de','et','est','un','une','dans','que','pas']))) AS s_fr
+        FROM t)
+      SELECT CASE
+               WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+               WHEN s_fr > 0 THEN 'fr'
+               ELSE 'und' END AS lang_id,
+             count(*) AS n_docs,
+             round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(n_chars), 6) AS mean_chars
+      FROM sc GROUP BY 1 ORDER BY lang_id"""))
+
   private val quality = Q("q_text_quality",
     (s, d) => {
       val cols = TextFns.qualityCols(col("text"))
@@ -491,18 +533,19 @@ object SparkEntry {
 
   private val sessionize = Q("q_sessionize",
     (s, d) => Sessionize.sessionStats(
-        Tables.events(s, d), "user_id", "ts", "value", 1800L)
+        Tables.events(s, d), "user_id", "ts", "value", 1800L,
+        tieBreak = Seq("event_id"))
       .orderBy(col("user_id"), col("session_id")),
     Some("""
       WITH g AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                       OR CAST(floor(epoch(ts)) AS BIGINT)
                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                     THEN 1 ELSE 0 END AS ns
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       s AS (
-        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
           AS session_id
         FROM g)
@@ -627,9 +670,15 @@ object SparkEntry {
   private val mapFns = Q("q_map_fns",
     (s, d) => Tables.events(s, d)
       .withColumn("m1", map(lit("k"), get_json_object(col("props"), "$.k"),
-        lit("src"), lit("g1")))
-      .withColumn("m2", map(lit("src"), lit("g2"),
-        lit("et"), col("event_type")))
+        lit("src"), concat(lit("g1:"), col("event_type"))))
+      // data-dependent key set: even events bring a colliding `src`
+      // (LAST_WIN overwrites) plus an extra key (n_keys varies); odd
+      // events bring no collision — the merge outcome is derived from
+      // data on both engines, not a constant (VERDICT r2 #2).
+      .withColumn("m2", when(col("event_id") % 2 === 0,
+          map(lit("src"), concat(lit("g2:"), col("event_type")),
+            lit("et"), col("event_type"), lit("flag"), lit("1")))
+        .otherwise(map(lit("et"), col("event_type"))))
       .withColumn("merged", map_concat(col("m1"), col("m2")))
       .select(col("event_id"),
         element_at(col("merged"), "k").cast("long").as("k"),
@@ -638,11 +687,26 @@ object SparkEntry {
         size(map_keys(col("merged"))).as("n_keys"))
       .filter(col("event_id") < 300)
       .orderBy(col("event_id")),
+    // The oracle replays the merge as an ordered (key,value) entry
+    // list: last entry per key wins — LAST_WIN computed from data, not
+    // asserted by literal.
     Some("""
+      WITH e AS (
+        SELECT event_id,
+               [struct_pack(k := 'k', v := json_extract_string(props, '$.k')),
+                struct_pack(k := 'src', v := 'g1:' || event_type)]
+               || CASE WHEN event_id % 2 = 0
+                    THEN [struct_pack(k := 'src', v := 'g2:' || event_type),
+                          struct_pack(k := 'et', v := event_type),
+                          struct_pack(k := 'flag', v := '1')]
+                    ELSE [struct_pack(k := 'et', v := event_type)] END AS ents
+        FROM events WHERE event_id < 300)
       SELECT event_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-             'g2' AS src, event_type AS et, 3 AS n_keys
-      FROM events WHERE event_id < 300 ORDER BY event_id"""))
+             CAST(list_filter(ents, x -> x.k = 'k')[-1].v AS BIGINT) AS k,
+             list_filter(ents, x -> x.k = 'src')[-1].v AS src,
+             list_filter(ents, x -> x.k = 'et')[-1].v AS et,
+             CAST(len(list_distinct(list_transform(ents, x -> x.k))) AS INT) AS n_keys
+      FROM e ORDER BY event_id"""))
 
   private val cubeAgg = Q("q_cube",
     (s, d) => Tables.orders(s, d)
@@ -713,7 +777,8 @@ object SparkEntry {
           FROM events WHERE ts <= TIMESTAMP '$AsOf') t
         WHERE rn = 1)
       SELECT c.c_custkey AS user_id, c.c_mktsegment,
-             coalesce(e2.last_value, e1.last_value) AS last_value
+             CASE WHEN e2.user_id IS NOT NULL THEN e2.last_value
+                  ELSE e1.last_value END AS last_value
       FROM customer c
       LEFT JOIN (SELECT * FROM latest WHERE event_type = 'purchase') e1
         ON c.c_custkey = e1.user_id
@@ -790,7 +855,7 @@ object SparkEntry {
     q1Agg, joinBroadcast, semiJoin, antiJoin, distinctAgg, rollupAgg,
     windowRank, windowFrames, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
-    dedupExact, dedupFp, langDist, quality, tokenCounts,
+    dedupExact, dedupFp, langDist, langIdDist, quality, tokenCounts,
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, minhashDup, simhashDup, bucketedAnn, mediaFeatures)
@@ -798,6 +863,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
+
+  /** Declaration order — the deterministic execution order for Bench
+    * (a HashMap iteration order would shuffle position-dependent JVM
+    * effects between rounds, VERDICT r2 "the cliff moves"). */
+  def queryOrder: Seq[String] = all.map(_.name)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

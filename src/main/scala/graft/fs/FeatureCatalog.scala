@@ -38,10 +38,27 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
     else None
   }
 
+  /** Read the current table version, forward-migrating old on-disk
+    * schemas: columns added to the model since the catalog was written
+    * (e.g. `id` pre-r2) are filled with defaults instead of letting
+    * `.as[T]` throw AnalysisException on a pre-existing dir (ADVICE
+    * r2). Strings default to "", everything else to null. */
   private def readTable[T: org.apache.spark.sql.Encoder](dir: String): Dataset[T] =
     currentVersion(dir) match {
-      case Some(v) => spark.read.parquet(s"$dir/v_$v").as[T]
-      case None    => spark.emptyDataset[T]
+      case Some(v) =>
+        val raw = spark.read.parquet(s"$dir/v_$v")
+        val have = raw.columns.toSet
+        val want = implicitly[org.apache.spark.sql.Encoder[T]].schema
+        val migrated = want.fields.foldLeft(raw) { (df, f) =>
+          if (have.contains(f.name)) df
+          else df.withColumn(f.name, f.dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              org.apache.spark.sql.functions.lit("")
+            case dt => org.apache.spark.sql.functions.lit(null).cast(dt)
+          })
+        }
+        migrated.as[T]
+      case None => spark.emptyDataset[T]
     }
 
   private def writeTable[T](dir: String, ds: Dataset[T]): Unit = {
@@ -56,21 +73,39 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
 
   /** Serialize a catalog read-modify-write: without it two writers can
     * both read version n and race to write v_(n+1) (ADVICE r1). Lock =
-    * exclusive `_LOCK` file creation; stale locks time out loudly
-    * rather than being stolen. */
+    * exclusive `_LOCK` file creation carrying `pid epochMs`; a lock
+    * whose file is older than [[FeatureCatalog.LockStealAfterMs]] is
+    * presumed orphaned (owner JVM died between createFile and the
+    * finally) and is stolen with a warning instead of wedging every
+    * writer forever (ADVICE r2). Catalog mutations are sub-second, so
+    * a minute-old lock is dead with high confidence. */
   private def withLock[A](dir: String)(body: => A): A = {
     Files.createDirectories(Paths.get(dir))
     val lock = Paths.get(dir, "_LOCK")
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() +
+      FeatureCatalog.LockTimeoutMs * 1000L * 1000L
     var acquired = false
     while (!acquired) {
-      try { Files.createFile(lock); acquired = true }
-      catch {
+      try {
+        Files.write(lock,
+          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}".getBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
         case _: FileAlreadyExistsException =>
-          if (System.nanoTime() > deadline)
+          val ageMs =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.io.IOException => 0L } // raced: re-loop
+          if (ageMs > FeatureCatalog.LockStealAfterMs) {
+            org.apache.log4j.Logger.getLogger(getClass).warn(
+              s"stealing catalog lock $lock (age ${ageMs}ms > " +
+                s"${FeatureCatalog.LockStealAfterMs}ms; owner presumed dead)")
+            Files.deleteIfExists(lock)
+          } else if (System.nanoTime() > deadline)
             throw new IllegalStateException(
-              s"catalog lock $lock held for >30s; remove it if the owner died")
-          Thread.sleep(10)
+              s"catalog lock $lock contended for >${FeatureCatalog.LockTimeoutMs}ms")
+          else Thread.sleep(10)
       }
     }
     try body finally Files.deleteIfExists(lock)
@@ -158,4 +193,11 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
   /** R11 `list_groups` (feature_store.py:510-516). */
   def listGroups(): Seq[FeatureGroup] =
     groups.orderBy($"name", $"version").collect().toSeq
+}
+
+object FeatureCatalog {
+  /** Give up waiting for a contended lock after this long. */
+  val LockTimeoutMs: Long = 30000L
+  /** Steal a lock file older than this (owner presumed dead). */
+  val LockStealAfterMs: Long = 60000L
 }

@@ -26,18 +26,24 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     s"$root/group=${group.name}/v=${group.version}"
 
   /** R7: append a batch of snapshots (the reference writes one row per
-    * call; a DataFrame append is the batch generalization). */
+    * call; a DataFrame append is the batch generalization). Every
+    * record carries a `version` column — the reference's EntityRecord
+    * version (feature_store.py:107,357), defaulting to 1 when the
+    * batch doesn't declare one. */
   def write(group: FeatureGroup, snapshots: DataFrame): Unit = {
     require(snapshots.columns.contains(group.entityKey),
       s"snapshot batch must carry entity key '${group.entityKey}'")
     require(snapshots.columns.contains("ts"),
       "snapshot batch must carry a 'ts' timestamp column")
-    val declared = (group.features :+ group.entityKey).toSet + "ts"
+    val declared = (group.features :+ group.entityKey).toSet + "ts" + "version"
     val extra = snapshots.columns.filterNot(declared)
     if (extra.nonEmpty)
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"columns not in group '${group.name}': ${extra.mkString(", ")}")
-    snapshots
+    val versioned =
+      if (snapshots.columns.contains("version")) snapshots
+      else snapshots.withColumn("version", lit(1))
+    versioned
       .withColumn("p_date", to_date(col("ts")))
       .write.mode("append").partitionBy("p_date").parquet(dir(group))
   }

@@ -69,7 +69,8 @@ object Dedup {
           shingles(col(textCol), shingleN), bands, rows)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket"),
-      Seq("band", "bucket"), maxBucket)
+      Seq("band", "bucket"), maxBucket,
+      observeAs = Some("minhash_bucket_guard"))
     val l = banded.as("l"); val r = banded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") &&
@@ -85,11 +86,15 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprint (native expression),
     * LSH-banded into `maxHamming + 1` contiguous bit bands — by
     * pigeonhole, any pair within `maxHamming` differing bits shares at
-    * least one full band, so candidate recall is EXACT for the declared
-    * radius (VERDICT/ADVICE r1: the old fixed 4×16-bit banding silently
-    * missed hamming 4..8 pairs when called with maxHamming=8).
-    * Candidates are verified by exact hamming distance; buckets above
-    * `maxBucket` are dropped before the self-join. */
+    * least one full band, so candidate recall is exact for the declared
+    * radius AMONG RETAINED BUCKETS (VERDICT/ADVICE r1: the old fixed
+    * 4×16-bit banding silently missed hamming 4..8 pairs when called
+    * with maxHamming=8). Candidates are verified by exact hamming
+    * distance; buckets above `maxBucket` are dropped before the
+    * self-join — the drop is reported via the `simhash_bucket_guard`
+    * observe() metric, and pairs living only in dropped buckets are
+    * NOT found (re-bucket with a wider radius/more bands to recover
+    * them). */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
@@ -110,7 +115,8 @@ object Dedup {
               .bitwiseAND(lit((1L << sizes(b)) - 1)).as("bucket"))
         }: _*)).as("bb"))
         .select(col("id"), col("fp"), col("bb.band"), col("bb.bucket")),
-      Seq("band", "bucket"), maxBucket)
+      Seq("band", "bucket"), maxBucket,
+      observeAs = Some("simhash_bucket_guard"))
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r,
         col("l.band") === col("r.band") &&

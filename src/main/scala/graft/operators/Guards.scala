@@ -19,10 +19,25 @@ object Guards {
   /** Rows whose bucket (by `keys`) holds ≤ `maxBucket` rows. One extra
     * count-window pass over the already-required (keys) exchange; the
     * count itself is linear, so even a degenerate bucket costs O(b),
-    * not O(b²). */
-  def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    * not O(b²).
+    *
+    * Dropping is NOT silent (ADVICE r2): when `observeAs` is set, the
+    * plan carries an `observe()` metric `dropped_rows` under that name
+    * — collected for free at action time (no extra job) and surfaced
+    * through QueryExecution observedMetrics / any QueryExecutionListener
+    * — so the caller can see that e.g. the most-duplicated boilerplate
+    * landed in a capped bucket and was excluded. */
+  def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int,
+      observeAs: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bucket_n", count(lit(1)).over(w))
+    val counted = df.withColumn("__bucket_n", count(lit(1)).over(w))
+    // (observe() forbids DISTINCT aggregates, so bucket-level detail is
+    // max occupancy rather than a distinct bucket count)
+    val observed = observeAs.fold(counted)(name => counted.observe(name,
+      sum(when(col("__bucket_n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+        .as("dropped_rows"),
+      max(col("__bucket_n")).as("max_bucket_n")))
+    observed
       .filter(col("__bucket_n") <= maxBucket)
       .drop("__bucket_n")
   }

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Assign `session_id` (0-based per user) with a new session whenever
-    * the gap to the previous event exceeds `gapSeconds`. */
+    * the gap to the previous event exceeds `gapSeconds`. `tieBreak`
+    * disambiguates equal timestamps (without it, lag/running-sum order
+    * among same-ts events is nondeterministic — VERDICT r2 #5). */
   def assign(events: DataFrame, userCol: String, tsCol: String,
-      gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+      gapSeconds: Long, tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieBreak.map(col): _*)
     val gap = unix_timestamp(col(tsCol)) -
       unix_timestamp(lag(col(tsCol), 1).over(w))
     events
@@ -30,8 +33,9 @@ object Sessionize {
 
   /** Per-session aggregates (event count, span seconds, value sum). */
   def sessionStats(events: DataFrame, userCol: String, tsCol: String,
-      valueCol: String, gapSeconds: Long): DataFrame =
-    assign(events, userCol, tsCol, gapSeconds)
+      valueCol: String, gapSeconds: Long,
+      tieBreak: Seq[String] = Seq.empty): DataFrame =
+    assign(events, userCol, tsCol, gapSeconds, tieBreak)
       .groupBy(col(userCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -81,7 +81,8 @@ object Similarity {
     val b = Guards.capBuckets(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         VectorFns.signBucket(col(vecCol), nBits).as("bucket")),
-      Seq("bucket"), maxBucket)
+      Seq("bucket"), maxBucket,
+      observeAs = Some("embed_bucket_guard"))
     val l = b.as("l"); val r = b.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("l.v"), col("r.v")), 6))

@@ -180,4 +180,118 @@ class FeatureStoreSpec extends SparkSpec {
     assert(row.getAs[Long]("count") == 1L)
     assert(row.isNullAt(row.fieldIndex("mean")))
   }
+
+  test("statistics: empty feature list → zero rows, not stack(0,) (VERDICT r2 #4)") {
+    val stats = Serving.statistics(
+      Seq(("u1", 1L)).toDF("user_id", "age"), Seq.empty)
+    assert(stats.count() == 0)
+    assert(stats.columns.toSeq == Seq("feature", "count", "null_count",
+      "mean", "min", "max", "total_records"))
+  }
+
+  test("statistics: zero-row frame reports null_count 0, not null (VERDICT r2 #4)") {
+    val row = Serving.statistics(
+      spark.emptyDataset[(String, Long)].toDF("user_id", "age"),
+      Seq(("age", "int"))).collect().head
+    assert(row.getAs[Long]("null_count") == 0L)
+  }
+
+  /** row.update overwrites unconditionally when a later group HAS a
+    * record — even with an explicitly-null value (feature_store.py:436);
+    * setdefault null-fill only applies to entities with NO record
+    * (:440-442). VERDICT r2 #3: value-coalesce diverged on
+    * present-but-null. */
+  test("PIT join: later group's present-but-null value overwrites (:436)") {
+    val g1 = FeatureGroup("g1", 1, Seq("score"), "user_id")
+    val g2 = FeatureGroup("g2", 1, Seq("score"), "user_id")
+    val log1 = new RecordLog(spark, tmpDir("nullover1"))
+    val log2 = new RecordLog(spark, tmpDir("nullover2"))
+    log1.write(g1, Seq(("user-1", "2024-01-01 00:00:00", Some(7.0)),
+        ("user-2", "2024-01-01 00:00:00", Some(8.0)))
+      .toDF("user_id", "ts_s", "score")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s"))
+    // user-1 HAS a g2 record whose score is explicitly null;
+    // user-2 has NO g2 record at all.
+    log2.write(g2, Seq(("user-1", "2024-02-01 00:00:00", Option.empty[Double]))
+      .toDF("user_id", "ts_s", "score")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s"))
+    val out = Serving.pointInTimeJoin(
+        Seq("user-1", "user-2").toDF("user_id"),
+        Seq((log1.read(g1), Seq("score")), (log2.read(g2), Seq("score"))),
+        "user_id", "ts", to_timestamp(lit("2024-06-01 00:00:00")))
+      .orderBy("user_id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("score")),
+      "present-but-null record must overwrite")
+    assert(out(1).getAs[Double]("score") == 8.0,
+      "absent record must keep the earlier value")
+  }
+
+  test("list dtype round-trips through RecordLog → latestAsOf (feature_store.py:29)") {
+    val c = freshCatalog()
+    c.registerFeature(FeatureDef("embedding", "user", "list"))
+    assert(Dtypes.toSpark("list") == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val g = FeatureGroup("emb", 1, Seq("embedding"), "user_id")
+    val log = new RecordLog(spark, tmpDir("listdtype"))
+    log.write(g, Seq(
+        ("user-1", "2024-01-01 00:00:00", Seq(1.0, 2.5, -3.0)),
+        ("user-1", "2024-03-01 00:00:00", Seq(9.0, 9.5)))
+      .toDF("user_id", "ts_s", "embedding")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s"))
+    val latest = Serving.latestAsOf(log.read(g), "user_id")
+      .select("embedding").as[Seq[Double]].head()
+    assert(latest == Seq(9.0, 9.5))
+    val older = Serving.latestAsOf(log.read(g), "user_id",
+        asOf = Some(to_timestamp(lit("2024-02-01 00:00:00"))))
+      .select("embedding").as[Seq[Double]].head()
+    assert(older == Seq(1.0, 2.5, -3.0))
+  }
+
+  test("record version column persists; defaults to 1 (feature_store.py:107,357)") {
+    val g = FeatureGroup("ver", 1, Seq("age"), "user_id")
+    val log = new RecordLog(spark, tmpDir("version"))
+    log.write(g, Seq(("user-1", "2024-01-01 00:00:00", 30L))
+      .toDF("user_id", "ts_s", "age")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s"))
+    log.write(g, Seq(("user-2", "2024-01-01 00:00:00", 40L, 2))
+      .toDF("user_id", "ts_s", "age", "version")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s"))
+    val got = log.read(g).select($"user_id", $"version".cast("int"))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("user-1" -> 1, "user-2" -> 2))
+  }
+
+  test("old on-disk catalog (pre-`id` schema) still reads (ADVICE r2 migration)") {
+    val root = tmpDir("oldcatalog")
+    val c = new FeatureCatalog(spark, root)
+    c.registerFeature(FeatureDef("age", "user", "int"))
+    // simulate a catalog written before the model grew `id`: rewrite
+    // the current version dir without that column
+    val ver = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/features", "_CURRENT")).trim
+    val old = spark.read.parquet(s"$root/features/v_$ver").drop("id")
+    old.write.mode("overwrite").parquet(s"$root/features/v_99")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/features", "_CURRENT"), "99")
+    val f = c.getFeature("age")
+    assert(f.exists(x => x.dtype == "int" && x.id == ""))
+    // and a write on top of the old schema still works
+    c.registerFeature(FeatureDef("income", "user", "float"))
+    assert(c.features.count() == 2)
+  }
+
+  test("orphaned lock is stolen after TTL (ADVICE r2)") {
+    val root = tmpDir("locksteal")
+    val c = new FeatureCatalog(spark, root)
+    val dir = java.nio.file.Paths.get(s"$root/features")
+    java.nio.file.Files.createDirectories(dir)
+    val lock = dir.resolve("_LOCK")
+    java.nio.file.Files.write(lock, "999999 0".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - FeatureCatalog.LockStealAfterMs - 1000))
+    // would previously spin 30s then throw; now steals and proceeds
+    c.registerFeature(FeatureDef("age", "user", "int"))
+    assert(c.getFeature("age").nonEmpty)
+  }
 }

@@ -72,4 +72,33 @@ class StreamingSpec extends SparkSpec {
       assert(written.count() >= 1)
     } finally q.stop()
   }
+
+  /** The claim "one storage format, two ingestion modes": a streaming
+    * micro-batch written via toRecordLog must be directly servable by
+    * the batch path (Serving.latestAsOf over the same layout) — VERDICT
+    * r2 task #9 / r1 task #10. */
+  test("streaming → record log → latestAsOf serving round-trip") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val outDir = tmpDir("stream_serve")
+    val q = StreamingFeatures.toRecordLog(
+      StreamingFeatures.windowedUserFeatures(
+        mem.toDF(), windowLen = "1 hour", lateness = "0 seconds"),
+      outDir, tmpDir("ckpt2")).start()
+    try {
+      mem.addData(
+        Ev(1L, ts("2024-01-01 10:05:00"), 10.0),
+        Ev(1L, ts("2024-01-01 10:45:00"), 20.0))
+      q.processAllAvailable()
+      // closes the 10:00 window (emitted with ts = window end 11:00)
+      mem.addData(Ev(1L, ts("2024-01-01 12:30:00"), 1.0))
+      q.processAllAvailable()
+      val served = fs.Serving.latestAsOf(
+          spark.read.parquet(outDir), "user_id",
+          asOf = Some(to_timestamp(lit("2024-01-01 11:30:00"))))
+        .select("user_id", "n_events", "value_sum")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(served == Seq((1L, 2L, 30.0)))
+    } finally q.stop()
+  }
 }
