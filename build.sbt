@@ -23,10 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is CAPPED at 16 GiB regardless of SPARK_DRIVER_MEM: measured at
+// sf0.1 (r3), a ~90 GiB lazily-committed heap makes G1 cycle through
+// fresh never-touched regions, so allocation-heavy stages (windows,
+// shuffles) continuously fault+zero new pages — tens of seconds of
+// kernel time per query (q_asof_join 29.5s process-CPU at 96g vs 10.0s
+// at 16g, same query same data). Right-sizing the heap lets G1 reuse
+// warm regions. 16 GiB comfortably fits sf1-scale local benches.
+val benchHeap: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val mb = if (req.endsWith("g")) req.dropRight(1).toLong * 1024
+    else if (req.endsWith("m")) req.dropRight(1).toLong
+    else req.toLong
+  if (mb > 16384) "16g" else req
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$benchHeap",
   // Dozens of queries × whole-stage-codegen classes exhaust the default
   // 240 MB JIT code cache mid-run; once full, compilation stops and
   // CPU-bound stages (decimal aggs, windows) run interpreted at 10-30×

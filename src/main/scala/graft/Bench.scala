@@ -91,6 +91,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // With a near-100 GiB heap the default task-memory page is 64 MiB;
+      // every sort/window/agg task first-touches whole pages, and the
+      // kernel zero-fill showed up as seconds of SYSTEM time per window
+      // query (instrumented r3). Small benches want small pages.
+      .config("spark.buffer.pageSize", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -116,6 +121,12 @@ object Bench {
       sys.exit(2)
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      selected.foreach { case (name, fn) =>
+        System.err.println(s"===== $name =====\n" +
+          fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
     // noop sink: materializes every output row (unlike count(), which
     // lets Catalyst drop final sorts and prune all columns).
     var failures = List.empty[(String, String)]

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.plans.{BoundedTopK, CosineSim, MinHashBands, SimHash64}
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Register with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `withExtensions`) and the operators become callable from plain
+  * `spark.sql(...)` — the library's column API and its SQL API expose
+  * the same native expressions, so a SQL user pays no UDF penalty:
+  *
+  * {{{
+  *   SELECT simhash64(tokens),
+  *          cosine_sim(a, b),
+  *          top_k(score, id, 5)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "simhash64(tokens: array<string>)")
+        SimHash64(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "minhash_bands(shingles: array<string>, bands: int, rows: int)")
+        MinHashBands(args.head,
+          intArg(args(1), "minhash_bands", 1), intArg(args(2), "minhash_bands", 2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "cosine_sim(a: array<float>, b: array<float>)")
+        CosineSim(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "top_k"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "top_k(score: double, id: bigint, k: int)")
+        BoundedTopK(args.head, args(1), intArg(args(2), "top_k", 2))
+      }))
+  }
+}

@@ -735,7 +735,11 @@ object SparkEntry {
         round(log(col("l_extendedprice")), 6).as("ln_p"),
         round(pow(col("l_discount"), lit(2)), 6).as("disc_sq"),
         pmod(col("l_partkey"), lit(7)).as("mod_pk"))
-      .orderBy(col("l_orderkey"), col("l_linenumber")),
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // — total order needs every output column (identical rows are
+      // interchangeable, so this is deterministic on both engines)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_q"),
+        col("sqrt_p"), col("disc_sq"), col("mod_pk")),
     Some("""
       SELECT l_orderkey, l_linenumber,
              round(abs(-l_quantity), 6) AS abs_q,
@@ -746,7 +750,7 @@ object SparkEntry {
              round(pow(l_discount, 2), 6) AS disc_sq,
              CAST(l_partkey % 7 AS BIGINT) AS mod_pk
       FROM lineitem WHERE l_orderkey < 200
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, abs_q, sqrt_p, disc_sq, mod_pk"""))
 
   /** R9 flagship: PIT join folding TWO feature groups (purchase-value
     * features, then error-value features) onto an entity list, later
@@ -809,6 +813,34 @@ object SparkEntry {
       WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
       ORDER BY id_a, id_b"""))
 
+  /** Exact n-gram Jaccard similarity — the verify stage of MinHash
+    * dedup as a first-class oracled operator, over a deterministic
+    * pair set (each doc vs its successor). */
+  private val ngramJac = Q("q_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "text", "doc_id", 3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 200
+      ORDER BY id_a"""))
+
   // Approximate / seeded-hash operators: no SQL oracle (contract allows
   // omission → driver records a rows-only check).
 
@@ -837,16 +869,30 @@ object SparkEntry {
     },
     None)
 
+  /** Multimodal plumbing, now hash-oracled (r3): the synthetic payload
+    * is the doc's UTF-8 bytes and the corpus is ASCII, so DuckDB can
+    * replay the byte statistics; REAL casts reproduce the stub's
+    * float-precision mean bit-for-bit before the double round. */
   private val mediaFeatures = Q("q_media_features",
     (s, d) => {
       val media = graft.multimodal.Multimodal.syntheticMedia(
         Tables.documents(s, d))
       graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("feature"), 2), 4).as("byte_mean"))
+          round(element_at(col("feature"), 2).cast(DoubleType), 4)
+            .as("byte_mean"))
         .orderBy(col("media_id"))
     },
-    None)
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(length(text) AS INT) AS n_bytes,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE round(CAST(CAST(list_sum(list_transform(range(length(text)),
+                         i -> ascii(substr(text, CAST(i + 1 AS INT), 1)))) AS REAL)
+                       / CAST(length(text) AS REAL) AS DOUBLE), 4) END AS byte_mean
+      FROM documents ORDER BY media_id"""))
 
   // ---------------------------------------------------------------------
 
@@ -858,7 +904,8 @@ object SparkEntry {
     dedupExact, dedupFp, langDist, langIdDist, quality, tokenCounts,
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
-    embedNearDup, minhashDup, simhashDup, bucketedAnn, mediaFeatures)
+    embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn,
+    mediaFeatures)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -17,28 +17,44 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance an under-split scan across the session's cores.
+    *
+    * Parquet splits at ROW-GROUP granularity: a table written as one
+    * file with one row group is a one-task scan no matter how
+    * maxPartitionBytes is tuned, so every map-side computation over it
+    * (JSON parse, regex, shingling, decimal math) runs on one core of
+    * 32. When the source yields fewer splits than half the cores, one
+    * round-robin exchange of the (by definition small) input buys full
+    * parallelism for everything downstream. At 100 TB this is a no-op:
+    * real tables have thousands of row groups, so the condition never
+    * fires and no shuffle is added. */
+  private def rebalance(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")
   def customer(s: SparkSession, d: String)  = t(s, d, "customer")
   def supplier(s: SparkSession, d: String)  = t(s, d, "supplier")
   def part(s: SparkSession, d: String)      = t(s, d, "part")
-  def orders(s: SparkSession, d: String)    = t(s, d, "orders")
-  def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String)    = rebalance(s, t(s, d, "orders"))
+  def lineitem(s: SparkSession, d: String)  = rebalance(s, t(s, d, "lineitem"))
   /** events.ts is parquet timestamp[ns], which Spark refuses outright
     * (PARQUET_TYPE_ILLEGAL). With spark.sql.legacy.parquet.nanosAsLong
     * (set in Verify/Bench/tests) the column arrives as Long nanos; we
     * floor-divide to micros in integer space (a double division would
     * lose precision at 1e18) and restore TimestampType. */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
+    val raw = rebalance(s, t(s, d, "events"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String) = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+  def documents(s: SparkSession, d: String) = rebalance(s, t(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String) = rebalance(s, t(s, d, "embeddings"))
 
   /** Exact money sum: sum over decimal(18,2) (no float drift), back to
     * double for a type the oracle hash-compares cleanly. */

@@ -16,6 +16,7 @@ object Verify {
       // to TimestampType in graft.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.buffer.pageSize", "4m") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

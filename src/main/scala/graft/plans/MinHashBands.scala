@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
@@ -22,7 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * single codegen loop.
   */
 case class MinHashBands(child: Expression, bands: Int, rows: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  // tokens/shingles must be array<string>; declared so SQL misuse
+  // fails (or casts) at analysis time, not via runtime ClassCast
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"

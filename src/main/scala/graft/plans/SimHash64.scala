@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
@@ -22,7 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * UDFs (SURVEY.md §4.2).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  // tokens/shingles must be array<string>; declared so SQL misuse
+  // fails (or casts) at analysis time, not via runtime ClassCast
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"

@@ -47,6 +47,30 @@ object StreamingFeatures {
         col("window.end").as("ts"),
         col("n_events"), col("value_sum"), col("value_mean"))
 
+  /** Gap-based session features on a live stream — the streaming twin
+    * of [[graft.operators.Sessionize]]: `session_window` merges events
+    * whose gaps are below `gap` into one growing window per user, the
+    * watermark closes sessions and bounds state. Emits one row per
+    * closed session. */
+  def sessionWindowFeatures(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      valueCol: String = "value",
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("value_sum"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
   /** Exactly-once-ish dedup within the watermark horizon before feature
     * computation (dropDuplicates keyed by event id, state bounded by
     * the watermark). */

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{BoundedTopK, SimHash64}
+
+/** The SQL surface (GraftExtensions via spark.sql.extensions) must
+  * resolve to the SAME native expressions as the column API — no UDF
+  * fallback, identical results. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64 callable from SQL, equals the column API") {
+    val df = Seq("the quick brown fox", "lorem ipsum dolor")
+      .toDF("text").withColumn("toks", split(col("text"), " "))
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT simhash64(toks) AS fp FROM ext_docs ORDER BY fp")
+      .as[Long].collect().toSeq
+    val viaCol = df.select(SimHash64.column(col("toks")).as("fp"))
+      .orderBy("fp").as[Long].collect().toSeq
+    assert(viaSql == viaCol && viaSql.distinct.size == 2)
+  }
+
+  test("cosine_sim callable from SQL") {
+    val sim = spark.sql(
+      """SELECT round(cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                        CAST(array(0.6, 0.8) AS ARRAY<FLOAT>)), 6)
+        |       AS sim""".stripMargin).as[Double].head()
+    assert(sim == 0.6)
+  }
+
+  test("top_k aggregate callable from SQL, equals the column API") {
+    val df = (1L to 100L).map(i => (i % 3, i.toDouble % 7, i))
+      .toDF("g", "score", "id")
+    df.createOrReplaceTempView("ext_scores")
+    val viaSql = spark.sql(
+      """SELECT g, top_k(score, id, 3) AS top FROM ext_scores
+        |GROUP BY g ORDER BY g""".stripMargin).collect().map(_.toString)
+    val viaCol = df.groupBy($"g")
+      .agg(BoundedTopK.column($"score", $"id", 3).as("top"))
+      .orderBy($"g").collect().map(_.toString)
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("non-literal k is rejected with a clear message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT top_k(1.0, 1, id) FROM range(3)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

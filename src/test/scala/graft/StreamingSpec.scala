@@ -36,6 +36,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window groups gap-separated bursts into sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingFeatures.sessionWindowFeatures(
+      mem.toDF(), gap = "30 minutes", lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1L, ts("2024-01-01 10:10:00"), 2.0), // same session (10min gap)
+        Ev(1L, ts("2024-01-01 11:30:00"), 4.0)) // new session (>30min gap)
+      q.processAllAvailable()
+      // push the watermark far past both sessions so they close
+      mem.addData(Ev(9L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "value_sum")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"burst session missing: $rows")
+      assert(rows.contains((1L, 1L, 4.0)), s"singleton session missing: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-id duplicates within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
