@@ -197,6 +197,28 @@ object SparkEntry {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
 
+  /** Skew-mitigated join (operators.SkewJoin): lineitem's order keys
+    * spread over 8 salts before the shuffle — result identical to the
+    * plain join, which is exactly what the oracle asserts. */
+  private val saltedJoin = Q("q_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(Tables.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val semiJoin = Q("q_semi_join",
     (s, d) => Tables.customer(s, d)
       .join(Tables.orders(s, d),
@@ -898,7 +920,8 @@ object SparkEntry {
 
   private def all: Seq[Q] = Seq(
     pitLatest, pitJoin, asofJoin, groupStats,
-    q1Agg, joinBroadcast, semiJoin, antiJoin, distinctAgg, rollupAgg,
+    q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
+    rollupAgg,
     windowRank, windowFrames, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, langDist, langIdDist, quality, tokenCounts,

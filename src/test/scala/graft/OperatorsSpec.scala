@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.operators.{Dedup, Guards, Sessionize, Similarity, SkewJoin}
 import graft.plans.SimHash64
 
 class OperatorsSpec extends SparkSpec {
@@ -204,5 +204,56 @@ class OperatorsSpec extends SparkSpec {
       .select("user_id", "session_id", "n_events", "value_sum")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 0L, 2L, 3.0), (1L, 1L, 1L, 3.0), (2L, 0L, 1L, 4.0)))
+  }
+
+  // one hot key (7) with most of the rows — the salted shape must not
+  // change results for any supported join type
+  private lazy val skewBig = ((1L to 500L).map(i => (7L, i)) ++
+    (1L to 50L).map(i => (i % 5, 1000L + i))).toDF("k", "payload")
+  private lazy val skewSmall =
+    Seq((7L, "hot"), (1L, "a"), (2L, "b"), (99L, "unmatched"))
+      .toDF("k", "name")
+
+  test("salted join ≡ plain join for inner/left/semi/anti") {
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = skewBig.join(
+        if (jt.startsWith("left_s") || jt.startsWith("left_a"))
+          skewSmall.select("k") else skewSmall,
+        Seq("k"), jt)
+      val salted = SkewJoin.saltedJoin(skewBig,
+        if (jt.startsWith("left_s") || jt.startsWith("left_a"))
+          skewSmall.select("k") else skewSmall,
+        "k", salts = 8, joinType = jt)
+      val p = plain.collect().map(_.toString).sorted.toSeq
+      val s = salted.collect().map(_.toString).sorted.toSeq
+      assert(s == p, s"mismatch for join type $jt")
+    }
+  }
+
+  test("salted join spreads the hot key over multiple salt values") {
+    val salted = skewBig
+      .withColumn("__salt", pmod(hash(skewBig.columns.map(col): _*), lit(8)))
+      .filter($"k" === 7L)
+      .select(countDistinct($"__salt")).as[Long].head()
+    assert(salted >= 4, s"hot key landed on only $salted salt values")
+  }
+
+  test("salted join rejects right/full join types") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(skewBig, skewSmall, "k", 4, "full_outer")
+    }
+  }
+
+  test("bucket-cap drops surface in the observe() metric (ADVICE r2)") {
+    val capped = Guards.capBuckets(
+      (1L to 40L).map(i => (i, if (i <= 30) "hot" else s"cold$i"))
+        .toDF("id", "bucket"),
+      Seq("bucket"), maxBucket = 10, observeAs = Some("test_guard"))
+    // collect(), not a write: a write command builds its own
+    // QueryExecution, whose metrics this Dataset's QE can't see
+    capped.collect()
+    val m = capped.queryExecution.observedMetrics("test_guard")
+    assert(m.getAs[Long]("dropped_rows") == 30L)
+    assert(m.getAs[Long]("max_bucket_n") == 30L)
   }
 }
