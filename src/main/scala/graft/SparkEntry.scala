@@ -916,6 +916,28 @@ object SparkEntry {
                        / CAST(length(text) AS REAL) AS DOUBLE), 4) END AS byte_mean
       FROM documents ORDER BY media_id"""))
 
+  /** Frame sampling (multimodal): fixed-stride chunking of each
+    * payload — per-media frame count and byte accounting are exactly
+    * reproducible from the text length, so the chunker's shape is
+    * hash-verified even though the payload is opaque binary. */
+  private val mediaFrames = Q("q_media_frames",
+    (s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticMedia(
+        Tables.documents(s, d))
+      graft.multimodal.Multimodal.sampleFrames(s, media, stride = 64)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_payload"))).as("n_bytes"),
+          max(col("frame_no")).as("last_frame"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(ceil(CAST(length(text) AS DOUBLE) / 64) AS BIGINT) AS n_frames,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             CAST(ceil(CAST(length(text) AS DOUBLE) / 64) - 1 AS INT) AS last_frame
+      FROM documents WHERE length(text) > 0 ORDER BY media_id"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -928,7 +950,7 @@ object SparkEntry {
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn,
-    mediaFeatures)
+    mediaFeatures, mediaFrames)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

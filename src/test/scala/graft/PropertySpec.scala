@@ -1,0 +1,117 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.fs.Serving
+import graft.plans.BoundedTopK
+
+/** Randomized differential tests: each distributed operator vs a naive
+  * in-memory reference on seeded random data (seeded → reproducible;
+  * no generator-library dependency). These catch the semantics that
+  * example-based tests miss — tie handling, null interactions, empty
+  * groups. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(0xC0FFEE)
+
+  test("BoundedTopK ≡ sort-based top-k on random scores (ties, dups, NaN-free)") {
+    for (trial <- 1 to 3) {
+      val k = 1 + rnd.nextInt(6)
+      val rows = Seq.fill(400) {
+        (rnd.nextInt(5).toLong,                      // group
+          (rnd.nextInt(20) / 4.0),                   // score with many ties
+          rnd.nextInt(100).toLong)                   // id (dups possible)
+      }
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).distinct      // dedup not needed; keep all
+      }
+      // reference: sort score desc then id asc, take k
+      val ref = rows.groupBy(_._1).view.mapValues { rs =>
+        rs.map(r => (r._2, r._3)).sortBy { case (s, i) => (-s, i) }.take(k)
+      }.toMap
+      val got = rows.toDF("g", "score", "id")
+        .groupBy($"g")
+        .agg(BoundedTopK.column($"score", $"id", k).as("top"))
+        .select($"g", $"top")
+        .as[(Long, Seq[(Double, Long)])].collect().toMap
+      assert(got.keySet == ref.keySet, s"trial $trial groups")
+      for ((g, exp) <- ref)
+        assert(got(g) == exp, s"trial $trial k=$k group $g: ${got(g)} vs $exp")
+      assert(expected.nonEmpty) // keep the intermediate used
+    }
+  }
+
+  test("asOfJoin ≡ naive per-row latest-at-or-before on random events") {
+    for (trial <- 1 to 2) {
+      val leftRows = Seq.tabulate(150)(i =>
+        (rnd.nextInt(8).toLong, 1000L + rnd.nextInt(500), i.toLong))
+      val rightRows = Seq.tabulate(120)(i =>
+        (rnd.nextInt(8).toLong, 1000L + rnd.nextInt(500), i.toLong,
+          rnd.nextInt(1000).toDouble))
+      val left = leftRows.toDF("k", "lt", "lid")
+        .withColumn("lt", timestamp_seconds($"lt"))
+      val right = rightRows.toDF("k", "rt", "rid", "payload")
+        .withColumn("rt", timestamp_seconds($"rt"))
+      val got = Serving.asOfJoin(left, right, "k", "lt", "rt",
+          payloadCols = Seq("rid", "payload"), rightTieBreak = Seq("rid"))
+        .select($"lid", $"rid", $"payload")
+        .as[(Long, Option[Long], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // naive: per left row, right rows same key with rt<=lt; winner =
+      // max (rt, rid) — inclusive as-of with rid tie-break
+      val ref = leftRows.map { case (k, lt, lid) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 <= lt)
+        val win = if (cands.isEmpty) (None, None)
+          else {
+            val w = cands.maxBy(r => (r._2, r._3))
+            (Some(w._3), Some(w._4))
+          }
+        lid -> win
+      }.toMap
+      assert(got.size == ref.size, s"trial $trial row count")
+      for ((lid, exp) <- ref)
+        assert(got(lid) == exp, s"trial $trial left row $lid")
+    }
+  }
+
+  test("pointInTimeJoin ≡ naive row.update/setdefault fold on random groups") {
+    for (trial <- 1 to 2) {
+      val nEntities = 30
+      val asOfSec = 1250L
+      def mkGroup(): Seq[(Long, Long, Long, Option[Double])] =
+        Seq.tabulate(60)(i => (rnd.nextInt(nEntities + 5).toLong,
+          1000L + rnd.nextInt(500), i.toLong,
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(100).toDouble)))
+      val g1 = mkGroup(); val g2 = mkGroup()
+      def df(rows: Seq[(Long, Long, Long, Option[Double])]) =
+        rows.toDF("user_id", "tsec", "event_id", "v")
+          .withColumn("ts", timestamp_seconds($"tsec")).drop("tsec")
+      val entities = (0L until nEntities).toDF("user_id")
+      val got = Serving.pointInTimeJoin(
+          entities,
+          Seq((df(g1), Seq("v")), (df(g2), Seq("v"))),
+          "user_id", "ts", timestamp_seconds(lit(asOfSec)),
+          tieBreak = Seq(col("event_id")))
+        .select($"user_id", $"v").as[(Long, Option[Double])]
+        .collect().toMap
+      // naive reference: latest record per entity per group (ts<=asOf,
+      // tie-break event_id); later group's record — even a null value —
+      // overwrites; entities with no later record keep the earlier one
+      def latest(rows: Seq[(Long, Long, Long, Option[Double])], u: Long) =
+        rows.filter(r => r._1 == u && r._2 <= asOfSec)
+          .sortBy(r => (r._2, r._3)).lastOption
+      val ref = (0L until nEntities).map { u =>
+        val r1 = latest(g1, u).map(_._4)
+        val r2 = latest(g2, u).map(_._4)
+        u -> r2.orElse(r1).flatten
+      }.toMap
+      assert(got.size == nEntities)
+      for ((u, exp) <- ref) assert(got(u) == exp,
+        s"trial $trial entity $u: got ${got(u)} expected $exp " +
+          s"(g1=${latest(g1, u)}, g2=${latest(g2, u)})")
+    }
+  }
+}
