@@ -128,6 +128,29 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** End-to-end near-dup removal from a pair list: every id appearing
+    * on the `id_b` side of a pair is dropped. Pairs are emitted with
+    * `id_a < id_b`, so each duplicate cluster keeps (at least) its
+    * minimum id — the same keep-lowest convention as [[exact]]. Greedy
+    * (no connected-components pass): transitive near-dups that were
+    * never directly paired both survive, the standard conservative
+    * trade at corpus scale where an iterative CC join chain is rarely
+    * worth its shuffles. One left-anti join on the id. */
+  def removePairs(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** MinHash near-dup dedup, end to end: detect pairs, keep the lowest
+    * id of each detected cluster. */
+  def dropNearDuplicates(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, bands: Int = 4, rows: Int = 4,
+      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame =
+    removePairs(df,
+      minhashNearDups(df, textCol, idCol, shingleN, bands, rows,
+        threshold, maxBucket),
+      idCol)
+
   /** Exact token-n-gram Jaccard similarity for given candidate pairs.
     * Shingle sets are computed only for docs that appear in a pair
     * (left-semi restriction) — at corpus scale the candidate set is a

@@ -206,6 +206,15 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, 2L, 3.0), (1L, 1L, 1L, 3.0), (2L, 0L, 1L, 4.0)))
   }
 
+  test("dropNearDuplicates keeps each cluster's lowest id plus uniques") {
+    val kept = Dedup.dropNearDuplicates(docs, "text", "doc_id",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 0/1/3 are one near-dup cluster (0=3 exact, 1 near) → keep 0;
+    // doc 2 is unique
+    assert(kept == Set(0L, 2L))
+  }
+
   // one hot key (7) with most of the rows — the salted shape must not
   // change results for any supported join type
   private lazy val skewBig = ((1L to 500L).map(i => (7L, i)) ++
