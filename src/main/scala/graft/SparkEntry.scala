@@ -881,6 +881,9 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** LSH-bucketed ANN, hash-oracled (r3): the sign-projection bucket is
+    * pure arithmetic, so DuckDB replays bucketing + within-bucket
+    * ranking exactly (same formula q_embed_neardup already verifies). */
   private val bucketedAnn = Q("q_ann_bucketed",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -889,7 +892,27 @@ object SparkEntry {
           k = 5, nBits = 8)
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""
+      WITH b AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+               (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+               (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+               (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+               (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        FROM embeddings)
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT q.id AS query_id, c.id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS sim,
+               row_number() OVER (PARTITION BY q.id ORDER BY
+                 round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                 c.id) AS rank
+        FROM (SELECT * FROM b WHERE id < 20) q
+        JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** Multimodal plumbing, now hash-oracled (r3): the synthetic payload
     * is the doc's UTF-8 bytes and the corpus is ASCII, so DuckDB can
