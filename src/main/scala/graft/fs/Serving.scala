@@ -21,9 +21,15 @@ object Serving {
     * LIMIT 1` leaves ties to SQLite; we make them deterministic with
     * caller-supplied tie-break columns (SURVEY.md §7.3).
     *
-    * One shuffle on `entityKey`; Catalyst 4.x rewrites the rn=1 window
-    * into a group-limit (InferWindowGroupLimit) so no full sort of each
-    * key's history materializes.
+    * Implemented as `max_by(row, (ts, tieBreak...))` — a declarative
+    * aggregate, so the top-1 per entity is computed MAP-SIDE before the
+    * exchange: the shuffle carries at most one row per entity per input
+    * partition, instead of every record of every entity's history. (The
+    * previous `row_number()=1` window form — even with Catalyst's
+    * WindowGroupLimit — shuffles the full history; against a 100 TB
+    * event log that difference is the serving path's bottleneck.)
+    * Ties beyond (ts, tieBreak) are nondeterministic in both forms —
+    * callers pass tie-breaks to pin them.
     */
   def latestAsOf(
       records: DataFrame,
@@ -32,12 +38,12 @@ object Serving {
       asOf: Option[Column] = None,
       tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     val inWindow = asOf.fold(records)(a => records.filter(col(ts) <= a))
-    val order = (col(ts).desc +: tieBreak.map(_.desc))
-    val w = Window.partitionBy(col(entityKey)).orderBy(order: _*)
+    val ordKey = struct(col(ts) +: tieBreak: _*)
+    val payload = struct(records.columns.map(col): _*)
     inWindow
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(entityKey))
+      .agg(max_by(payload, ordKey).as("__row"))
+      .select("__row.*")
   }
 
   /** R9 `point_in_time_join` (feature_store.py:411-448): for an entity

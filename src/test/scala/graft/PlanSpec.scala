@@ -51,10 +51,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(physical(run("q_anti_join")).contains("LeftAnti"))
   }
 
-  test("pit latest window rewrites to a group-limit (no full sort rank)") {
-    // Catalyst 4.x InferWindowGroupLimit turns rn=1 into WindowGroupLimit
+  test("pit latest aggregates top-1 map-side (no window, no history shuffle)") {
+    // latestAsOf = max_by aggregate: partial aggregation runs before
+    // the exchange, so the shuffle carries ≤1 row per entity per input
+    // partition — a window (even group-limited) would shuffle the full
+    // history first
     val plan = physical(run("q_pit_latest"))
-    assert(plan.contains("WindowGroupLimit"), s"no group-limit in:\n$plan")
+    assert(!plan.contains("Window"), s"pit latest still plans a window:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"no map-side partial max_by in:\n$plan")
   }
 
   test("top-k queries use the bounded aggregate, not a per-query window") {
