@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through UNPREFIXED: the bench/verify
+// drivers parse the final JSON line from captured output, and sbt's
+// default LoggedOutput strategy prepends "[info] " to every child
+// stdout line, which breaks line-wise json parsing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
