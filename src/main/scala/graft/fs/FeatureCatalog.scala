@@ -42,19 +42,31 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
     * schemas: columns added to the model since the catalog was written
     * (e.g. `id` pre-r2) are filled with defaults instead of letting
     * `.as[T]` throw AnalysisException on a pre-existing dir (ADVICE
-    * r2). Strings default to "", everything else to null. */
+    * r2). Defaults mirror the case-class defaults per field type —
+    * a bare lit(null) would NPE at `.as[T]` deserialization for
+    * primitive (non-nullable) fields like isActive/version (ADVICE
+    * r3); only genuinely nullable-encodable types (Option, Seq, Map)
+    * fall back to null. */
   private def readTable[T: org.apache.spark.sql.Encoder](dir: String): Dataset[T] =
     currentVersion(dir) match {
       case Some(v) =>
         val raw = spark.read.parquet(s"$dir/v_$v")
         val have = raw.columns.toSet
-        val want = implicitly[org.apache.spark.sql.Encoder[T]].schema
-        val migrated = want.fields.foldLeft(raw) { (df, f) =>
+        val schema = implicitly[org.apache.spark.sql.Encoder[T]].schema
+        import org.apache.spark.sql.functions.lit
+        import org.apache.spark.sql.types._
+        val migrated = schema.fields.foldLeft(raw) { (df, f) =>
           if (have.contains(f.name)) df
           else df.withColumn(f.name, f.dataType match {
-            case org.apache.spark.sql.types.StringType =>
-              org.apache.spark.sql.functions.lit("")
-            case dt => org.apache.spark.sql.functions.lit(null).cast(dt)
+            case StringType => lit("")
+            case BooleanType if !f.nullable => lit(true) // isActive-style flags
+            case t @ (ByteType | ShortType | IntegerType | LongType) if !f.nullable =>
+              lit(1).cast(t) // version-style counters
+            case t @ (FloatType | DoubleType) if !f.nullable => lit(0.0).cast(t)
+            case dt if f.nullable => lit(null).cast(dt)
+            case dt => throw new IllegalStateException(
+              s"no migration default for non-nullable ${f.name}: $dt — " +
+                "add one here before evolving the catalog schema")
           })
         }
         migrated.as[T]
@@ -73,22 +85,36 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
 
   /** Serialize a catalog read-modify-write: without it two writers can
     * both read version n and race to write v_(n+1) (ADVICE r1). Lock =
-    * exclusive `_LOCK` file creation carrying `pid epochMs`; a lock
-    * whose file is older than [[FeatureCatalog.LockStealAfterMs]] is
-    * presumed orphaned (owner JVM died between createFile and the
+    * exclusive `_LOCK` file creation carrying a unique owner token; a
+    * lock whose file is older than [[FeatureCatalog.LockStealAfterMs]]
+    * is presumed orphaned (owner JVM died between createFile and the
     * finally) and is stolen with a warning instead of wedging every
     * writer forever (ADVICE r2). Catalog mutations are sub-second, so
-    * a minute-old lock is dead with high confidence. */
+    * a minute-old lock is dead with high confidence.
+    *
+    * Steal protocol (ADVICE r3): stealing is an atomic
+    * `Files.move(_LOCK, unique-temp)` — of N contenders observing the
+    * same stale lock exactly one move succeeds, and only the winner
+    * removes the moved-aside file; everyone then re-contends on
+    * CREATE_NEW. The old delete-then-create steal let two waiters both
+    * delete/create and both enter the critical section. Release deletes
+    * the lock only after verifying it still carries THIS acquisition's
+    * token, so a (pathological) steal of a live lock can't cascade into
+    * the victim deleting the thief's lock. The wait deadline spans
+    * LockStealAfterMs + LockTimeoutMs so a waiter that arrives while an
+    * orphaned lock is still young always lives to steal it rather than
+    * timing out first (ADVICE r3). */
   private def withLock[A](dir: String)(body: => A): A = {
     Files.createDirectories(Paths.get(dir))
     val lock = Paths.get(dir, "_LOCK")
+    val token =
+      s"${ProcessHandle.current().pid()} ${UUID.randomUUID()} ${System.currentTimeMillis()}"
     val deadline = System.nanoTime() +
-      FeatureCatalog.LockTimeoutMs * 1000L * 1000L
+      (FeatureCatalog.LockStealAfterMs + FeatureCatalog.LockTimeoutMs) * 1000L * 1000L
     var acquired = false
     while (!acquired) {
       try {
-        Files.write(lock,
-          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}".getBytes,
+        Files.write(lock, token.getBytes,
           java.nio.file.StandardOpenOption.CREATE_NEW)
         acquired = true
       } catch {
@@ -98,17 +124,29 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
               Files.getLastModifiedTime(lock).toMillis
             catch { case _: java.io.IOException => 0L } // raced: re-loop
           if (ageMs > FeatureCatalog.LockStealAfterMs) {
-            org.apache.log4j.Logger.getLogger(getClass).warn(
-              s"stealing catalog lock $lock (age ${ageMs}ms > " +
-                s"${FeatureCatalog.LockStealAfterMs}ms; owner presumed dead)")
-            Files.deleteIfExists(lock)
+            val grave = Paths.get(dir, s"_LOCK.stolen.${UUID.randomUUID()}")
+            try {
+              Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
+              org.apache.log4j.Logger.getLogger(getClass).warn(
+                s"stole catalog lock $lock (age ${ageMs}ms > " +
+                  s"${FeatureCatalog.LockStealAfterMs}ms; owner presumed dead)")
+              Files.deleteIfExists(grave)
+            } catch { case _: java.io.IOException => () } // lost the steal race: re-loop
           } else if (System.nanoTime() > deadline)
             throw new IllegalStateException(
-              s"catalog lock $lock contended for >${FeatureCatalog.LockTimeoutMs}ms")
+              s"catalog lock $lock contended for >${
+                FeatureCatalog.LockStealAfterMs + FeatureCatalog.LockTimeoutMs}ms")
           else Thread.sleep(10)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally {
+      // Delete only our own lock: if someone stole it mid-section (we
+      // held it past the steal TTL), the thief's lock must survive.
+      val stillOurs =
+        try new String(Files.readAllBytes(lock)) == token
+        catch { case _: java.io.IOException => false }
+      if (stillOurs) Files.deleteIfExists(lock)
+    }
   }
 
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())

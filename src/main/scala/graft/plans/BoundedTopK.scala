@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -92,14 +92,16 @@ case class BoundedTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] with ExpectsInputTypes {
+  extends TypedImperativeAggregate[TopKHeap] with ImplicitCastInputTypes {
 
   require(k > 0, s"top_k requires k > 0, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
-  // Analysis-time typing (ADVICE r2): a non-double score / non-long id
-  // fails with a clear error (and int ids get an implicit cast) instead
-  // of a runtime ClassCastException inside update().
+  // Analysis-time typing (ADVICE r2/r3): ImplicitCastInputTypes (not
+  // bare ExpectsInputTypes — TypeCoercion only inserts casts for the
+  // former) so int ids / float scores coerce to (double, long), and
+  // non-coercible types fail analysis instead of ClassCastException
+  // inside update().
   // (typed as Seq[DataType]: AbstractDataType is private[sql], and
   // Seq is covariant so this override is sound)
   override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)

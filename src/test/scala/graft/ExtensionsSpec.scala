@@ -49,4 +49,15 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("top_k implicitly casts int score / int id (ADVICE r3)") {
+    // ImplicitCastInputTypes (not bare ExpectsInputTypes) is what lets
+    // TypeCoercion insert these casts; previously this failed analysis.
+    val rows = spark.sql(
+      """SELECT top_k(CAST(id % 7 AS INT), CAST(id AS INT), 2) AS top
+        |FROM range(20)""".stripMargin).collect()
+    assert(rows.length == 1)
+    val top = rows(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getDouble(0)) == Seq(6.0, 6.0), "scores coerced to double")
+  }
 }

@@ -294,4 +294,42 @@ class FeatureStoreSpec extends SparkSpec {
     c.registerFeature(FeatureDef("age", "user", "int"))
     assert(c.getFeature("age").nonEmpty)
   }
+
+  test("stale lock with concurrent contenders: every write lands (ADVICE r3)") {
+    val root = tmpDir("lockrace")
+    val dir = java.nio.file.Paths.get(s"$root/features")
+    java.nio.file.Files.createDirectories(dir)
+    val lock = dir.resolve("_LOCK")
+    java.nio.file.Files.write(lock, "999999 0".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - FeatureCatalog.LockStealAfterMs - 1000))
+    // Four threads all observe the same stale lock; the move-based steal
+    // admits exactly one at a time, so no read-modify-write is lost.
+    val c = new FeatureCatalog(spark, root)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => c.registerFeature(FeatureDef(s"f$i", "user", "int")))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(c.features.count() == 4)
+    assert(!java.nio.file.Files.exists(lock), "lock released after last writer")
+  }
+
+  test("migration default for a missing primitive column (ADVICE r3)") {
+    val root = tmpDir("primmigrate")
+    val c = new FeatureCatalog(spark, root)
+    c.registerFeature(FeatureDef("age", "user", "int"))
+    // catalog written before the model grew `isActive` (Boolean,
+    // non-nullable): lit(null) would NPE in the deserializer; the
+    // migration must fill the case-class default instead
+    val ver = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/features", "_CURRENT")).trim
+    val old = spark.read.parquet(s"$root/features/v_$ver").drop("isActive")
+    old.write.mode("overwrite").parquet(s"$root/features/v_99")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/features", "_CURRENT"), "99")
+    val f = c.getFeature("age")
+    assert(f.exists(_.isActive), "missing isActive defaults to true")
+    assert(c.listFeatures().map(_.name) == Seq("age"), "active filter still works")
+  }
 }
