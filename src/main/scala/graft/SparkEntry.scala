@@ -746,6 +746,123 @@ object SparkEntry {
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY st, pri"""))
 
+  /** Wide pivot: one column per l_returnflag value. Pivot values are
+    * declared (not discovered) — at 100 TB, value discovery is an extra
+    * full pass; a declared list keeps it one job. */
+  private val pivotAgg = Q("q_pivot",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Tables.dsum(col("l_quantity")))
+      .orderBy(col("l_linestatus")),
+    Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Long-form melt of a wide aggregate (Dataset.unpivot, the inverse
+    * of q_pivot). */
+  private val unpivotAgg = Q("q_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(Tables.dsum(col("l_quantity")).as("qty"),
+        Tables.dsum(col("l_extendedprice")).as("price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price")), "metric", "val")
+      .orderBy(col("l_returnflag"), col("metric")),
+    Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, val FROM (
+        SELECT l_returnflag, 'qty' AS metric, qty AS val FROM w
+        UNION ALL
+        SELECT l_returnflag, 'price' AS metric, price AS val FROM w)
+      ORDER BY l_returnflag, metric"""))
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): detail, one subtotal
+    * dimension, and grand total in one pass — Catalyst expands to a
+    * single shuffle, not three scans. */
+  private val groupingSetsAgg = Q("q_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Tables.dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("total"))
+      .orderBy(col("st"), col("pri")),
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())
+      ORDER BY st, pri"""))
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both index p·(n−1) with linear interpolation).
+    * Exact percentile is a full sort per group — the scale path is
+    * approx_percentile (t-digest, one pass, mergeable), kept in
+    * OperatorsSpec with an error-bound check since a sketch can't
+    * hash-match an exact oracle. */
+  private val percentileAgg = Q("q_percentile",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+             round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Fact-to-fact join over co-bucketed tables ([[graft.sources.Bucketing]]):
+    * both sides pre-bucketed on the join key, so the join runs with NO
+    * exchange on either side (PlanSpec asserts). The oracle is the plain
+    * join — bucketing must be invisible in the result. */
+  private val bucketedJoin = Q("q_bucketed_join",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val o = graft.sources.Bucketing.ensureBucketed(s,
+        Tables.orders(s, d), s"graft_orders_$tag",
+        s"/tmp/graft_buckets/$tag/orders", "o_orderkey", 8)
+      val l = graft.sources.Bucketing.ensureBucketed(s,
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        s"graft_lineitem_$tag",
+        s"/tmp/graft_buckets/$tag/lineitem", "l_orderkey", 8)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Tables.dsum(col("l_quantity")).as("sum_qty"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val mathFns = Q("q_math_fns",
     (s, d) => Tables.lineitem(s, d)
       .filter(col("l_orderkey") < 200)
@@ -966,7 +1083,8 @@ object SparkEntry {
   private def all: Seq[Q] = Seq(
     pitLatest, pitJoin, asofJoin, groupStats,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
-    rollupAgg,
+    rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg,
+    bucketedJoin,
     windowRank, windowFrames, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, langDist, langIdDist, quality, tokenCounts,

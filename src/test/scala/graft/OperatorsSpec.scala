@@ -253,6 +253,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks exact percentile within its accuracy bound") {
+    // The 100 TB path for q_percentile: exact percentile is a full sort
+    // per group; approx_percentile is a one-pass mergeable sketch. With
+    // accuracy a, rank error ≤ n/a — assert the sketch's value lands
+    // within the quantity values at rank ± n/a of the exact answer.
+    import org.apache.spark.sql.functions._
+    val df = Tables.lineitem(spark, sf).select(col("l_quantity"))
+    val Seq(exact, approx) = df.agg(
+      expr("percentile(l_quantity, 0.5)"),
+      expr("approx_percentile(l_quantity, 0.5, 1000)")
+    ).collect().head.toSeq.map(_.asInstanceOf[Double]).toSeq
+    val sorted = df.collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    val slack = math.max(1, n / 1000)
+    val lo = sorted(math.max(0, n / 2 - slack))
+    val hi = sorted(math.min(n - 1, n / 2 + slack))
+    assert(approx >= lo && approx <= hi,
+      s"approx median $approx outside rank-error window [$lo,$hi] (exact $exact)")
+  }
+
   test("bucket-cap drops surface in the observe() metric (ADVICE r2)") {
     val capped = Guards.capBuckets(
       (1L to 40L).map(i => (i, if (i <= 30) "hot" else s"cold$i"))

@@ -75,6 +75,42 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("bucketed join shuffles neither fact table") {
+    // Both sides bucketed by the join key into the same bucket count →
+    // the sort-merge join takes bucket partitioning straight from the
+    // scans, with ZERO exchanges. Broadcast is disabled for the
+    // assertion: at sf0.001 Catalyst (correctly) prefers broadcasting
+    // the tiny orders side, which would bypass the property under test
+    // — at fact-to-fact scale, neither side broadcasts and this
+    // shuffle-free shape is the one that runs.
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val o = graft.sources.Bucketing.ensureBucketed(spark,
+      Tables.orders(spark, sf), s"graft_orders_$tag",
+      s"/tmp/graft_buckets/$tag/orders", "o_orderkey", 8)
+    val l = graft.sources.Bucketing.ensureBucketed(spark,
+      Tables.lineitem(spark, sf)
+        .select(org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_quantity"),
+          org.apache.spark.sql.functions.col("l_extendedprice")),
+      s"graft_lineitem_$tag",
+      s"/tmp/graft_buckets/$tag/lineitem", "l_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = l.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      df.collect() // AQE: final plan only materializes after execution
+      val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed fact-to-fact join must not shuffle:\n${physical(df)}")
+      assert(physical(df).contains("SelectedBucketsCount"),
+        s"join does not read bucketed scans:\n${physical(df)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE only materializes the final (codegen'd) plan after execution;
     // the short toString renders spans as "*(n)", so check structurally.
