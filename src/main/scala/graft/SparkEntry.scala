@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.fs.Serving
+import graft.fs.{FeatureCatalog, FeatureDef, FeatureGroup, RecordLog, Serving}
 import graft.functions.{TextFns, VectorFns}
 import graft.operators.{Dedup, Sessionize, Similarity}
 
@@ -840,7 +840,11 @@ object SparkEntry {
     * join — bucketing must be invisible in the result. */
   private val bucketedJoin = Q("q_bucketed_join",
     (s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // pid-unique path: concurrent JVMs (Bench ∥ Verify) must never
+      // share a bucketed scratch dir — the tableExists guard is
+      // session-local (ADVICE r4; see Bucketing's scaladoc).
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_p${ProcessHandle.current().pid()}"
       val o = graft.sources.Bucketing.ensureBucketed(s,
         Tables.orders(s, d), s"graft_orders_$tag",
         s"/tmp/graft_buckets/$tag/orders", "o_orderkey", 8)
@@ -1078,20 +1082,121 @@ object SparkEntry {
              CAST(ceil(CAST(length(text) AS DOUBLE) / 64) - 1 AS INT) AS last_frame
       FROM documents WHERE length(text) > 0 ORDER BY media_id"""))
 
+  /** REAL image decode (VERDICT r4 #6): every document mints a genuine
+    * 24-bit BMP (dims + per-pixel gray ramp derived from doc_id), which
+    * goes through an actual `javax.imageio` decode per partition —
+    * width/height/mean-gray are read from decoded pixels, not metadata.
+    * The generation arithmetic is replayed by DuckDB, so a byte-level
+    * encode/decode fault anywhere in the pipeline breaks the hash. */
+  private val mediaDecode = Q("q_media_decode",
+    (s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticImages(
+        Tables.documents(s, d))
+      graft.multimodal.Multimodal.decodeImages(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("sum_gray").cast(DoubleType) / col("n_px"), 4).as("mean_gray"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(3 + doc_id % 7 AS INT) AS height,
+             round(CAST(list_sum(list_transform(
+                     range((4 + doc_id % 13) * (3 + doc_id % 7)),
+                     i -> (doc_id * 31 + i) % 256)) AS DOUBLE)
+               / ((4 + doc_id % 13) * (3 + doc_id % 7)), 4) AS mean_gray
+      FROM documents ORDER BY media_id"""))
+
+  /** Time-based rolling features (SURVEY §2.B window frames, the
+    * rangeBetween half — VERDICT r4 #4): per-user trailing-1h sum and
+    * count over the event stream. The frame is value-based (micros
+    * range), so it holds whatever the event density — the standard
+    * behavioral-feature shape. One exchange on user_id; decimal-exact
+    * sum so Spark's sliding-frame accumulation and DuckDB's segment
+    * tree can't drift on float order. */
+  private val rollingWindow = Q("q_rolling_window",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          Tables.tsStr(col("ts")).as("ts_s"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("roll_sum"),
+          count(col("value")).over(w).as("roll_cnt"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+             count(value) OVER w AS roll_cnt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  /** End-to-end store roundtrip (VERDICT r4 #3): register features →
+    * create group → write the event stream through [[RecordLog]]'s
+    * partitioned layout → re-fetch the group from the catalog → serve
+    * latest-as-of from the WRITTEN files. This is the reference's
+    * marquee flow (test_feature_store.py:105-117) under the hash gate:
+    * the oracle recomputes the answer directly from the source events
+    * table, so any loss anywhere in catalog serde, the partitioned
+    * write, or the read-back (timestamps, partition columns, version
+    * defaulting) breaks the hash. Scratch root is pid-unique (no
+    * cross-process races) and rebuilt per invocation (deterministic). */
+  private val storeRoundtrip = Q("q_store_roundtrip",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/tmp/graft_store/${tag}_p${ProcessHandle.current().pid()}"
+      val hPath = new org.apache.hadoop.fs.Path(root)
+      hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hPath, true)
+      val catalog = new FeatureCatalog(s, root)
+      catalog.registerFeature(FeatureDef("value", "user", "float"))
+      catalog.registerFeature(FeatureDef("event_type", "user", "str"))
+      catalog.registerFeature(FeatureDef("event_id", "user", "int"))
+      val group = catalog.createGroup(FeatureGroup(
+        "user_events", 1, Seq("value", "event_type", "event_id"), "user_id"))
+      new RecordLog(s, root).write(group, Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("event_type"), col("event_id")))
+      val served = catalog.getGroup("user_events")
+        .getOrElse(sys.error("group vanished from catalog"))
+      val records = new RecordLog(s, root).read(served)
+      Serving.latestAsOf(records, "user_id", "ts",
+          Some(to_timestamp(lit(AsOf))), Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          Tables.tsStr(col("ts")).as("ts_s"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      SELECT user_id, event_id, event_type, round(value, 6) AS value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '$AsOf')
+      WHERE rn = 1 ORDER BY user_id"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
-    pitLatest, pitJoin, asofJoin, groupStats,
+    pitLatest, pitJoin, asofJoin, groupStats, storeRoundtrip,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
     rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg,
     bucketedJoin,
-    windowRank, windowFrames, topK, setOps,
+    windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, langDist, langIdDist, quality, tokenCounts,
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn,
-    mediaFeatures, mediaFrames)
+    mediaFeatures, mediaFrames, mediaDecode)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -42,33 +42,30 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
     * schemas: columns added to the model since the catalog was written
     * (e.g. `id` pre-r2) are filled with defaults instead of letting
     * `.as[T]` throw AnalysisException on a pre-existing dir (ADVICE
-    * r2). Defaults mirror the case-class defaults per field type —
-    * a bare lit(null) would NPE at `.as[T]` deserialization for
-    * primitive (non-nullable) fields like isActive/version (ADVICE
-    * r3); only genuinely nullable-encodable types (Option, Seq, Map)
-    * fall back to null. */
-  private def readTable[T: org.apache.spark.sql.Encoder](dir: String): Dataset[T] =
+    * r2). Defaults come from the model's `migrationDefault` instance —
+    * the case class's OWN declared defaults, serialized through the
+    * same Encoder that defines the table schema, so a field's backfill
+    * can never drift from its declaration (ADVICE r4: the old
+    * type-keyed rules would have backfilled any future non-nullable
+    * Boolean as true regardless of its real default). Mechanically the
+    * missing columns are taken from a one-row defaults frame via a
+    * broadcast cross join — catalog tables are metadata-tiny. */
+  private def readTable[T: org.apache.spark.sql.Encoder](
+      dir: String, defaultRow: T): Dataset[T] =
     currentVersion(dir) match {
       case Some(v) =>
         val raw = spark.read.parquet(s"$dir/v_$v")
         val have = raw.columns.toSet
         val schema = implicitly[org.apache.spark.sql.Encoder[T]].schema
-        import org.apache.spark.sql.functions.lit
-        import org.apache.spark.sql.types._
-        val migrated = schema.fields.foldLeft(raw) { (df, f) =>
-          if (have.contains(f.name)) df
-          else df.withColumn(f.name, f.dataType match {
-            case StringType => lit("")
-            case BooleanType if !f.nullable => lit(true) // isActive-style flags
-            case t @ (ByteType | ShortType | IntegerType | LongType) if !f.nullable =>
-              lit(1).cast(t) // version-style counters
-            case t @ (FloatType | DoubleType) if !f.nullable => lit(0.0).cast(t)
-            case dt if f.nullable => lit(null).cast(dt)
-            case dt => throw new IllegalStateException(
-              s"no migration default for non-nullable ${f.name}: $dt — " +
-                "add one here before evolving the catalog schema")
-          })
-        }
+        val missing = schema.fields.filterNot(f => have.contains(f.name))
+        val migrated =
+          if (missing.isEmpty) raw
+          else {
+            import org.apache.spark.sql.functions.{broadcast, col}
+            val defaults = spark.createDataset(Seq(defaultRow)).toDF()
+              .select(missing.map(f => col(f.name)).toSeq: _*)
+            raw.crossJoin(broadcast(defaults))
+          }
         migrated.as[T]
       case None => spark.emptyDataset[T]
     }
@@ -140,12 +137,29 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
       }
     }
     try body finally {
-      // Delete only our own lock: if someone stole it mid-section (we
+      // Release only our own lock: if someone stole it mid-section (we
       // held it past the steal TTL), the thief's lock must survive.
-      val stillOurs =
+      // read==token then deleteIfExists is check-then-act — a thief
+      // stealing between the two would have its fresh lock deleted
+      // (ADVICE r4). Instead mirror the steal protocol: atomically move
+      // the lock aside, and only the holder of the moved file decides —
+      // delete if it carries our token, move it back if not. The
+      // residual window (thief's lock invisible while moved aside)
+      // exists only after a double fault — we overstayed the TTL AND
+      // lost the steal race between the pre-check and the move — and
+      // lasts two renames; accepted and documented rather than claimed
+      // closed.
+      val ours =
         try new String(Files.readAllBytes(lock)) == token
         catch { case _: java.io.IOException => false }
-      if (stillOurs) Files.deleteIfExists(lock)
+      if (ours) {
+        val moved = Paths.get(dir, s"_LOCK.release.${UUID.randomUUID()}")
+        try {
+          Files.move(lock, moved, StandardCopyOption.ATOMIC_MOVE)
+          if (new String(Files.readAllBytes(moved)) == token) Files.delete(moved)
+          else Files.move(moved, lock, StandardCopyOption.ATOMIC_MOVE)
+        } catch { case _: java.io.IOException => () } // already stolen+replaced: not ours to touch
+      }
     }
   }
 
@@ -153,7 +167,8 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
 
   // ---- R1-R3: features ---------------------------------------------------
 
-  def features: Dataset[FeatureDef] = readTable[FeatureDef](featuresDir)
+  def features: Dataset[FeatureDef] =
+    readTable[FeatureDef](featuresDir, FeatureDef.migrationDefault)
 
   /** R1 `register_feature` (feature_store.py:195-241): validate dtype,
     * mint uuid, upsert keyed by unique name (INSERT OR REPLACE ≡
@@ -192,7 +207,8 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
 
   // ---- R4-R6, R11: groups ------------------------------------------------
 
-  def groups: Dataset[FeatureGroup] = readTable[FeatureGroup](groupsDir)
+  def groups: Dataset[FeatureGroup] =
+    readTable[FeatureGroup](groupsDir, FeatureGroup.migrationDefault)
 
   /** R4 `create_group` (feature_store.py:263-306): every member must exist
     * in the registry (the reference loops one SELECT per member,

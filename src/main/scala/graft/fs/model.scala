@@ -40,10 +40,24 @@ final case class FeatureGroup(
     id: String = "",
     createdAt: Option[Timestamp] = None)
 
+object FeatureDef {
+  /** Schema-migration default row: a `FeatureDef` built with ONLY the
+    * required fields, so every optional field carries its actual
+    * case-class default. [[FeatureCatalog]] backfills columns added to
+    * the model since an on-disk catalog was written from this row —
+    * the real declared defaults, not per-type conventions (ADVICE r4:
+    * a future non-nullable Boolean defaulting to false would have been
+    * silently backfilled as true by the old type-keyed rules). */
+  val migrationDefault: FeatureDef = FeatureDef(name = "", entityType = "", dtype = "str")
+}
+
 object FeatureGroup {
   val FreqBatch = "batch"
   val FreqStreaming = "streaming"
   val Frequencies: Set[String] = Set(FreqBatch, FreqStreaming)
+  /** See [[FeatureDef.migrationDefault]]. */
+  val migrationDefault: FeatureGroup =
+    FeatureGroup(name = "", version = 1, features = Seq.empty, entityKey = "")
 }
 
 object Dtypes {

@@ -10,10 +10,14 @@ import org.apache.spark.sql.types._
   * batch of rows (the Scala analog of a Pandas-UDF-over-mapInPandas
   * pipeline).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container — see `decodeStub`): the deterministic fake keeps schema,
-  * partitioning, batch shape and the partition-local decoder lifecycle
-  * real and testable; swapping in a real decoder touches only the stub.
+  * Image decoding is REAL: `decodeImages` runs `javax.imageio` (in the
+  * JDK, offline-safe) per partition over BMP/PNG payloads and extracts
+  * width/height/pixel statistics — see `q_media_decode`. Audio/video
+  * codecs remain stubbed (`decodeStub` — no media libraries in this
+  * container): the deterministic fake keeps schema, partitioning, batch
+  * shape and the partition-local decoder lifecycle real and testable;
+  * swapping in a real codec touches only the stub, exactly as the image
+  * path demonstrates.
   */
 object Multimodal {
 
@@ -68,6 +72,92 @@ object Multimodal {
           (id, i, chunk)
         }
       }.toDF("media_id", "frame_no", "frame_payload")
+  }
+
+  // ---- real image path (javax.imageio — VERDICT r4 #6) -----------------
+
+  final case class ImageFeature(
+      media_id: Long, width: Int, height: Int, n_px: Int, sum_gray: Long)
+
+  /** Minimal 24-bit bottom-up BMP encoder (BITMAPINFOHEADER, rows
+    * padded to 4 bytes). `pixel(x, y)` returns a gray level 0-255
+    * stored as B=G=R. Used to mint real, decodable image payloads from
+    * driver testdata — generation is separate from [[decodeImages]],
+    * which sees only opaque bytes. */
+  def encodeBmpGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                       // reserved, pixel offset
+    buf.putInt(40).putInt(width).putInt(height)   // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1                            // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val g = (pixel(x, y) & 0xff).toByte
+        buf.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = rowBytes - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** REAL per-partition image decode via `javax.imageio` (JDK-native,
+    * zero extra jars): payload bytes → BufferedImage → width/height +
+    * gray-level sum over every pixel. Runs in `mapPartitions` so a
+    * heavyweight decoder's init cost amortizes across the partition
+    * (same batch shape as [[extractFeatures]]); the pixel loop touches
+    * each pixel once, so cost is O(pixels) per row, fully distributed. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeature] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += img.getRGB(x, y) & 0xff // B=G=R gray: low byte suffices
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeature(id, w, h, w * h, sum)
+        }
+      }
+  }
+
+  /** Mint a real BMP image per document: dims and a per-pixel-varying
+    * gray ramp derived from doc_id, so the decoded statistics are
+    * arithmetic over doc_id — DuckDB-replayable while the bytes go
+    * through a genuine encode → ImageIO decode round trip. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 7).toInt
+          val base = (id * 31) % 256
+          val bytes = encodeBmpGray(w, h, (x, y) => ((base + y * w + x) % 256).toInt)
+          (id, bytes)
+        }
+      }.toDF("media_id", "payload")
+      .select(col("media_id"), lit("image/bmp").as("mime"), col("payload"))
   }
 
   /** Build a synthetic media table from the documents table (payload =

@@ -27,6 +27,14 @@ object Bucketing {
     * Rewrites on the first call of each session: /tmp artifacts can
     * outlive the in-memory catalog that described them, and a stale
     * path must not serve a fresh catalog entry.
+    *
+    * The tableExists guard is session-local, so `path` MUST be unique
+    * per JVM (callers embed the pid — see SparkEntry's bucketed join):
+    * two concurrent processes sharing a path would both see a missing
+    * table and race overwriting it, and one could read a half-written
+    * table (ADVICE r4). A real deployment writes bucketed tables once
+    * into a shared metastore under a coordinated job, not per-process
+    * scratch dirs; per-pid paths are the local-mode stand-in.
     */
   def ensureBucketed(
       spark: SparkSession,

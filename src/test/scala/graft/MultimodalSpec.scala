@@ -23,6 +23,32 @@ class MultimodalSpec extends SparkSpec {
     assert(f0.n_bytes > 0 && f0.feature.length == 4)
   }
 
+  test("BMP encode → javax.imageio decode recovers exact pixels (incl. row padding)") {
+    val w = 7; val h = 5 // 7*3=21 bytes/row → 3 pad bytes: exercises padding
+    def px(x: Int, y: Int): Int = (x * 16 + y * 3) % 256
+    val bytes = Multimodal.encodeBmpGray(w, h, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not parse the generated BMP")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xff) == px(x, y), s"pixel ($x,$y)")
+  }
+
+  test("decodeImages runs a real ImageIO decode and sums every pixel") {
+    val media = Multimodal.syntheticImages(
+      Tables.documents(spark, sf).filter($"doc_id" < 50))
+    val feats = Multimodal.decodeImages(spark, media).collect()
+    assert(feats.length.toLong == media.count())
+    feats.foreach { f =>
+      val id = f.media_id
+      val (w, h) = ((4 + id % 13).toInt, (3 + id % 7).toInt)
+      assert(f.width == w && f.height == h, s"media $id dims")
+      val expected = (0 until w * h).map(i => (id * 31 + i) % 256).sum
+      assert(f.sum_gray == expected, s"media $id gray sum")
+      assert(f.n_px == w * h)
+    }
+  }
+
   test("frame sampling chunks payloads at fixed stride") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, sf)).filter($"media_id" < 5)

@@ -273,6 +273,33 @@ class OperatorsSpec extends SparkSpec {
       s"approx median $approx outside rank-error window [$lo,$hi] (exact $exact)")
   }
 
+  test("approx_count_distinct tracks exact countDistinct within HLL rsd") {
+    // SURVEY §2.B distinct row's scale path: exact countDistinct
+    // shuffles every distinct key; approx_count_distinct is a one-pass
+    // mergeable HLL++ sketch whose relative standard deviation is the
+    // declared rsd. Assert the estimate lands within 4σ of exact
+    // (same pattern as the approx_percentile bound above).
+    val rsd = 0.02
+    val df = Tables.events(spark, sf).select(col("user_id"))
+    val row = df.agg(
+      countDistinct(col("user_id")).cast("double"),
+      approx_count_distinct(col("user_id"), rsd).cast("double")
+    ).collect().head
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    val relErr = math.abs(approx - exact) / exact
+    assert(relErr <= 4 * rsd,
+      s"HLL estimate $approx vs exact $exact: relative error $relErr > ${4 * rsd}")
+  }
+
+  test("bruteForceTopK fails fast past the broadcast query cap (VERDICT r4 #7)") {
+    val emb = Tables.embeddings(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = 3, maxQueries = 5)
+    }
+    assert(ex.getMessage.contains("bucketedTopK"))
+  }
+
   test("bucket-cap drops surface in the observe() metric (ADVICE r2)") {
     val capped = Guards.capBuckets(
       (1L to 40L).map(i => (i, if (i <= 30) "hot" else s"cold$i"))
