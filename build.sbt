@@ -46,6 +46,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$benchHeap",
+  // Kill the kernel zero-fill noise AT THE SOURCE (r4's dominant
+  // contamination: queries measured with sys-time ≫ user-time while the
+  // JVM faulted in fresh heap pages). Xms=Xmx + AlwaysPreTouch commits
+  // and zeroes the whole heap ONCE at JVM startup — before the first
+  // query timer starts — so no query ever pays first-touch faults; THP
+  // (madvise mode, available here) backs the heap with 2 MiB pages,
+  // ~512× fewer faults for what remains.
+  s"-Xms$benchHeap",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseTransparentHugePages",
   // Dozens of queries × whole-stage-codegen classes exhaust the default
   // 240 MB JIT code cache mid-run; once full, compilation stops and
   // CPU-bound stages (decimal aggs, windows) run interpreted at 10-30×

@@ -43,8 +43,15 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     val versioned =
       if (snapshots.columns.contains("version")) snapshots
       else snapshots.withColumn("version", lit(1))
+    // Shuffle on the partition column before the dynamic-partition
+    // write: without it every task writes one file per date it happens
+    // to hold — tasks × dates small files (the classic dynamic-insert
+    // small-file explosion; at 100 TB that's millions of KB-sized
+    // files and a metastore meltdown). Hashing dates across the
+    // session's partitions bounds output to one file per date.
     versioned
       .withColumn("p_date", to_date(col("ts")))
+      .repartition(col("p_date"))
       .write.mode("append").partitionBy("p_date").parquet(dir(group))
   }
 

@@ -116,13 +116,21 @@ object Multimodal {
     * heavyweight decoder's init cost amortizes across the partition
     * (same batch shape as [[extractFeatures]]); the pixel loop touches
     * each pixel once, so cost is O(pixels) per row, fully distributed. */
-  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeature] = {
+  def decodeImages(spark: SparkSession, media: DataFrame,
+      format: String = "bmp"): Dataset[ImageFeature] = {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // One decoder instance per partition, reset per row — the
+        // static ImageIO.read re-resolves the plugin registry and
+        // allocates a fresh reader per call, which dominates at
+        // thousands of small payloads per task.
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName(format).next()
         rows.map { case (id, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload)), true, true)
+          val img = reader.read(0)
           require(img != null, s"media_id=$id: payload is not a decodable image")
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
