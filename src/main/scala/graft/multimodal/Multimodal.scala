@@ -128,7 +128,12 @@ object Multimodal {
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName(format).next()
         rows.map { case (id, payload) =>
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+          // the latter defaults to a FILE-backed cache — one temp file
+          // created+deleted per image, so a partition of small payloads
+          // spends its whole wall-clock blocked on disk I/O (measured:
+          // ~0 user-CPU over seconds of wall).
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(payload)), true, true)
           val img = reader.read(0)
           require(img != null, s"media_id=$id: payload is not a decodable image")
