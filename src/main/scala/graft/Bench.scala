@@ -183,7 +183,15 @@ object Bench {
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
         val s1 = snap()
-        val selfUserSec = (s1.selfUserJf - s0.selfUserJf) / 100.0
+        // vtime quirk on this kernel: a window's process CPU is
+        // sometimes booked entirely to stime (utime delta 0 against
+        // seconds of getProcessCpuTime). Fall back to total process
+        // CPU for such samples — a slight overestimate beats a bogus 0
+        // poisoning the min.
+        val rawUserSec = (s1.selfUserJf - s0.selfUserJf) / 100.0
+        val procMs = s1.procCpuMs - s0.procCpuMs
+        val selfUserSec =
+          if (rawUserSec == 0 && procMs >= 100) procMs / 1000.0 else rawUserSec
         jvmRows :+= s"""{"pass":$pass,"q":"$name","sec":${fmt(elapsed)},""" +
           s""""cpuMs":${s1.procCpuMs - s0.procCpuMs},""" +
           s""""selfUserJf":${s1.selfUserJf - s0.selfUserJf},"selfSysJf":${s1.selfSysJf - s0.selfSysJf},""" +
