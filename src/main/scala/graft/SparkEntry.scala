@@ -1035,6 +1035,52 @@ object SparkEntry {
         JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** IVF ANN, hash-oracled: deterministic coarse quantizer (centroids =
+    * vec_id < 16), zero-shuffle map-side cell assignment, nProbe=2
+    * probed cells per query — the inverted-file scale dial next to
+    * q_ann_bucketed's LSH buckets. DuckDB replays assignment, probing
+    * and ranking exactly (round-6 sims, id tie-breaks throughout). */
+  private val ivfAnn = Q("q_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH cent AS (
+        SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16),
+      assign AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                 c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+                 c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM embeddings q CROSS JOIN cent c
+          WHERE q.vec_id < 20)
+        WHERE rn <= 2)
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT p.query_id, a.neighbor_id,
+               round(list_cosine_similarity(p.qv, a.cv), 6) AS sim,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_cosine_similarity(p.qv, a.cv), 6) DESC,
+                 a.neighbor_id) AS rank
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.neighbor_id <> p.query_id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Multimodal plumbing, now hash-oracled (r3): the synthetic payload
     * is the doc's UTF-8 bytes and the corpus is ASCII, so DuckDB can
     * replay the byte statistics; REAL casts reproduce the stub's
@@ -1156,9 +1202,10 @@ object SparkEntry {
       hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(hPath, true)
       val catalog = new FeatureCatalog(s, root)
-      catalog.registerFeature(FeatureDef("value", "user", "float"))
-      catalog.registerFeature(FeatureDef("event_type", "user", "str"))
-      catalog.registerFeature(FeatureDef("event_id", "user", "int"))
+      catalog.registerFeatures(Seq(
+        FeatureDef("value", "user", "float"),
+        FeatureDef("event_type", "user", "str"),
+        FeatureDef("event_id", "user", "int")))
       val group = catalog.createGroup(FeatureGroup(
         "user_events", 1, Seq("value", "event_type", "event_id"), "user_id"))
       new RecordLog(s, root).write(group, Tables.events(s, d)
@@ -1195,7 +1242,7 @@ object SparkEntry {
     dedupExact, dedupFp, langDist, langIdDist, quality, tokenCounts,
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
-    embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn,
+    embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
     mediaFeatures, mediaFrames, mediaDecode)
 
   /** One entry per implemented operator from SURVEY.md §2. */

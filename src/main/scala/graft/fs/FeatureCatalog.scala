@@ -173,16 +173,30 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
   /** R1 `register_feature` (feature_store.py:195-241): validate dtype,
     * mint uuid, upsert keyed by unique name (INSERT OR REPLACE ≡
     * filter-out + union). */
-  def registerFeature(fd: FeatureDef): FeatureDef = {
-    if (!Dtypes.All.contains(fd.dtype))
-      throw new IllegalArgumentException(
-        s"Invalid dtype: ${fd.dtype}. Must be one of ${Dtypes.All.toSeq.sorted.mkString(", ")}")
-    val stamped = fd.copy(
+  def registerFeature(fd: FeatureDef): FeatureDef =
+    registerFeatures(Seq(fd)).head
+
+  /** Batch form of R1: validates every dtype up front, then takes the
+    * lock ONCE and writes ONE new catalog version for the whole batch
+    * (a loop of registerFeature writes — and fsyncs — a version per
+    * feature). Within-batch name duplicates resolve last-wins, matching
+    * the reference's INSERT OR REPLACE applied in call order. */
+  def registerFeatures(fds: Seq[FeatureDef]): Seq[FeatureDef] = {
+    require(fds.nonEmpty, "empty feature batch")
+    fds.foreach { fd =>
+      if (!Dtypes.All.contains(fd.dtype))
+        throw new IllegalArgumentException(
+          s"Invalid dtype: ${fd.dtype}. Must be one of ${Dtypes.All.toSeq.sorted.mkString(", ")}")
+    }
+    val stamped = fds.map(fd => fd.copy(
       id = if (fd.id.nonEmpty) fd.id else UUID.randomUUID().toString,
-      createdAt = fd.createdAt.orElse(Some(now())))
+      createdAt = fd.createdAt.orElse(Some(now()))))
+    // last-wins within the batch, preserving first-occurrence order
+    val deduped = stamped.reverse.distinctBy(_.name).reverse
+    val names = deduped.map(_.name).toSet
     withLock(featuresDir) {
-      val updated = features.filter(_.name != fd.name).collect() :+ stamped
-      writeTable(featuresDir, spark.createDataset(updated.toSeq))
+      val kept = features.collect().filterNot(f => names.contains(f.name))
+      writeTable(featuresDir, spark.createDataset((kept ++ deduped).toSeq))
     }
     stamped
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
@@ -73,6 +74,66 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VectorFns.signBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-style ANN (inverted file with a coarse quantizer): the corpus
+    * is partitioned into `nCells` cells by nearest centroid; each query
+    * probes its `nProbe` nearest cells and ranks only those cells'
+    * members — candidate fraction ≈ nProbe/nCells, the classic
+    * recall/cost dial next to [[bucketedTopK]]'s LSH variant.
+    *
+    * A production IVF trains centroids with k-means; here the quantizer
+    * is deterministic — the corpus vectors with id < nCells — which
+    * keeps the inverted-file mechanics identical and the whole operator
+    * DuckDB-replayable. Scale shape: centroids are collected once
+    * (nCells rows — IVF centroids are by definition broadcast-sized)
+    * and embedded as a literal array, so corpus cell assignment is a
+    * ZERO-SHUFFLE map-side fold inside codegen — no per-row join, no
+    * |corpus|×K row expansion; the only exchange in the plan is the
+    * k-bounded top-k aggregate. Ranks use round-6 similarity with id
+    * tie-breaks, making cell assignment and final order reproducible
+    * across engines. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val centDf = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("long").as("cell_id"),
+        col(vecCol).cast("array<double>").as("cv0"))
+    val cent = centDf.collect().sortBy(_.getLong(0))
+    require(cent.nonEmpty, s"no centroids: corpus has no $idCol < $nCells")
+    val centArr = array(cent.map { r =>
+      struct(lit(r.getLong(0)).as("cell_id"),
+        typedLit(r.getSeq[Double](1)).as("cv"))
+    }.toSeq: _*)
+    // argmax over the literal centroid array: strictly-greater keeps
+    // the FIRST (lowest cell_id) on round-6 ties — same winner as the
+    // oracle's ORDER BY sim DESC, cell_id ASC.
+    def cellOf(vec: Column): Column =
+      aggregate(centArr,
+        struct(lit(-2.0).as("best"), lit(-1L).as("cell")),
+        (acc, c) => {
+          val s = round(VectorFns.cosineFast(vec, c.getField("cv")), 6)
+          when(s > acc.getField("best"),
+            struct(s.as("best"), c.getField("cell_id").as("cell")))
+            .otherwise(acc)
+        }).getField("cell")
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellOf(col(vecCol)).as("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("s", round(VectorFns.cosineFast(col("qv"), col("cv0")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("s").desc, col("cell_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
     topKPerQuery(scored, k)

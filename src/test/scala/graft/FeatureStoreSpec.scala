@@ -38,6 +38,25 @@ class FeatureStoreSpec extends SparkSpec {
     assert(c.getFeature("age").exists(_.dtype == "float"))
   }
 
+  test("registerFeatures batch: one version write, last-wins on dup names") {
+    val c = freshCatalog()
+    val out = c.registerFeatures(Seq(
+      FeatureDef("a", "user", "int"),
+      FeatureDef("b", "user", "str"),
+      FeatureDef("a", "user", "float", description = "wins")))
+    assert(out.length == 3) // caller sees every stamped input
+    val byName = c.listFeatures().map(f => f.name -> f).toMap
+    assert(byName.keySet == Set("a", "b"))
+    assert(byName("a").dtype == "float" && byName("a").description == "wins")
+    // batch validates every dtype before writing anything
+    intercept[IllegalArgumentException] {
+      c.registerFeatures(Seq(
+        FeatureDef("ok", "user", "int"),
+        FeatureDef("bad", "user", "nope")))
+    }
+    assert(c.getFeature("ok").isEmpty, "failed batch must write nothing")
+  }
+
   test("invalid dtype rejected (test_register_feature_invalid_dtype :47-49)") {
     val c = freshCatalog()
     intercept[IllegalArgumentException] {

@@ -291,6 +291,40 @@ class OperatorsSpec extends SparkSpec {
       s"HLL estimate $approx vs exact $exact: relative error $relErr > ${4 * rsd}")
   }
 
+  test("ivfTopK with all cells probed reproduces brute-force exactly") {
+    // nProbe = nCells makes the candidate set the whole corpus (minus
+    // self), so the inverted-file mechanics must return exactly the
+    // exhaustive answer — any assignment/probe/ranking fault shows up
+    // as a diff.
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 4, nCells = 6, nProbe = 6).orderBy("query_id", "rank")
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 4)
+      .orderBy("query_id", "rank")
+    assert(ivf.collect().toSeq == brute.collect().toSeq)
+  }
+
+  test("ivfTopK restricts candidates to probed cells (recall/cost dial)") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 8)
+    val narrow = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 4, nCells = 6, nProbe = 1)
+    val full = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 4, nCells = 6, nProbe = 6)
+    // 1-probe candidates ⊆ all-probe candidates, so per query the
+    // exhaustive best can only be at least as similar as the 1-probe
+    // best — and the narrow search returns no more rows.
+    val bestNarrow = narrow.filter($"rank" === 1)
+      .select("query_id", "sim").as[(Long, Double)].collect().toMap
+    val bestFull = full.filter($"rank" === 1)
+      .select("query_id", "sim").as[(Long, Double)].collect().toMap
+    assert(narrow.count() <= full.count())
+    bestNarrow.foreach { case (qid, s) =>
+      assert(bestFull(qid) >= s, s"query $qid: full best ${bestFull(qid)} < narrow best $s")
+    }
+  }
+
   test("bruteForceTopK fails fast past the broadcast query cap (VERDICT r4 #7)") {
     val emb = Tables.embeddings(spark, sf)
     val ex = intercept[IllegalArgumentException] {
