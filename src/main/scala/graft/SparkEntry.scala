@@ -1035,6 +1035,33 @@ object SparkEntry {
         JOIN b c ON q.bucket = c.bucket AND q.id <> c.id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Winnowing document fingerprints — the MOSS-style local-similarity
+    * sketch: md5-prefix hash over char 8-grams, lexicographic min per
+    * 4-window, distinct, sorted. The full fingerprint set is emitted
+    * (one array column, single expression evaluation) and DuckDB
+    * replays the identical md5/min/sort pipeline, so the sketch is
+    * hash-verified end to end. The length filter is pushed to the
+    * scan; everything else is one map-side pass, no shuffle. */
+  private val winnowFp = Q("q_winnow_fp",
+    (s, d) => Tables.documents(s, d)
+      .filter(length(col("text")) >= 11)
+      .select(col("doc_id"),
+        TextFns.winnowFingerprints(col("text"), 8, 4).as("fps"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(text) >= 11),
+      hs AS (
+        SELECT doc_id,
+               list_transform(range(length(t) - 7), i ->
+                 substr(md5(substr(t, CAST(i + 1 AS INT), 8)), 1, 12)) AS hashes
+        FROM d)
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(range(len(hashes) - 3), j ->
+               list_min(hashes[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fps
+      FROM hs ORDER BY doc_id"""))
+
   /** IVF ANN, hash-oracled: deterministic coarse quantizer (centroids =
     * vec_id < 16), zero-shuffle map-side cell assignment, nProbe=2
     * probed cells per query — the inverted-file scale dial next to
@@ -1239,7 +1266,7 @@ object SparkEntry {
     bucketedJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
-    dedupExact, dedupFp, langDist, langIdDist, quality, tokenCounts,
+    dedupExact, dedupFp, winnowFp, langDist, langIdDist, quality, tokenCounts,
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

@@ -75,4 +75,23 @@ class TextFnsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("winnowing fingerprints: coverage property + short-doc emptiness") {
+    // Two docs sharing a run of >= k+w-1 chars MUST share a fingerprint
+    // (winnowing's guarantee); unrelated docs almost surely don't.
+    val shared = "a common stretch of text that is plenty long"
+    val df = Seq(
+      (1L, s"PREFIX ONE $shared SUFFIX ONE"),
+      (2L, s"other start $shared other end"),
+      (3L, "zzqqxxjjkkvvwwyy totally unrelated gibberish 1234567"),
+      (4L, "tiny")).toDF("doc_id", "t")
+      .select($"doc_id", TextFns.winnowFingerprints($"t", 8, 4).as("fps"))
+    val fps = df.as[(Long, Seq[String])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty,
+      "docs sharing a long run must share a fingerprint")
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)
+    assert(fps(4L).isEmpty, "below k+w-1 chars there is no window to select from")
+    assert(fps(1L).forall(_.matches("[0-9a-f]{12}")), "12-hex-char md5 prefixes")
+    assert(fps(1L) == fps(1L).sorted, "fingerprint set is emitted sorted")
+  }
 }
