@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{BoundedTopK, CosineSim, MinHashBands, SimHash64}
+import graft.plans.{BoundedTopK, CosineSim, MinHashBands, SimHash64, WinnowFps}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 3, "top_k(score: double, id: bigint, k: int)")
         BoundedTopK(args.head, args(1), intArg(args(2), "top_k", 2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "winnow_fps(text: string, k: int, w: int)")
+        WinnowFps(args.head,
+          intArg(args(1), "winnow_fps", 1), intArg(args(2), "winnow_fps", 2))
       }))
   }
 }

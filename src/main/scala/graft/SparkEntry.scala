@@ -1108,6 +1108,130 @@ object SparkEntry {
         WHERE a.neighbor_id <> p.query_id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Connected-components dedup clustering, hash-oracled: a
+    * deterministic pair graph (each doc links to a successor at an
+    * md5-derived offset 1..5 — overlapping chains, so components are
+    * genuinely transitive) is clustered by the alternating
+    * large-star/small-star CC and every vertex labeled with its
+    * component's minimum id. DuckDB replays the same edge arithmetic
+    * and closes the graph with a recursive CTE — a completely
+    * different fixpoint algorithm arriving at the same labels, which
+    * is exactly what makes this a strong oracle. */
+  private val dedupCc = Q("q_dedup_cc",
+    (s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val edges = ids.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") + 1 +
+            ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 5)
+            .as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      graft.operators.ConnectedComponents
+        .connectedComponents(edges, "a", "b")
+        .orderBy(col("id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      e0 AS (
+        SELECT doc_id AS a,
+               doc_id + 1 + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5) AS b
+        FROM documents WHERE doc_id < 300),
+      e AS (SELECT a, b FROM e0 WHERE b IN (SELECT doc_id FROM documents)),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      v AS (SELECT DISTINCT a AS id FROM sym),
+      walk(id, reach) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT w.id, s.b FROM walk w JOIN sym s ON w.reach = s.a)
+      SELECT id, min(reach) AS component FROM walk
+      GROUP BY id ORDER BY id"""))
+
+  /** Deterministic hash sampling: a ~10 % Bernoulli sample of lineitem
+    * keyed on md5 of the business key, then the q1-style aggregate
+    * over the kept rows. Membership is a pure function of the data —
+    * stable across partitionings, engines, and reloads (unlike
+    * `df.sample`, whose seeded RNG is tied to partition layout) — so
+    * DuckDB replays the exact sample and the hash gate certifies it. */
+  private val hashSample = Q("q_hash_sample",
+    (s, d) => graft.operators.Sampling.sampleByHash(
+        Tables.lineitem(s, d),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        fraction = 0.1, seed = "graft")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Tables.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE substr(md5('graft' || CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 12)
+            < '19999999999a'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Binned interval join: purchases matched to the trailing-1h window
+    * after each error by the same user. The raw range predicate would
+    * plan as a per-user nested loop; [[graft.operators.RangeJoin]]
+    * turns it into an equi-join on (user_id, time-bin) with the range
+    * kept only as a residual filter — the 100 TB shape. All times in
+    * whole epoch seconds (both engines floor identically). */
+  private val rangeJoin = Q("q_range_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_timestamp(col("ts")).as("p_s"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          unix_timestamp(col("ts")).as("e_start"),
+          (unix_timestamp(col("ts")) + 3600).as("e_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          purchases, errors, "p_s", "e_start", "e_end",
+          equiKeys = Seq("user_id"), binWidth = 3600L)
+        .select(col("user_id"), col("error_id"), col("purchase_id"),
+          (col("p_s") - col("e_start")).as("gap_s"))
+        .orderBy(col("user_id"), col("error_id"), col("purchase_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events)
+      SELECT p.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+             p.s - e.s AS gap_s
+      FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM ev WHERE event_type = 'error') e
+        ON p.user_id = e.user_id AND p.s >= e.s AND p.s < e.s + 3600
+      ORDER BY p.user_id, error_id, purchase_id"""))
+
+  /** Corpus tf-idf with rational (integer-exact) idf — see
+    * [[graft.operators.CorpusStats]] for why not ln. Two aggs, one
+    * term-clustered join, one broadcast scalar, doc-local top-k. */
+  private val tfidfTerms = Q("q_tfidf_terms",
+    (s, d) => graft.operators.CorpusStats.topTerms(
+        Tables.documents(s, d), "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("rank")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE length(term) > 0 GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               t.tf * ((n.n_docs + 1) * 1000000 // (d.df + 1)) AS score,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY t.tf * ((n.n_docs + 1) * 1000000 // (d.df + 1)) DESC,
+                          t.term) AS rank
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, df, score, rank FROM scored
+      WHERE rank <= 5 ORDER BY doc_id, rank"""))
+
   /** Multimodal plumbing, now hash-oracled (r3): the synthetic payload
     * is the doc's UTF-8 bytes and the corpus is ASCII, so DuckDB can
     * replay the byte statistics; REAL casts reproduce the stub's
@@ -1270,6 +1394,7 @@ object SparkEntry {
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
+    dedupCc, hashSample, rangeJoin, tfidfTerms,
     mediaFeatures, mediaFrames, mediaDecode)
 
   /** One entry per implemented operator from SURVEY.md §2. */

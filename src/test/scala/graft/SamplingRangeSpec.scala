@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RangeJoin, Sampling}
+
+class SamplingRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sample: rate tracks fraction, membership is key-stable") {
+    val df = (1L to 10000L).toDF("id")
+    val n = Sampling.sampleByHash(df, $"id", 0.2, "s1").count()
+    // 48-bit uniform hash: 10k draws at p=0.2, ±5σ ≈ ±200
+    assert(math.abs(n - 2000L) < 200, s"got $n")
+
+    val a = Sampling.sampleByHash(df, $"id", 0.2, "s1").as[Long].collect().toSet
+    val b = Sampling.sampleByHash(df.repartition(7), $"id", 0.2, "s1")
+      .as[Long].collect().toSet
+    assert(a == b, "membership must not depend on partition layout")
+    val c = Sampling.sampleByHash(df, $"id", 0.2, "other-seed")
+      .as[Long].collect().toSet
+    assert(a != c, "different seed draws a different sample")
+  }
+
+  test("hash sample: fraction 0 and 1 are empty and total") {
+    val df = (1L to 100L).toDF("id")
+    assert(Sampling.sampleByHash(df, $"id", 0.0).count() == 0)
+    assert(Sampling.sampleByHash(df, $"id", 1.0).count() == 100)
+  }
+
+  test("hash split is disjoint and exhaustive, nested samples agree") {
+    val df = (1L to 5000L).toDF("id")
+    val (tr, te) = Sampling.splitByHash(df, $"id", 0.8, "split")
+    val (trIds, teIds) =
+      (tr.as[Long].collect().toSet, te.as[Long].collect().toSet)
+    assert((trIds & teIds).isEmpty && trIds.size + teIds.size == 5000)
+    // Thresholds nest: a 10% sample is a subset of the 30% sample —
+    // the property that lets you grow a sample without resampling.
+    val s10 = Sampling.sampleByHash(df, $"id", 0.1).as[Long].collect().toSet
+    val s30 = Sampling.sampleByHash(df, $"id", 0.3).as[Long].collect().toSet
+    assert(s10.subsetOf(s30))
+  }
+
+  test("range join: differential vs naive range predicate") {
+    // Pseudo-random points and intervals across 3 users; intervals span
+    // 0-3 bins at binWidth=10 so multi-bin explode paths are exercised.
+    val points = (0 until 400).map { i =>
+      (i % 3, i.toLong, (i * 7919L) % 1000)
+    }.toDF("uid", "pid", "p")
+    val ivals = (0 until 120).map { i =>
+      val s = (i * 104729L) % 1000
+      (i % 3, 1000L + i, s, s + 1 + (i * 31L) % 30)
+    }.toDF("uid", "iid", "lo", "hi")
+
+    val got = RangeJoin.pointInInterval(points, ivals, "p", "lo", "hi",
+        Seq("uid"), binWidth = 10L)
+      .select("uid", "pid", "iid").as[(Int, Long, Long)].collect().toSet
+    val want = points.join(ivals, Seq("uid"))
+      .where($"p" >= $"lo" && $"p" < $"hi")
+      .select("uid", "pid", "iid").as[(Int, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("range join: end is exclusive, start inclusive, bin-boundary safe") {
+    val points = Seq((1, 10L, 20L), (1, 11L, 29L), (1, 12L, 30L))
+      .toDF("uid", "pid", "p") // 20 on start, 30 on exclusive end
+    val ivals = Seq((1, 100L, 20L, 30L)).toDF("uid", "iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivals, "p", "lo", "hi",
+        Seq("uid"), binWidth = 10L)
+      .select("pid").as[Long].collect().sorted
+    assert(got.toSeq == Seq(10L, 11L))
+  }
+}
