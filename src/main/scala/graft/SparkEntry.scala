@@ -1062,6 +1062,35 @@ object SparkEntry {
                list_min(hashes[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fps
       FROM hs ORDER BY doc_id"""))
 
+  /** Winnow-sketch near-dup pairs: local-overlap dedup (k=24 → shared
+    * 27-char runs), ≥5 shared fingerprints. One exchange on fp,
+    * capped self-join — the same bucketed-not-all-pairs shape as
+    * MinHash, but certifying copied RUNS rather than global Jaccard. */
+  private val winnowDup = Q("q_winnow_neardup",
+    (s, d) => Dedup.winnowNearDups(
+        Tables.documents(s, d), "text", "doc_id",
+        k = 24, w = 4, minShared = 5)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(text) >= 27),
+      hs AS (
+        SELECT doc_id,
+               list_transform(range(length(t) - 23), i ->
+                 substr(md5(substr(t, CAST(i + 1 AS INT), 24)), 1, 12)) AS hashes
+        FROM d),
+      sel AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(hashes) - 3), j ->
+                 list_min(hashes[CAST(j + 1 AS INT):CAST(j + 4 AS INT)]))) AS fps
+        FROM hs),
+      x AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+      FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 5
+      ORDER BY id_a, id_b"""))
+
   /** IVF ANN, hash-oracled: deterministic coarse quantizer (centroids =
     * vec_id < 16), zero-shuffle map-side cell assignment, nProbe=2
     * probed cells per query — the inverted-file scale dial next to
@@ -1390,7 +1419,8 @@ object SparkEntry {
     bucketedJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
-    dedupExact, dedupFp, winnowFp, langDist, langIdDist, quality, tokenCounts,
+    dedupExact, dedupFp, winnowFp, winnowDup, langDist, langIdDist, quality,
+    tokenCounts,
     cosineTopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

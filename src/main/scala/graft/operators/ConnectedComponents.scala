@@ -42,13 +42,16 @@ object ConnectedComponents {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 30): DataFrame = {
     // Orient big→small, drop self loops and dup edges.
+    // Lazy localCheckpoint: the checksum action right after is what
+    // materializes the checkpoint blocks, so each round costs ONE job,
+    // not a separate eager-checkpoint job plus the checksum.
     var edges = pairs
       .select(col(aCol).as("x"), col(bCol).as("y"))
       .where(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var prev = checksum(edges)
     var it = 0
@@ -75,7 +78,7 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
 
       val cur = checksum(ss)
       done = cur == prev

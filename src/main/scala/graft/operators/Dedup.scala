@@ -83,6 +83,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Winnowing near-dup pairs: docs sharing ≥ `minShared` winnow
+    * fingerprints ([[TextFns.winnowFingerprints]], the MOSS sketch).
+    * Complementary to MinHash: Jaccard measures WHOLE-document
+    * similarity, winnowing certifies LOCAL overlap — any shared run of
+    * ≥ k+w-1 characters contributes a shared fingerprint, so a copied
+    * paragraph inside two otherwise-different docs is found. Plan
+    * shape mirrors [[minhashNearDups]]: map-side native sketch →
+    * explode → the one corpus-sized exchange on `fp` → capped
+    * within-bucket self-join → pair count agg. Fingerprints are
+    * distinct per doc, so the pair count equals the intersection size.
+    * Pick k so that k+w-1 exceeds the corpus's boilerplate run length
+    * — at k=8 a template-written corpus shares fingerprints
+    * everywhere; k≈24 certifies 27-char runs, which only real
+    * duplication produces. */
+  def winnowNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 24, w: Int = 4, minShared: Int = 5,
+      maxBucket: Int = 10000): DataFrame = {
+    val fps = Guards.capBuckets(
+      df.select(col(idCol).as("id"),
+        explode(TextFns.winnowFingerprints(col(textCol), k, w)).as("fp")),
+      Seq("fp"), maxBucket, observeAs = Some("winnow_bucket_guard"))
+    val l = fps.as("l"); val r = fps.as("r")
+    l.join(r, col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprint (native expression),
     * LSH-banded into `maxHamming + 1` contiguous bit bands — by
     * pigeonhole, any pair within `maxHamming` differing bits shares at

@@ -43,6 +43,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaCol.toSeq)
   }
 
+  test("winnow_fps callable from SQL, equals the column API") {
+    val df = Seq("a common stretch of text that is plenty long", "tiny")
+      .toDF("text")
+    df.createOrReplaceTempView("ext_winnow")
+    val viaSql = spark.sql(
+      "SELECT winnow_fps(text, 8, 4) AS fps FROM ext_winnow")
+      .as[Seq[String]].collect().toSeq
+    val viaCol = df
+      .select(graft.functions.TextFns.winnowFingerprints($"text", 8, 4).as("fps"))
+      .as[Seq[String]].collect().toSeq
+    assert(viaSql == viaCol && viaSql.head.nonEmpty && viaSql(1).isEmpty)
+  }
+
   test("non-literal k is rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT top_k(1.0, 1, id) FROM range(3)").collect()

@@ -33,6 +33,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("winnow near-dups certify a copied run, ignore short overlaps") {
+    val para = "this exact paragraph was copied verbatim between the two documents"
+    val corpus = Seq(
+      (10L, s"intro one. $para outro one."),
+      (11L, s"different intro. $para and a different ending entirely."),
+      (12L, "no shared material here beyond stray words like the and one."),
+      (13L, "another fully unrelated document with its own distinct text."))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(corpus, "text", "doc_id",
+        k = 24, w = 4, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L)),
+      "only the pair sharing a >=27-char run qualifies")
+  }
+
   test("simhash hamming distance separates near-dups from distinct docs") {
     val fp = docs.select($"doc_id",
         SimHash64.column(split(lower($"text"), "\\s+")).as("fp"))
