@@ -38,9 +38,21 @@ object ConnectedComponents {
     * Returns one row per vertex that appears in any pair:
     * (`id`, `component`) where `component` is the minimum vertex id of
     * the component (the same keep-lowest convention as [[Dedup]]).
-    * Ids must be an orderable column type; the output preserves it. */
+    * Ids must be an orderable column type; the output preserves it.
+    *
+    * Hybrid finish: star rounds SHRINK the edge set (toward one edge
+    * per non-root vertex), and each round costs a fixed number of
+    * shuffled jobs regardless of size — latency-dominated once the
+    * graph is small. So whenever the current edge count is ≤
+    * `localFinishThreshold` (for long/int/string ids), the remaining
+    * work runs as a driver-side union-find over a BOUNDED collect —
+    * the same bounded-driver-data precedent as a broadcast hash join,
+    * and the same local-finish phase every production CC (GraphX,
+    * GraphFrames) ships. Set the threshold to 0 to force pure
+    * distributed rounds (the differential spec pins both paths to
+    * identical labels). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30, localFinishThreshold: Long = 1L << 20): DataFrame = {
     // Orient big→small, drop self loops and dup edges.
     // Lazy localCheckpoint: the checksum action right after is what
     // materializes the checkpoint blocks, so each round costs ONE job,
@@ -53,10 +65,18 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
 
+    val idType = edges.schema("u").dataType
+    val localOrd = anyOrdering(idType)
+
     var prev = checksum(edges)
     var it = 0
     var done = prev._1 == 0L
     while (!done && it < maxIters) {
+      if (localOrd.isDefined && prev._1 <= localFinishThreshold) {
+        val collected = edges.select(col("u"), col("v")).collect()
+          .map(r => (r.get(0), r.get(1)))
+        return localFinish(pairs.sparkSession, collected, localOrd.get, idType)
+      }
       // large-star: over the symmetric neighborhood of u, attach every
       // LARGER neighbor v to m(u) = min(Γ(u) ∪ {u}). m ≤ u < v keeps
       // the big→small orientation invariant.
@@ -95,6 +115,51 @@ object ConnectedComponents {
       .join(members.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     members.union(roots)
+  }
+
+  /** Orderings for the id types the local finish supports; anything
+    * else stays on the distributed rounds. */
+  private def anyOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int]))
+      case StringType  => Some(Ordering.by((a: Any) => a.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Driver-side union-find over a bounded edge list (union by min —
+    * the surviving root of each merge is the smaller id, so final
+    * roots are component minima, matching the star rounds). */
+  private def localFinish(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Any, Any)], ord: Ordering[Any],
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows: java.util.List[Row] =
+      parent.keysIterator.map(v => Row(v, find(v))).toList.asJava
+    spark.createDataFrame(rows,
+      StructType(Seq(StructField("id", dt), StructField("component", dt))))
   }
 
   /** Cluster-true near-dup removal: keep exactly one doc (the minimum

@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
   * value can apply ln to score/tf/10⁶ downstream — the ranking below
   * is the product the pipeline consumes.
   *
-  * Shape at scale: one shuffle to (doc, term) for tf, one map-side
-  * combinable agg to term for df, one shuffled join tf⋈df on term
-  * (both sides already term-clustered), and a broadcast of the 1-row
-  * corpus count. The per-doc top-k window partitions are doc-sized
-  * (hundreds of terms), so no skew concern.
+  * Shape at scale: one shuffle to (doc, term) for tf, then df as a
+  * COUNT window over tf partitioned by term — not a separate
+  * `tf.groupBy(term)` + join, which would make Spark derive the whole
+  * scan→explode→tf subtree twice (a diamond DAG is re-computed, not
+  * shared, and exchange reuse is not guaranteed across different
+  * parent aggregates; `.explain` showed both subtrees). The window
+  * costs one exchange on term and touches each tf row once. Hot terms
+  * ("the" in every doc) skew a term partition to df(term) rows, but
+  * the tf⋈df join shuffles the same rows to the same reducer anyway —
+  * the skew is inherent to exact df, the window just stops paying the
+  * second scan. The corpus count joins as a broadcast 1-row cross; the
+  * per-doc top-k window partitions are doc-sized, no skew concern.
   */
 object CorpusStats {
 
@@ -30,19 +37,18 @@ object CorpusStats {
     * [[graft.functions.TextFns]] token counting. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * expr("(n_docs + 1) * 1000000L div (df + 1)"))
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")
+        Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term").asc)))
       .where(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "score", "rank")

@@ -7,9 +7,13 @@ import graft.operators.ConnectedComponents
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def labels(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+  // threshold 0 forces the distributed star rounds — the spec's default
+  // so the algorithm itself (not just the union-find finish) is pinned
+  private def labels(pairs: Seq[(Long, Long)],
+      localThreshold: Long = 0L): Map[Long, Long] =
     ConnectedComponents
-      .connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .connectedComponents(pairs.toDF("a", "b"), "a", "b",
+        localFinishThreshold = localThreshold)
       .as[(Long, Long)].collect().toMap
 
   test("known graph: two chains + isolated edge, min-id labels") {
@@ -43,6 +47,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     val want = touched.map(v => v -> find(v)).toMap
 
     assert(labels(edges) == want)
+  }
+
+  test("local union-find finish agrees with the distributed rounds") {
+    val edges = (0 until 150).map { i =>
+      ((i * 6007L) % 60, (i * i * 31L + 7) % 60)
+    }.filter { case (a, b) => a != b }
+    assert(labels(edges, localThreshold = 1L << 20) == labels(edges, 0L))
   }
 
   test("long chain converges within the round budget (log² n, not diameter)") {
