@@ -33,6 +33,25 @@ object VectorFns {
   def cosineFast(a: Column, b: Column): Column =
     graft.plans.CosineSim.column(dbl(a), dbl(b))
 
+  /** Scalar 8-bit quantization (SQ8) over a declared [lo, hi] range —
+    * the memory/bandwidth scale dial for similarity search: codes are
+    * 1 byte per dimension (4× smaller than float32), so a 100 TB
+    * corpus's vectors fit 4× more per executor and per cache line,
+    * at a bounded reconstruction error of (hi-lo)/512 per dimension
+    * (mid-rise dequantization). All arithmetic is plain IEEE double
+    * (`floor`/clamp/multiply by an exact power-of-two step for the
+    * default [-1,1]), so DuckDB replays codes and reconstructions
+    * bit-for-bit. Out-of-range values saturate to 0/255. */
+  def quantizeSq8(v: Column, lo: Double = -1.0, hi: Double = 1.0): Column =
+    transform(dbl(v), x =>
+      greatest(lit(0.0), least(lit(255.0),
+        floor((x - lit(lo)) * lit(256.0 / (hi - lo))))).cast("int"))
+
+  /** Mid-rise reconstruction of [[quantizeSq8]] codes: lo + (c+0.5)·step. */
+  def dequantizeSq8(codes: Column, lo: Double = -1.0, hi: Double = 1.0): Column =
+    transform(codes, c =>
+      lit(lo) + (c.cast("double") + lit(0.5)) * lit((hi - lo) / 256.0))
+
   /** Deterministic signed-random-projection bucket for LSH-style ANN:
     * the sign bits of the first `nBits` components, packed to a long.
     * Cheap, broadcast-free, and stable across engines (pure

@@ -268,6 +268,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sq8 quantization: bounded reconstruction error, strong top-1 recall") {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(spark, sf)
+    // mid-rise SQ8 over [-1,1]: per-dim error ≤ step/2 = 1/256
+    val maxErr = emb.select(VectorFns.dequantizeSq8(
+          VectorFns.quantizeSq8($"embedding")).as("rt"), $"embedding")
+      .select(aggregate(
+        zip_with($"rt", $"embedding".cast("array<double>"),
+          (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("e"))
+      .agg(max($"e")).as[Double].head()
+    assert(maxErr <= 1.0 / 256 + 1e-12, s"maxErr=$maxErr")
+
+    // the quantized ranking should keep most exact top-1 neighbors
+    val sq = emb.select($"vec_id",
+      VectorFns.dequantizeSq8(VectorFns.quantizeSq8($"embedding")).as("embedding"))
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df.filter($"vec_id" < 20), df, "vec_id", "embedding", 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val (exactT, sqT) = (top1(emb), top1(sq))
+    val hits = exactT.count { case (q, n) => sqT.get(q).contains(n) }
+    assert(hits >= 16, s"sq8 top-1 recall $hits/20 — quantization too lossy")
+  }
+
   test("approx_percentile tracks exact percentile within its accuracy bound") {
     // The 100 TB path for q_percentile: exact percentile is a full sort
     // per group; approx_percentile is a one-pass mergeable sketch. With
