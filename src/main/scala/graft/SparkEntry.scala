@@ -1232,6 +1232,34 @@ object SparkEntry {
             < '19999999999a'
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Stratified deterministic sampling: per-returnflag fractions (keep
+    * all of R, 20 % of N, 5 % of A), membership a pure function of the
+    * business key. The CASE-over-hex-cuts predicate is map-side only
+    * and replays verbatim in SQL. */
+  private val stratifiedSample = Q("q_stratified_sample",
+    (s, d) => graft.operators.Sampling.sampleStratified(
+        Tables.lineitem(s, d),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        col("l_returnflag"),
+        Map("A" -> 0.05, "N" -> 0.2, "R" -> 1.0),
+        defaultFraction = 0.0, seed = "strata")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Tables.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag")),
+    Some(s"""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE substr(md5('strata' || CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 12)
+            < CASE l_returnflag
+                WHEN 'A' THEN '${"%012x".format(math.round(0.05 * (1L << 48)))}'
+                WHEN 'N' THEN '${"%012x".format(math.round(0.2 * (1L << 48)))}'
+                WHEN 'R' THEN 'g'
+                ELSE '' END
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Binned interval join: purchases matched to the trailing-1h window
     * after each error by the same user. The raw range predicate would
     * plan as a per-user nested loop; [[graft.operators.RangeJoin]]
@@ -1457,7 +1485,7 @@ object SparkEntry {
     cosineTopK, sq8TopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
-    dedupCc, hashSample, rangeJoin, tfidfTerms,
+    dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,
     mediaFeatures, mediaFrames, mediaDecode)
 
   /** One entry per implemented operator from SURVEY.md §2. */

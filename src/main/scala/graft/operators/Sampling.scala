@@ -57,4 +57,30 @@ object Sampling {
     val keep = hashKeep(key, leftFraction, seed)
     (df.where(keep), df.where(!keep))
   }
+
+  /** Threshold string usable in a per-row compare even at the
+    * degenerate fractions: "" admits nothing (no string < ""), "g"
+    * admits every 12-hex-char hash ('g' > 'f'). */
+  private def thresholdHexClamped(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    val cut = math.round(fraction * (1L << 48))
+    if (cut <= 0L) "" else if (cut >= (1L << 48)) "g" else f"$cut%012x"
+  }
+
+  /** Per-stratum deterministic sampling: each stratum keeps its own
+    * fraction (downsample the boilerplate-heavy domain, keep the rare
+    * language whole) with the same data-keyed stability as
+    * [[sampleByHash]]. The per-row threshold is a CASE chain over
+    * literal hex cuts — pure map-side column algebra, no join, no
+    * shuffle, and the whole predicate replays in SQL. */
+  def sampleStratified(df: DataFrame, key: Column, stratum: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: String = ""): DataFrame = {
+    val cut = fractions.foldLeft(lit(thresholdHexClamped(defaultFraction))) {
+      case (acc, (s, f)) => when(stratum === lit(s),
+        lit(thresholdHexClamped(f))).otherwise(acc)
+    }
+    df.where(
+      substring(md5(concat(lit(seed), key.cast("string"))), 1, 12) < cut)
+  }
 }

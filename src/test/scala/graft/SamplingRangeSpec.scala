@@ -41,6 +41,24 @@ class SamplingRangeSpec extends SparkSpec {
     assert(s10.subsetOf(s30))
   }
 
+  test("stratified sample: per-stratum rates, default drops, full keeps") {
+    val df = (1L to 9000L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3)))
+      .toDF("id", "s")
+    val kept = Sampling.sampleStratified(df, $"id", $"s",
+        Map("a" -> 0.1, "b" -> 1.0), defaultFraction = 0.0, seed = "t")
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(kept("b") == 3000L, "fraction 1.0 keeps the whole stratum")
+    assert(!kept.contains("c"), "unlisted stratum falls to defaultFraction 0")
+    assert(math.abs(kept("a") - 300L) < 120, s"got ${kept("a")}")
+    // membership within a stratum matches the flat sampler (same seed)
+    val flat = Sampling.sampleByHash(df.where($"s" === "a"), $"id", 0.1, "t")
+      .select("id").as[Long].collect().toSet
+    val strat = Sampling.sampleStratified(df, $"id", $"s",
+        Map("a" -> 0.1), seed = "t")
+      .select("id").as[Long].collect().toSet
+    assert(strat == flat)
+  }
+
   test("range join: differential vs naive range predicate") {
     // Pseudo-random points and intervals across 3 users; intervals span
     // 0-3 bins at binWidth=10 so multi-bin explode paths are exercised.
