@@ -52,7 +52,11 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
     * broadcast cross join — catalog tables are metadata-tiny. */
   private def readTable[T: org.apache.spark.sql.Encoder](
       dir: String, defaultRow: T): Dataset[T] =
-    currentVersion(dir) match {
+    readTableAt(dir, defaultRow, currentVersion(dir))
+
+  private def readTableAt[T: org.apache.spark.sql.Encoder](
+      dir: String, defaultRow: T, version: Option[Int]): Dataset[T] =
+    version match {
       case Some(v) =>
         val raw = spark.read.parquet(s"$dir/v_$v")
         val have = raw.columns.toSet
@@ -69,6 +73,21 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
         migrated.as[T]
       case None => spark.emptyDataset[T]
     }
+
+  /** Catalog versions still readable under `dir` (every mutation leaves
+    * its predecessor's `v_<n>` directory in place). */
+  private def versionsOf(dir: String): Seq[Int] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val it = Files.list(d).iterator()
+      val vs = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v_") => s.stripPrefix("v_").toInt }
+        .toSeq
+      vs.sorted
+    }
+  }
 
   private def writeTable[T](dir: String, ds: Dataset[T]): Unit = {
     val next = currentVersion(dir).getOrElse(-1) + 1
@@ -170,6 +189,16 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
   def features: Dataset[FeatureDef] =
     readTable[FeatureDef](featuresDir, FeatureDef.migrationDefault)
 
+  /** Time travel: the registry exactly as it stood at catalog version
+    * `v` — every mutation leaves its predecessor's `v_<n>` dir intact,
+    * so any audit ("what was registered when this model trained?")
+    * reads history without restores. [[featureVersions]] lists what's
+    * on disk; an unknown version throws (same as a missing dir). */
+  def featuresAt(v: Int): Dataset[FeatureDef] =
+    readTableAt[FeatureDef](featuresDir, FeatureDef.migrationDefault, Some(v))
+
+  def featureVersions: Seq[Int] = versionsOf(featuresDir)
+
   /** R1 `register_feature` (feature_store.py:195-241): validate dtype,
     * mint uuid, upsert keyed by unique name (INSERT OR REPLACE ≡
     * filter-out + union). */
@@ -223,6 +252,12 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
 
   def groups: Dataset[FeatureGroup] =
     readTable[FeatureGroup](groupsDir, FeatureGroup.migrationDefault)
+
+  /** Time travel for the group table — see [[featuresAt]]. */
+  def groupsAt(v: Int): Dataset[FeatureGroup] =
+    readTableAt[FeatureGroup](groupsDir, FeatureGroup.migrationDefault, Some(v))
+
+  def groupVersions: Seq[Int] = versionsOf(groupsDir)
 
   /** R4 `create_group` (feature_store.py:263-306): every member must exist
     * in the registry (the reference loops one SELECT per member,

@@ -299,6 +299,21 @@ class FeatureStoreSpec extends SparkSpec {
     assert(c.features.count() == 2)
   }
 
+  test("catalog time travel: every mutation's predecessor stays readable") {
+    val c = registered() // three sequential registers → versions 0,1,2
+    assert(c.featureVersions == Seq(0, 1, 2))
+    assert(c.featuresAt(0).collect().map(_.name).toSeq == Seq("age"))
+    assert(c.featuresAt(1).collect().map(_.name).sorted.toSeq ==
+      Seq("age", "income"))
+    // current == latest version; deactivation writes version 3 but the
+    // pre-deactivation state is still intact at 2
+    c.deactivateFeature("age")
+    assert(c.featureVersions == Seq(0, 1, 2, 3))
+    assert(c.featuresAt(2).filter(_.isActive).count() == 3)
+    assert(c.features.filter(_.isActive).count() == 2)
+    intercept[Exception](c.featuresAt(99).collect())
+  }
+
   test("orphaned lock is stolen after TTL (ADVICE r2)") {
     val root = tmpDir("locksteal")
     val c = new FeatureCatalog(spark, root)
