@@ -1095,6 +1095,27 @@ object SparkEntry {
                list_min(hashes[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fps
       FROM hs ORDER BY doc_id"""))
 
+  /** Context-window chunking: fixed-size overlapping character chunks
+    * (size 120, overlap 20) — one map-side explode, no shuffle; the
+    * stride arithmetic replays verbatim in SQL. */
+  private val chunkText = Q("q_chunk_text",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextFns.chunkText(col("text"), 120, 20)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      SELECT doc_id, i AS chunk_idx,
+             substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk,
+             CAST(length(substr(text, CAST(i * 100 + 1 AS INT), 120)) AS INT)
+               AS chunk_len
+      FROM documents,
+           unnest(range(greatest(1,
+             CAST(ceil((length(text) - 20) / 100.0) AS INT)))) AS t(i)
+      ORDER BY doc_id, chunk_idx"""))
+
   /** Winnow-sketch near-dup pairs: local-overlap dedup (k=24 → shared
     * 27-char runs), ≥5 shared fingerprints. One exchange on fp,
     * capped self-join — the same bucketed-not-all-pairs shape as
@@ -1480,8 +1501,8 @@ object SparkEntry {
     bucketedJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
-    dedupExact, dedupFp, winnowFp, winnowDup, langDist, langIdDist, quality,
-    tokenCounts,
+    dedupExact, dedupFp, winnowFp, winnowDup, chunkText, langDist, langIdDist,
+    quality, tokenCounts,
     cosineTopK, sq8TopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

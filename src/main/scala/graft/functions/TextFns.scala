@@ -102,6 +102,27 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Fixed-size overlapping character chunks — the context-window prep
+    * step of a training pipeline (long doc → model-sized pieces whose
+    * `overlap` keeps boundary-spanning content intact in some chunk).
+    * Chunk i covers [i·stride, i·stride + size) with
+    * stride = size - overlap; the final partial chunk is kept (a tail
+    * shorter than `overlap` would duplicate retained content and is
+    * not emitted as its own chunk). Pure column algebra over one
+    * `sequence`+`transform` whose lambda touches only the (cheap)
+    * source column — map-side, no shuffle, SQL-replayable. */
+  def chunkText(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunkText: size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = length(text)
+    // number of stride-steps whose chunk ADDS content: ceil((n-overlap)/stride)
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => text.substr(i * stride + 1, lit(size)))
+  }
+
   /** Winnowing document fingerprints (the MOSS scheme): the minimum
     * 12-hex-char-md5 gram hash of each w-window of character k-grams,
     * distinct + sorted. Delegates to the native codegen'd expression

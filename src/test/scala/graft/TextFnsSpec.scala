@@ -76,6 +76,26 @@ class TextFnsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("chunkText: full coverage, exact overlap, tail handling") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 chars
+    val chunks = Seq(Tuple1(text)).toDF("t")
+      .select(TextFns.chunkText($"t", 10, 3).as("c"))
+      .as[Seq[String]].head()
+    // stride 7: ceil((36-3)/7) = 5 chunks
+    assert(chunks.length == 5)
+    assert(chunks.head == "abcdefghij")
+    // overlap: each chunk's last 3 chars open the next chunk
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.takeRight(3) == b.take(3))
+    }
+    // coverage: stitching stride-prefixes + last chunk rebuilds the doc
+    assert(chunks.init.map(_.take(7)).mkString + chunks.last == text)
+
+    val short = Seq(Tuple1("abc")).toDF("t")
+      .select(TextFns.chunkText($"t", 10, 3).as("c")).as[Seq[String]].head()
+    assert(short == Seq("abc"), "doc shorter than size is one chunk")
+  }
+
   test("winnowing fingerprints: coverage property + short-doc emptiness") {
     // Two docs sharing a run of >= k+w-1 chars MUST share a fingerprint
     // (winnowing's guarantee); unrelated docs almost surely don't.
