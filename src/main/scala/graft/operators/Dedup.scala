@@ -71,6 +71,8 @@ object Dedup {
         .withColumnRenamed("col", "bucket"),
       Seq("band", "bucket"), maxBucket,
       observeAs = Some("minhash_bucket_guard"))
+      // one materialization for both self-join sides (see winnowNearDups)
+      .localCheckpoint(false)
     val l = banded.as("l"); val r = banded.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") &&
@@ -101,10 +103,16 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 24, w: Int = 4, minShared: Int = 5,
       maxBucket: Int = 10000): DataFrame = {
+    // Lazy localCheckpoint: a self-join's two sides are otherwise two
+    // independent derivations of the same frame — Spark recomputes
+    // diamond DAGs, and exchange reuse does not fire across the
+    // probe/broadcast split (verified empirically, r5). One
+    // materialization of the sketch, read twice.
     val fps = Guards.capBuckets(
       df.select(col(idCol).as("id"),
         explode(TextFns.winnowFingerprints(col(textCol), k, w)).as("fp")),
       Seq("fp"), maxBucket, observeAs = Some("winnow_bucket_guard"))
+      .localCheckpoint(false)
     val l = fps.as("l"); val r = fps.as("r")
     l.join(r, col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -146,6 +154,8 @@ object Dedup {
         .select(col("id"), col("fp"), col("bb.band"), col("bb.bucket")),
       Seq("band", "bucket"), maxBucket,
       observeAs = Some("simhash_bucket_guard"))
+      // one materialization for both self-join sides (see winnowNearDups)
+      .localCheckpoint(false)
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r,
         col("l.band") === col("r.band") &&
@@ -194,6 +204,8 @@ object Dedup {
     val sh = docs
       .join(candIds, col(idCol) === col("cid"), "left_semi")
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      // shingle the candidate set once — it feeds BOTH pair-side joins
+      .localCheckpoint(false)
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -157,6 +157,9 @@ object Similarity {
         VectorFns.signBucket(col(vecCol), nBits).as("bucket")),
       Seq("bucket"), maxBucket,
       observeAs = Some("embed_bucket_guard"))
+      // one materialization for both self-join sides (see
+      // Dedup.winnowNearDups: diamond DAGs recompute, reuse doesn't fire)
+      .localCheckpoint(false)
     val l = b.as("l"); val r = b.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("l.v"), col("r.v")), 6))
