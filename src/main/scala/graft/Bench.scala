@@ -43,7 +43,15 @@ import scala.jdk.CollectionConverters._
   *      SPARK_GRAFT_MAX_REPEAT (default 4). min-of-2 alone was beaten
   *      by sustained contamination in r4; the gate buys more samples
   *      exactly when the host is loud. Per-pass verdicts land in the
-  *      evidence sidecar (`"passQuality"`).
+  *      evidence sidecar (`"passQuality"`); and
+  *  (e) times a CPU CANARY — a fixed single-thread xorshift spin — at
+  *      each pass boundary. The r5d contamination mode inflated wall
+  *      AND process-user-CPU 20-30× on unchanged queries while steal
+  *      and sys read clean (host oversubscription the guest books as
+  *      its own user time); the canary measures effective CPU speed
+  *      directly, so a pass whose worst canary exceeds 1.5× the
+  *      session's floor is marked contaminated and buys an extra pass
+  *      like (d).
   *
   * Env knobs (profiling aids):
   *   SPARK_GRAFT_ONLY=q1,q2   restrict to named queries (unknown names abort)
@@ -163,6 +171,21 @@ object Bench {
       }
     // noop sink: materializes every output row (unlike count(), which
     // lets Catalyst drop final sorts and prune all columns).
+    // CPU canary: fixed single-thread spin; wall time ∝ 1/effective
+    // CPU speed. Warmed before the loop so JIT state is steady.
+    def canaryMs(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 40000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    (1 to 3).foreach(_ => canaryMs())
+    var canaryFloor = Double.MaxValue
+
     var failures = List.empty[(String, String)]
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val bestCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -172,6 +195,7 @@ object Bench {
     var planned = basePasses
     while (pass < planned) {
       pass += 1
+      val canaryStart = canaryMs()
       val p0 = snap()
       selected.foreach { case (name, fn) =>
         val s0 = snap(); val t0 = System.nanoTime()
@@ -214,14 +238,20 @@ object Bench {
       // verdict buys one extra pass (bounded by maxPasses) so min-of-N
       // draws from at least one quiet sample.
       val p1 = snap()
+      val canaryEnd = canaryMs()
+      canaryFloor = math.min(canaryFloor, math.min(canaryStart, canaryEnd))
+      val canaryWorst = math.max(canaryStart, canaryEnd)
       val dUser = p1.userJf - p0.userJf; val dSys = p1.systemJf - p0.systemJf
       val dSteal = p1.stealJf - p0.stealJf
       val dTotal = dUser + dSys + dSteal +
         (p1.idleJf - p0.idleJf) + (p1.iowaitJf - p0.iowaitJf)
       val contaminated =
-        (dTotal > 0 && dSteal.toDouble / dTotal > 0.05) || dSys > dUser
+        (dTotal > 0 && dSteal.toDouble / dTotal > 0.05) || dSys > dUser ||
+          canaryWorst > 1.5 * canaryFloor
       passQuality :+= s"""{"pass":$pass,"userJf":$dUser,"sysJf":$dSys,""" +
-        s""""stealJf":$dSteal,"totalJf":$dTotal,"contaminated":$contaminated}"""
+        s""""stealJf":$dSteal,"totalJf":$dTotal,""" +
+        s""""canaryStartMs":${fmt(canaryStart)},"canaryEndMs":${fmt(canaryEnd)},""" +
+        s""""contaminated":$contaminated}"""
       System.err.println(s"[bench] passQuality ${passQuality.last}")
       if (contaminated && planned < maxPasses) planned += 1
     }
