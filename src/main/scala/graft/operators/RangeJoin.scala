@@ -36,7 +36,10 @@ object RangeJoin {
     // seconds are ~2^31; callers with larger domains should pre-scale.
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
     val l = left.withColumn("__bin", bin(col(pointCol)))
-    val r = right.withColumn("__bin",
+    // end < start would make sequence() DESCEND and explode a bin list
+    // proportional to the (nonsensical) gap; such intervals can match
+    // nothing, so drop them before the explode.
+    val r = right.where(col(endCol) >= col(startCol)).withColumn("__bin",
       explode(sequence(bin(col(startCol)), bin(col(endCol)))))
     l.join(r, equiKeys :+ "__bin")
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

@@ -82,7 +82,10 @@ class SamplingRangeSpec extends SparkSpec {
   test("range join: end is exclusive, start inclusive, bin-boundary safe") {
     val points = Seq((1, 10L, 20L), (1, 11L, 29L), (1, 12L, 30L))
       .toDF("uid", "pid", "p") // 20 on start, 30 on exclusive end
-    val ivals = Seq((1, 100L, 20L, 30L)).toDF("uid", "iid", "lo", "hi")
+    // the (hi < lo) interval must be dropped, not explode a huge
+    // descending bin sequence
+    val ivals = Seq((1, 100L, 20L, 30L), (1, 101L, 1000000L, 0L))
+      .toDF("uid", "iid", "lo", "hi")
     val got = RangeJoin.pointInInterval(points, ivals, "p", "lo", "hi",
         Seq("uid"), binWidth = 10L)
       .select("pid").as[Long].collect().sorted
