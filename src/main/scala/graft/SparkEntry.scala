@@ -532,6 +532,124 @@ object SparkEntry {
              count(*) AS n_docs
       FROM documents GROUP BY source ORDER BY source"""))
 
+  /** Gopher/C4-family repetition signals, per document: repeated-token
+    * ratio, top-token mass, top-bigram mass — all computed map-side in
+    * one expression (no explode/shuffle; see
+    * [[TextFns.repetitionCols]]). */
+  private val repetition = Q("q_repetition",
+    (s, d) => {
+      val cols = TextFns.repetitionCols(col("text"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE doc_id < 300),
+      b AS (
+        SELECT doc_id, toks,
+               [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))] AS bgs
+        FROM t)
+      SELECT doc_id,
+             round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+               / len(toks), 6) AS dup_token_ratio,
+             round(CAST(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+               / len(toks), 6) AS top_token_frac,
+             CASE WHEN len(toks) < 2 THEN NULL
+                  ELSE round(CAST(list_max(list_transform(list_distinct(bgs),
+                      g -> len(list_filter(bgs, x -> x = g)))) AS DOUBLE)
+                    / (len(toks) - 1), 6) END AS top_bigram_frac
+      FROM b ORDER BY doc_id"""))
+
+  /** Corpus-wide heavy hitters: exact explode→agg→TakeOrdered top-k
+    * (the count-min-sketch one-pass estimate is bounded against this
+    * exact path in CorpusStatsSpec). */
+  private val heavyHitters = Q("q_heavy_hitters",
+    (s, d) => graft.operators.CorpusStats
+      .heavyHitters(Tables.documents(s, d), "text", 20)
+      .orderBy(col("rank")),
+    Some("""
+      WITH tot AS (
+        SELECT sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS n_total
+        FROM documents),
+      c AS (
+        SELECT term, count(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents)
+        WHERE len(term) > 0 GROUP BY term
+        ORDER BY cnt DESC, term LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
+             term, cnt, round(CAST(cnt AS DOUBLE) / n_total, 6) AS corpus_frac
+      FROM c, tot ORDER BY rank"""))
+
+  /** PII redaction over deterministic synthetic PII (the corpus itself
+    * is PII-free, so email/IP/phone strings are appended from doc_id in
+    * both engines — the regexes are what's under test). */
+  private val piiRedact = Q("q_pii_redact",
+    (s, d) => {
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextFns.redactPii(pii).as("redacted"),
+          size(regexp_extract_all(pii,
+            lit(TextFns.PiiPatterns(0)._1), lit(0))).as("n_emails"),
+          size(regexp_extract_all(pii,
+            lit(TextFns.PiiPatterns(1)._1), lit(0))).as("n_ips"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    || ' call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(t,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips
+      FROM p ORDER BY doc_id"""))
+
+  /** Bloom-prefiltered semi join: big side filtered by a native
+    * `might_contain` literal BEFORE its exchange; exact join scrubs the
+    * false positives, so the oracle is the plain semi join. */
+  private val bloomSemi = Q("q_bloom_semi",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      graft.operators.BloomJoin
+        .bloomSemiJoin(Tables.orders(s, d), cust, "o_custkey", "c_custkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Tables.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   private val cosineTopK = Q("q_cosine_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1502,7 +1620,7 @@ object SparkEntry {
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, winnowFp, winnowDup, chunkText, langDist, langIdDist,
-    quality, tokenCounts,
+    quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
     cosineTopK, sq8TopK, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

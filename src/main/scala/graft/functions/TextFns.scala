@@ -123,6 +123,53 @@ object TextFns {
       i => text.substr(i * stride + 1, lit(size)))
   }
 
+  /** Repetition quality signals (the Gopher/C4 family): fraction of
+    * repeated tokens, mass of the single most frequent token, and mass
+    * of the most frequent word bigram. High values mark boilerplate /
+    * degenerate generations that a pretraining pipeline drops before
+    * anything expensive.
+    *
+    * All three are computed per-document in one map-side expression —
+    * no explode, no shuffle. The mode count is O(distinct·n) per doc
+    * (each distinct token rescans the token list); doc lengths are
+    * bounded by upstream chunking, so at 100 TB this stays a constant
+    * per-row cost that beats the alternative (explode → groupBy over
+    * ~10¹¹ (doc,token) rows) by the width of a full shuffle. */
+  def repetitionCols(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    val maxTokCnt = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    val maxBgCnt = array_max(transform(array_distinct(bigrams),
+      b => size(filter(bigrams, x => x === b))))
+    Seq(
+      "dup_token_ratio" -> round(
+        (n - size(array_distinct(toks))).cast("double") / n, 6),
+      "top_token_frac" -> round(maxTokCnt.cast("double") / n, 6),
+      "top_bigram_frac" -> when(n < 2, lit(null).cast("double"))
+        .otherwise(round(maxBgCnt.cast("double") / (n - 1), 6)))
+  }
+
+  /** PII redaction patterns, deliberately restricted to syntax valid in
+    * BOTH Java regex (Spark) and RE2 (DuckDB oracle): character
+    * classes, bounded repetition, `\b` — no lookaround, no
+    * backreferences. Order matters: emails first (so their dotted
+    * domains can't be half-eaten by the IP pass). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}" -> "<PHONE>")
+
+  /** Scrub emails / IPv4s / intl-format phone numbers to typed
+    * placeholders — the compliance pass a training pipeline runs before
+    * retention. Chain of codegen'd `regexp_replace`, map-side. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Winnowing document fingerprints (the MOSS scheme): the minimum
     * 12-hex-char-md5 gram hash of each w-window of character k-grams,
     * distinct + sorted. Delegates to the native codegen'd expression

@@ -53,4 +53,35 @@ object CorpusStats {
       .where(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "score", "rank")
   }
+
+  /** Corpus-wide heavy hitters: the k most frequent tokens with counts
+    * and corpus mass. Exact path: explode → hash agg → `TakeOrdered`
+    * (orderBy+limit plans as a per-partition top-k + driver merge of
+    * 32·k rows, NOT a full sort). Map-side partial aggregation absorbs
+    * hot-term skew before the exchange — "the" arrives at its reducer
+    * as one partial count per map partition, not one row per
+    * occurrence.
+    *
+    * The sketch path for when even the distinct-term aggregate is too
+    * wide (per-minute heavy hitters over a firehose): a count-min
+    * sketch aggregate (`count_min_sketch`, mergeable, fixed ε·δ memory)
+    * estimates the same counts one-pass; CorpusStatsSpec bounds its
+    * error against this exact path. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = docs.select(
+      sum(size(split(trim(lower(col(textCol))), "\\s+"))).as("n_total"))
+    docs.select(
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)))
+      .crossJoin(broadcast(total))
+      .withColumn("corpus_frac",
+        round(col("cnt").cast("double") / col("n_total"), 6))
+      .select("rank", "term", "cnt", "corpus_frac")
+  }
 }

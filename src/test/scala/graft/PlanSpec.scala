@@ -51,6 +51,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(physical(run("q_anti_join")).contains("LeftAnti"))
   }
 
+  test("bloom prefilter runs below the big side's first exchange") {
+    // The whole point of q_bloom_semi: non-candidate rows die map-side.
+    // Structurally: a Filter containing might_contain sits on the scan
+    // side of every Exchange in the plan (never above one).
+    val plan = run("q_bloom_semi").queryExecution.executedPlan
+    val filters = collect(plan) {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.nonEmpty, s"no might_contain filter in:\n$plan")
+    filters.foreach { f =>
+      val below = collect(f.child) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(below.isEmpty,
+        s"bloom prefilter planned ABOVE a shuffle — prefilter is wasted:\n$plan")
+    }
+  }
+
   test("pit latest aggregates top-1 map-side (no window, no history shuffle)") {
     // latestAsOf = max_by aggregate: partial aggregation runs before
     // the exchange, so the shuffle carries ≤1 row per entity per input

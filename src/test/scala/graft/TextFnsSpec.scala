@@ -96,6 +96,32 @@ class TextFnsSpec extends SparkSpec {
     assert(short == Seq("abc"), "doc shorter than size is one chunk")
   }
 
+  test("repetitionCols: known token/bigram repetition structure") {
+    // "a b a b a": 5 tokens, 2 distinct → dup ratio 3/5; "a"×3 → top
+    // token 3/5; bigrams [a b, b a, a b, b a] → top bigram 2/4.
+    val df = Seq(
+      (1L, "a b a b a"),
+      (2L, "all distinct words here"),
+      (3L, "solo")).toDF("doc_id", "t")
+      .select($"doc_id" +: TextFns.repetitionCols($"t")
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(df(1L) == ((0.6, 0.6, Some(0.5))))
+    assert(df(2L) == ((0.0, 0.25, Some(0.333333))))
+    assert(df(3L) == ((0.0, 1.0, None)), "single token: bigram frac is null")
+  }
+
+  test("redactPii: emails, IPv4s, phones → typed placeholders; clean text untouched") {
+    val got = Seq(
+      "mail a.b+c@x-y.co.uk and 192.168.0.1 then call +44-201-5550199",
+      "no pii at all, 1.2 ratio, v2.3.4 semver, a@b (not an email)")
+      .toDF("t").select(TextFns.redactPii($"t").as("r")).as[String].collect()
+    assert(got(0) == "mail <EMAIL> and <IP> then call <PHONE>")
+    assert(got(1) == "no pii at all, 1.2 ratio, v2.3.4 semver, a@b (not an email)",
+      "partial dotted numbers and tld-less at-signs must survive")
+  }
+
   test("winnowing fingerprints: coverage property + short-doc emptiness") {
     // Two docs sharing a run of >= k+w-1 chars MUST share a fingerprint
     // (winnowing's guarantee); unrelated docs almost surely don't.
