@@ -548,21 +548,29 @@ object SparkEntry {
       WITH t AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         FROM documents WHERE doc_id < 300),
-      b AS (
-        SELECT doc_id, toks,
-               [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))] AS bgs
-        FROM t)
-      SELECT doc_id,
+      tok_mode AS (
+        SELECT doc_id, max(c) AS max_tok FROM (
+          SELECT doc_id, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+          GROUP BY doc_id, term)
+        GROUP BY doc_id),
+      bg_mode AS (
+        SELECT doc_id, max(c) AS max_bg FROM (
+          SELECT doc_id, count(*) AS c FROM (
+            SELECT doc_id, unnest(
+              [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS bg
+            FROM t)
+          GROUP BY doc_id, bg)
+        GROUP BY doc_id)
+      SELECT t.doc_id,
              round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
                / len(toks), 6) AS dup_token_ratio,
-             round(CAST(list_max(list_transform(list_distinct(toks),
-                 t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
-               / len(toks), 6) AS top_token_frac,
+             round(CAST(max_tok AS DOUBLE) / len(toks), 6) AS top_token_frac,
              CASE WHEN len(toks) < 2 THEN NULL
-                  ELSE round(CAST(list_max(list_transform(list_distinct(bgs),
-                      g -> len(list_filter(bgs, x -> x = g)))) AS DOUBLE)
-                    / (len(toks) - 1), 6) END AS top_bigram_frac
-      FROM b ORDER BY doc_id"""))
+                  ELSE round(CAST(max_bg AS DOUBLE) / (len(toks) - 1), 6)
+             END AS top_bigram_frac
+      FROM t JOIN tok_mode USING (doc_id) LEFT JOIN bg_mode USING (doc_id)
+      ORDER BY doc_id"""))
 
   /** Corpus-wide heavy hitters: exact explode→agg→TakeOrdered top-k
     * (the count-min-sketch one-pass estimate is bounded against this
@@ -649,6 +657,67 @@ object SparkEntry {
       WHERE o_custkey IN (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** The training-data prep pipeline END-TO-END, composed from the
+    * individually-oracled stages: quality gate (alpha ratio + token
+    * floor) → fingerprint dedup (keep lowest doc_id; 32-byte keys ride
+    * the dedup exchange, not documents) → context-window chunking →
+    * per-source yield stats. One declared query proving the stages
+    * compose, with the whole chain replayed in SQL. */
+  private val pipelinePrep = Q("q_pipeline_prep",
+    (s, d) => {
+      val qc = TextFns.qualityCols(col("text")).toMap
+      val docs = Tables.documents(s, d)
+        .filter(qc("alpha_ratio") >= 0.55 && qc("n_tokens") >= 20)
+      val kept = docs.join(
+        graft.operators.Dedup.byFingerprint(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      kept.select(col("source"), col("doc_id"),
+          posexplode(TextFns.chunkText(col("text"), 120, 20)))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+          count(lit(1)).as("n_chunks"),
+          sum(length(col("col")).cast("long")).as("chunk_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source, text
+        FROM documents
+        WHERE round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                AS DOUBLE) / length(text), 6) >= 0.55
+          AND len(string_split_regex(trim(text), '\s+')) >= 20),
+      k AS (
+        SELECT * FROM f WHERE doc_id IN (
+          SELECT min(doc_id)
+          FROM (SELECT doc_id,
+                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                FROM f)
+          GROUP BY fp)),
+      c AS (
+        SELECT source, doc_id, substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk
+        FROM k, unnest(range(greatest(1,
+          CAST(ceil((length(text) - 20) / 100.0) AS INT)))) AS t(i))
+      SELECT source, count(DISTINCT doc_id) AS n_docs_kept,
+             count(*) AS n_chunks,
+             CAST(sum(length(chunk)) AS BIGINT) AS chunk_chars
+      FROM c GROUP BY source ORDER BY source"""))
+
+  /** Per-label centroids in exact fixed-point space (the k-means update
+    * step / class prototypes — see [[Similarity.labelCentroids]]). */
+  private val embedCentroid = Q("q_embed_centroid",
+    (s, d) => graft.operators.Similarity
+      .labelCentroids(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy(col("label"), col("pos")),
+    Some("""
+      SELECT label, i - 1 AS pos,
+             CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_fx,
+             count(*) AS n,
+             round(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1048576, 6) AS centroid
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY label, i ORDER BY label, pos"""))
 
   private val cosineTopK = Q("q_cosine_topk",
     (s, d) => {
@@ -1621,7 +1690,7 @@ object SparkEntry {
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, winnowFp, winnowDup, chunkText, langDist, langIdDist,
     quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
-    cosineTopK, sq8TopK, sessionize,
+    cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
     dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,

@@ -139,6 +139,32 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-group embedding centroids — the "update" half of a k-means /
+    * IVF training step (assign = [[ivfTopK]]'s cell fold), and the
+    * standard class-prototype feature of an embedding pipeline.
+    *
+    * Sums run in EXACT fixed-point space: each component is floored to
+    * `v·2^shift` as a long, so the aggregate is integer math with no
+    * float-ordering drift (a double sum's value depends on partial-agg
+    * order; the hash gate would flake). The centroid is reconstructed
+    * as `sum / n / 2^shift` in one deterministic double division chain.
+    *
+    * Scale shape: `posexplode` inflates rows ×dim map-side only —
+    * partial aggregation collapses them to (labels·dim) partial sums
+    * per map partition before the exchange, so the shuffle carries
+    * O(groups·dim·partitions) tiny rows regardless of corpus size. */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String,
+      shift: Int = 20): DataFrame = {
+    val scale = (1L << shift).toDouble
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v") * scale).cast("long")).as("sum_fx"),
+        count(lit(1)).as("n"))
+      .withColumn("centroid",
+        round(col("sum_fx").cast("double") / col("n") / scale, 6))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucketed self-join, pairs
     * above `threshold`. The verify stage of embedding-level dedup.
     *

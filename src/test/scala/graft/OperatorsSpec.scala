@@ -364,6 +364,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("labelCentroids: exact fixed-point means on a known frame") {
+    val emb = Seq(
+      (1, Seq(1.0f, -0.5f)),
+      (1, Seq(3.0f, 0.5f)),
+      (2, Seq(2.0f, 2.0f))).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(emb, "label", "embedding")
+      .orderBy("label", "pos")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    val S = 1L << 20
+    assert(got == Seq(
+      (1, 0, 4 * S, 2L, 2.0),
+      // floor(-0.5*2^20) + floor(0.5*2^20) = 0 exactly
+      (1, 1, 0L, 2L, 0.0),
+      (2, 0, 2 * S, 1L, 2.0),
+      (2, 1, 2 * S, 1L, 2.0)))
+  }
+
   test("bruteForceTopK fails fast past the broadcast query cap (VERDICT r4 #7)") {
     val emb = Tables.embeddings(spark, sf)
     val ex = intercept[IllegalArgumentException] {
