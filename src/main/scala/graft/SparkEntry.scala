@@ -1679,17 +1679,134 @@ object SparkEntry {
         FROM events WHERE ts <= TIMESTAMP '$AsOf')
       WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Full outer join with USING-key coalescing: two sparse per-customer
+    * aggregates (high-value orders, recent orders) stitched so that
+    * customers present on either side survive — the one join type the
+    * relational sweep had not yet exercised. Both inputs aggregate
+    * before joining, so the join sides are already key-unique and the
+    * exchange carries one row per customer per side. */
+  private val outerJoin = Q("q_outer_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val big = o.filter(col("o_totalprice") > 450000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      val recent = o.filter(col("o_orderdate") >= to_timestamp(lit("2001-06-01 00:00:00")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_recent"))
+      big.join(recent, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH big AS (
+        SELECT o_custkey, count(*) AS n_big FROM orders
+        WHERE o_totalprice > 450000 GROUP BY o_custkey),
+      recent AS (
+        SELECT o_custkey, count(*) AS n_recent FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00' GROUP BY o_custkey)
+      SELECT o_custkey, coalesce(n_big, 0) AS n_big,
+             coalesce(n_recent, 0) AS n_recent
+      FROM big FULL OUTER JOIN recent USING (o_custkey)
+      ORDER BY o_custkey"""))
+
+  /** Benchmark decontamination ([[Dedup.contamination]]): every 50th
+    * doc plays the eval set; corpus docs sharing any word 4-gram with
+    * it are flagged with their distinct-gram hit count. The benchmark
+    * side broadcasts — the corpus never shuffles. */
+  private val decontaminate = Q("q_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 4
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 3),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents)),
+      bench AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 50 = 0),
+      corpus AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 50 <> 0)
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM corpus c JOIN bench b USING (gram)
+      GROUP BY c.doc_id ORDER BY doc_id"""))
+
+  /** Per-type z-score outlier detection on the event stream: one small
+    * stats aggregate broadcast back over the fact table, outliers
+    * filtered map-side. The standard feature-hygiene pass before
+    * training (drop or winsorize |z| > 3). */
+  private val outlierZ = Q("q_outlier_zscore",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type")).agg(
+        avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), round(col("z"), 6).as("z"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type)
+      SELECT event_id, event_type, round(value, 6) AS value,
+             round((value - mu) / sigma, 6) AS z
+      FROM events JOIN st USING (event_type)
+      WHERE abs((value - mu) / sigma) > 3
+      ORDER BY event_id"""))
+
+  /** Per-source quality quartiles (ntile) — the bucketing step of
+    * quality-mixed corpus sampling (curation picks different rates per
+    * quality bucket). The window partitions by source, so the sort
+    * parallelizes across domains instead of funnelling the corpus
+    * through one global ranking. */
+  private val qualityBuckets = Q("q_quality_buckets",
+    (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFns.tokenCount(col("text")).cast("int").as("n_tokens"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("source"), col("quartile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("source"), col("quartile"))
+    },
+    Some("""
+      SELECT source, quartile, count(*) AS n_docs,
+             min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      FROM (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+               ntile(4) OVER (PARTITION BY source
+                 ORDER BY CAST(len(string_split_regex(trim(text), '\s+')) AS INT), doc_id) AS quartile
+        FROM documents)
+      GROUP BY source, quartile ORDER BY source, quartile"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
     pitLatest, pitJoin, asofJoin, groupStats, storeRoundtrip,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
     rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg,
-    bucketedJoin,
+    bucketedJoin, outerJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, winnowFp, winnowDup, chunkText, langDist, langIdDist,
     quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
+    decontaminate, outlierZ, qualityBuckets,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

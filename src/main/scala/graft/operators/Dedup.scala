@@ -190,6 +190,43 @@ object Dedup {
         threshold, maxBucket),
       idCol)
 
+  /** Benchmark decontamination: per corpus doc, the number of word
+    * `n`-grams it shares with an evaluation/benchmark set — the
+    * standard pretraining hygiene check (docs overlapping the test
+    * set inflate eval scores and must be dropped before training).
+    *
+    * Plan shape: the benchmark side (eval sets are ≤10⁵ docs even
+    * when the corpus is 100 TB) is shingled, deduped, and broadcast;
+    * the corpus side explodes its (already-distinct per doc) shingles
+    * map-side and broadcast-joins — no corpus-sized shuffle exists.
+    * The one exchange groups the *hit* rows by doc id, so shuffle
+    * volume is proportional to contamination, not corpus size. Each
+    * (doc, gram) survives the join at most once (both sides carry
+    * distinct gram sets), so a plain count is the distinct-gram hit
+    * count — no count_distinct expand needed. */
+  def contamination(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Decontaminated corpus: drop every doc flagged by [[contamination]]
+    * (any shared n-gram disqualifies). One broadcast join + one
+    * left-anti join; the corpus never shuffles. */
+  def decontaminate(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame =
+    corpus.join(
+      contamination(corpus, bench, textCol, idCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Exact token-n-gram Jaccard similarity for given candidate pairs.
     * Shingle sets are computed only for docs that appear in a pair
     * (left-semi restriction) — at corpus scale the candidate set is a

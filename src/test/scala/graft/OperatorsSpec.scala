@@ -402,4 +402,31 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getAs[Long]("dropped_rows") == 30L)
     assert(m.getAs[Long]("max_bucket_n") == 30L)
   }
+
+  test("contamination counts shared n-grams; decontaminate drops flagged docs") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // contains bench 3-grams
+      (11L, "zeta eta theta iota kappa"),      // disjoint vocabulary
+      (12L, "beta gamma delta zeta eta")       // one shared 3-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // bench 3-grams: {alpha beta gamma, beta gamma delta}
+    assert(hits == Map(10L -> 2L, 12L -> 1L))
+    val clean = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(11L))
+  }
+
+  test("contamination never shuffles the corpus side (broadcast-only plan)") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((0L, "c d e f g")).toDF("doc_id", "text")
+    val plan = Dedup.contamination(corpus, bench, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString
+    // the only exchange is the post-join hit aggregation; the join
+    // itself must be broadcast (no sort-merge on the gram)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
