@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.fs.{FeatureCatalog, FeatureDef, FeatureGroup, RecordLog, Serving}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.operators.{Dedup, Packing, Sessionize, Similarity}
 
 /** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2).
   *
@@ -1795,6 +1795,80 @@ object SparkEntry {
         FROM documents)
       GROUP BY source, quartile ORDER BY source, quartile"""))
 
+  /** Greedy sequence packing ([[Packing.packGreedy]]): documents
+    * concatenated into 256-token training bins per source, reported as
+    * per-bin doc counts and token sums. The oracle replays the exact
+    * forward scan as a recursive CTE — any drift in the reset rule
+    * breaks the hash. */
+  private val packGreedy = Q("q_pack_greedy",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packGreedy(docs, "source", "doc_id", "n_tokens", budget = 256)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      p AS (
+        SELECT source, doc_id, rn, n_tokens,
+               CAST(1 AS BIGINT) AS bin, n_tokens AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.rn, d.n_tokens,
+               CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+      SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+      FROM p GROUP BY source, bin ORDER BY source, bin"""))
+
+  /** Head-of-distribution curation: per source, the smallest
+    * longest-first doc prefix holding ≤90% of the source's token mass
+    * (the "top-p" shape — how much of a domain is its head). The 90%
+    * cut is integer arithmetic (cum·10 ≤ total·9), so no float
+    * boundary can flip a row between engines. Both windows share one
+    * exchange+sort on the source. */
+  private val headMass = Q("q_head_mass",
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(
+        col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n"))
+      val wCum = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("source"))
+      toks
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("total", sum(col("n")).over(wAll))
+        .filter(col("cum") * 10 <= col("total") * 9)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_head_docs"),
+          max(col("cum")).as("head_tokens"),
+          max(col("total")).as("total_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n,
+               sum(n) OVER (PARTITION BY source ORDER BY n DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n) OVER (PARTITION BY source) AS total
+        FROM t)
+      SELECT source, count(*) AS n_head_docs, max(cum) AS head_tokens,
+             max(total) AS total_tokens
+      FROM c WHERE cum * 10 <= total * 9
+      GROUP BY source ORDER BY source"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -1806,7 +1880,7 @@ object SparkEntry {
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, winnowFp, winnowDup, chunkText, langDist, langIdDist,
     quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
-    decontaminate, outlierZ, qualityBuckets,
+    decontaminate, outlierZ, qualityBuckets, packGreedy, headMass,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

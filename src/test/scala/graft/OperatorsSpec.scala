@@ -403,6 +403,43 @@ class OperatorsSpec extends SparkSpec {
     assert(m.getAs[Long]("max_bucket_n") == 30L)
   }
 
+  test("packGreedy assigns capacity-reset bins per group") {
+    import graft.operators.Packing
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), // 100+100 fit, 3rd overflows
+      ("a", 4L, 300L),                                   // oversized → own bin
+      ("a", 5L, 50L),
+      ("b", 1L, 10L), ("b", 2L, 10L)                     // fresh state per group
+    ).toDF("src", "ord", "sz")
+    val bins = Packing.packGreedy(df, "src", "ord", "sz", budget = 250)
+      .select("src", "ord", "bin").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(bins == Map(
+      ("a", 1L) -> 1L, ("a", 2L) -> 1L, ("a", 3L) -> 2L,
+      ("a", 4L) -> 3L, ("a", 5L) -> 4L,
+      ("b", 1L) -> 1L, ("b", 2L) -> 1L))
+  }
+
+  test("packGreedy invariants: bins contiguous, under budget unless single-oversize") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i =>
+      (s"g${i % 5}", i.toLong, 1L + rnd.nextInt(120).toLong)).toDF("src", "ord", "sz")
+    val out = Packing.packGreedy(df, "src", "ord", "sz", budget = 200)
+      .as[(String, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byOrd = rows.sortBy(_._2)
+      // bin ids start at 1 and never decrease or skip
+      byOrd.map(_._4).foldLeft(0L) { (prev, b) =>
+        assert(b == prev || b == prev + 1, s"non-contiguous bin $prev -> $b"); b
+      }
+      byOrd.groupBy(_._4).foreach { case (_, binRows) =>
+        val tot = binRows.map(_._3).sum
+        assert(tot <= 200 || binRows.length == 1)
+      }
+    }
+  }
+
   test("contamination counts shared n-grams; decontaminate drops flagged docs") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"), // contains bench 3-grams
