@@ -1,11 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import org.apache.spark.sql.Row
+
+/** Running per-user feature row emitted by
+  * [[StreamingFeatures.runningUserFeatures]]. */
+final case class RunningFeature(
+    user_id: Long, n_events: Long, value_sum: Double, value_max: Double)
+
+/** State carried between micro-batches per user (mergeable running
+  * aggregates only — fixed-size regardless of event count). */
+final case class RunningState(n: Long, sum: Double, max: Double)
 
 /** Structured-Streaming ingest for `frequency = streaming` feature
   * groups (the reference declares the flag but never exercises it —
@@ -77,6 +86,84 @@ object StreamingFeatures {
   def dedupedStream(events: DataFrame, idCol: String, tsCol: String = "ts",
       lateness: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicates(idCol, tsCol)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a running
+    * (count, sum, max) per user, re-emitted whenever the user sees new
+    * events — the always-current serving row windowed aggregates can't
+    * express (they only emit on window close). State is fixed-size per
+    * key (three numbers, not an event buffer) and expires on an
+    * event-time timeout `idle` past the watermark, so total state is
+    * O(active users), never O(events) — the property that keeps this
+    * runnable against an unbounded stream. */
+  def runningUserFeatures(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      valueCol: String = "value",
+      lateness: String = "10 minutes",
+      idle: String = "1 hour"): Dataset[RunningFeature] = {
+    import events.sparkSession.implicits._
+    val idleMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idle))
+    val idleMillis =
+      idleMs.days.toLong * 86400000L + idleMs.microseconds / 1000L
+    events
+      // project/cast BEFORE the watermark: casting a watermarked column
+      // mints a fresh attribute and silently drops the watermark tag
+      .select(col(userCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(valueCol).cast("double"))
+      .withWatermark(tsCol, lateness)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RunningState, RunningFeature](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[RunningState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(
+              RunningState(0L, 0.0, Double.NegativeInfinity))
+            var n = prev.n; var s = prev.sum; var m = prev.max
+            var lastMs = 0L
+            rows.foreach { r =>
+              n += 1; s += r._3; m = math.max(m, r._3)
+              lastMs = math.max(lastMs, r._2.getTime)
+            }
+            state.update(RunningState(n, s, m))
+            // anchor the timeout to observed event time, not the
+            // watermark: in the first batch the watermark is still 0
+            // (it only advances at batch end), so a watermark-relative
+            // timeout would land in 1970 and expire the state at once
+            state.setTimeoutTimestamp(
+              math.max(lastMs, state.getCurrentWatermarkMs()) + idleMillis)
+            Iterator.single(RunningFeature(user, n, s, m))
+          }
+      }
+  }
+
+  /** Stream-stream enrichment join: each event picks up enrichment
+    * rows (labels, profile updates) for the same key whose timestamp
+    * falls within `bound` BEFORE the event. Watermarks on both sides
+    * plus the time-range predicate are what let Spark drop buffered
+    * rows once they can no longer match — without them a stream-stream
+    * join buffers forever. Enrichment columns arrive prefixed `e_`. */
+  def enrichedStream(
+      events: DataFrame,
+      enrich: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      enrichTsCol: String = "e_ts",
+      lateness: String = "10 minutes",
+      bound: String = "1 hour"): DataFrame = {
+    val l = events.withWatermark(tsCol, lateness)
+    val r = enrich.withWatermark(enrichTsCol, lateness)
+      .withColumnRenamed(keyCol, s"e_$keyCol")
+    l.join(r,
+      expr(s"""$keyCol = e_$keyCol AND
+               $enrichTsCol BETWEEN $tsCol - INTERVAL $bound AND $tsCol"""),
+      "inner")
+      .drop(s"e_$keyCol")
+  }
 
   /** Sink: append each micro-batch into the record-log parquet layout
     * (partitioned by snapshot date, same as batch writes). */

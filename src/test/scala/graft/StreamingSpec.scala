@@ -10,6 +10,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class En(user_id: Long, e_ts: java.sql.Timestamp, label: String)
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("windowed user features emit closed windows in append mode") {
@@ -94,6 +95,74 @@ class StreamingSpec extends SparkSpec {
       val written = spark.read.parquet(outDir)
       assert(written.columns.contains("p_date"))
       assert(written.count() >= 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running features update across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingFeatures.runningUserFeatures(
+      mem.toDF(), lateness = "0 seconds", idle = "10 hours")
+    val q = out.writeStream.format("memory").queryName("run_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 10.0),
+        Ev(1L, ts("2024-01-01 10:10:00"), 30.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, ts("2024-01-01 10:20:00"), 20.0)) // second batch
+      q.processAllAvailable()
+      val rows = spark.table("run_out")
+        .select("user_id", "n_events", "value_sum", "value_max")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      // state carried across batches: first emit (2, 40, 30), then (3, 60, 30)
+      assert(rows.contains((1L, 2L, 40.0, 30.0)), s"first batch emit missing: $rows")
+      assert(rows.contains((1L, 3L, 60.0, 30.0)), s"carried state missing: $rows")
+    } finally q.stop()
+  }
+
+  test("running-feature state expires after the idle timeout (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingFeatures.runningUserFeatures(
+      mem.toDF(), lateness = "0 seconds", idle = "1 hour")
+    val q = out.writeStream.format("memory").queryName("expire_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Ev(1L, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      // another user pushes the watermark far past user 1's idle window
+      mem.addData(Ev(2L, ts("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      // user 1 returns: state must have been dropped, count restarts
+      mem.addData(Ev(1L, ts("2024-01-01 13:30:00"), 7.0))
+      q.processAllAvailable()
+      val user1 = spark.table("expire_out")
+        .filter(col("user_id") === 1L)
+        .select("n_events", "value_sum")
+        .as[(Long, Double)].collect().toSet
+      assert(user1 == Set((1L, 5.0), (1L, 7.0)), s"state not expired: $user1")
+    } finally q.stop()
+  }
+
+  test("stream-stream enrichment join matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[Ev]
+    val ens = MemoryStream[En]
+    val out = StreamingFeatures.enrichedStream(
+      evs.toDF(), ens.toDF(), lateness = "0 seconds", bound = "1 hour")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ens.addData(
+        En(1L, ts("2024-01-01 09:30:00"), "fresh"),  // 40 min before → joins
+        En(1L, ts("2024-01-01 07:00:00"), "stale"),  // 3h10m before → outside bound
+        En(2L, ts("2024-01-01 10:00:00"), "other"))  // other user
+      evs.addData(Ev(1L, ts("2024-01-01 10:10:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select("user_id", "label").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "fresh")), s"got: $rows")
     } finally q.stop()
   }
 
