@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.fs.{FeatureCatalog, FeatureDef, FeatureGroup, RecordLog, Serving}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Packing, Sessionize, Similarity}
+import graft.operators.{Dedup, Packing, Profile, Scd2, Sessionize, Similarity}
 
 /** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2).
   *
@@ -1869,6 +1869,171 @@ object SparkEntry {
       FROM c WHERE cum * 10 <= total * 9
       GROUP BY source ORDER BY source"""))
 
+  /** SCD2 history from the event log ([[Scd2.history]]): per-user
+    * event_type changes compacted (consecutive no-change snapshots
+    * dropped) and intervalized with [valid_from, valid_to) validity.
+    * Both windows ride one exchange+sort on user_id. */
+  private val scd2History = Q("q_scd2_history",
+    (s, d) => Scd2.history(Tables.events(s, d),
+        "user_id", "ts", "event_id", Seq("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsStr(col("valid_from")).as("valid_from"),
+        Tables.tsStr(col("valid_to")).as("valid_to"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_id, event_type, ts,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (
+        SELECT user_id, event_id, event_type, ts FROM o
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type),
+      i AS (
+        SELECT user_id, event_id, event_type, ts AS vf,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        FROM c)
+      SELECT user_id, event_id, event_type,
+             strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             (vt IS NULL) AS is_current
+      FROM i ORDER BY user_id, event_id"""))
+
+  /** Whole-table profile ([[Profile.profile]]) over orders: one pass,
+    * one row per column with nulls / exact distinct / canonical
+    * min-max. The pre-training data-quality sweep for a new drop. */
+  private val profileOrders = Q("q_profile",
+    (s, d) => Profile.profile(Tables.orders(s, d)),
+    Some(Seq(
+      ("o_orderkey",      "CAST(min(o_orderkey) AS VARCHAR)",      "CAST(max(o_orderkey) AS VARCHAR)"),
+      ("o_custkey",       "CAST(min(o_custkey) AS VARCHAR)",       "CAST(max(o_custkey) AS VARCHAR)"),
+      ("o_orderstatus",   "min(o_orderstatus)",                    "max(o_orderstatus)"),
+      ("o_totalprice",    "CAST(CAST(min(o_totalprice) AS DECIMAL(30,6)) AS VARCHAR)",
+                          "CAST(CAST(max(o_totalprice) AS DECIMAL(30,6)) AS VARCHAR)"),
+      ("o_orderdate",     "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+                          "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+      ("o_orderpriority", "min(o_orderpriority)",                  "max(o_orderpriority)"))
+      .map { case (c, mn, mx) => s"""
+        SELECT '$c' AS col_name, count(*) AS n_rows,
+               CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               $mn AS min_s, $mx AS max_s
+        FROM orders""" }
+      .mkString(" UNION ALL ") + " ORDER BY col_name"))
+
+  /** Per-type winsorization: exact p05/p95 computed per event_type,
+    * broadcast back, values clipped map-side — the outlier treatment
+    * that keeps the row instead of dropping it (complement of
+    * q_outlier_zscore). */
+  private val winsorize = Q("q_winsorize",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val pct = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(pct), "event_type")
+        .withColumn("v_clip", when(col("value").isNull, lit(null))
+          .otherwise(least(greatest(col("value"), col("p05")), col("p95"))))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("value")).as("n"),
+          sum((col("value") < col("p05")).cast("long")).as("n_lo"),
+          sum((col("value") > col("p95")).cast("long")).as("n_hi"),
+          round(first(col("p05")), 6).as("p05"),
+          round(first(col("p95")), 6).as("p95"),
+          // decimal(18,6), not Tables.dmean's (18,2): clipped rows carry
+          // the interpolated percentile, which with 2-decimal data lands
+          // exactly on cent ties (x.xx5) that the engines' double→decimal
+          // casts break differently; at 6 decimals interpolation (≤4dp
+          // exact) has no representable tie
+          round(sum(round(col("v_clip"), 6).cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(col("v_clip")), 6).as("mean_clip"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH pct AS (
+        SELECT event_type, quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type),
+      clipped AS (
+        SELECT e.event_type, e.value,
+               CASE WHEN e.value IS NULL THEN NULL
+                    ELSE least(greatest(e.value, p.p05), p.p95) END AS v_clip,
+               p.p05, p.p95
+        FROM events e JOIN pct p USING (event_type))
+      SELECT event_type, count(value) AS n,
+             CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             round(any_value(p05), 6) AS p05, round(any_value(p95), 6) AS p95,
+             round(CAST(sum(CAST(round(v_clip, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(v_clip), 6) AS mean_clip
+      FROM clipped GROUP BY event_type ORDER BY event_type"""))
+
+  /** Temperature-based source mixing (α = 0.5): per-source token mass
+    * reweighted by sqrt — the standard rebalance that keeps small
+    * domains from vanishing in a mixture. sqrt is IEEE-correctly-
+    * rounded on every engine (unlike pow/ln), and the weight sum runs
+    * through exact decimals so partial-agg order can't drift. */
+  private val sourceMix = Q("q_source_mix",
+    (s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"), TextFns.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+        .withColumn("w", round(sqrt(col("n_tokens").cast("double")), 6)
+          .cast(DecimalType(18, 6)))
+      val tot = per.agg(sum(col("n_tokens")).as("tot_n"), sum(col("w")).as("tot_w"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot_n").cast("double"), 6).as("p_raw"),
+          round(col("w").cast("double") / col("tot_w").cast("double"), 6).as("p_temp"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      pw AS (
+        SELECT source, n_tokens,
+               CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+        FROM per),
+      tot AS (SELECT sum(n_tokens) AS tot_n, sum(w) AS tot_w FROM pw)
+      SELECT source, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE), 6) AS p_raw,
+             round(CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6) AS p_temp
+      FROM pw, tot ORDER BY source"""))
+
+  /** Top bigram collocations with rational lift
+    * ([[graft.operators.CorpusStats.collocations]]) — PMI ranking
+    * without the libm ln. */
+  private val bigramColloc = Q("q_bigram_colloc",
+    (s, d) => graft.operators.CorpusStats
+      .collocations(Tables.documents(s, d), "text", 20)
+      .orderBy(col("rank")),
+    Some("""
+      WITH t AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      uni AS (SELECT unnest(toks) AS w FROM t),
+      uc AS (SELECT w, count(*) AS c FROM uni WHERE len(w) > 0 GROUP BY w),
+      tot AS (SELECT count(*) AS n_total FROM uni WHERE len(w) > 0),
+      bg AS (
+        SELECT unnest(list_transform(range(len(toks) - 1),
+                 i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+        FROM t),
+      top AS (
+        SELECT bg, count(*) AS cnt FROM bg GROUP BY bg
+        ORDER BY cnt DESC, bg LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, bg) AS INT) AS rank,
+             bg, cnt,
+             round(CAST(cnt * n_total AS DOUBLE) /
+                   CAST(c1.c * c2.c AS DOUBLE), 6) AS lift
+      FROM top, tot,
+           uc c1, uc c2
+      WHERE c1.w = string_split(bg, ' ')[1]
+        AND c2.w = string_split(bg, ' ')[2]
+      ORDER BY rank"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -1881,6 +2046,7 @@ object SparkEntry {
     dedupExact, dedupFp, winnowFp, winnowDup, chunkText, langDist, langIdDist,
     quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
     decontaminate, outlierZ, qualityBuckets, packGreedy, headMass,
+    scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

@@ -67,6 +67,49 @@ object CorpusStats {
     * sketch aggregate (`count_min_sketch`, mergeable, fixed ε·δ memory)
     * estimates the same counts one-pass; CorpusStatsSpec bounds its
     * error against this exact path. */
+  /** Top-k bigram collocations with LIFT — how much more often two
+    * tokens co-occur adjacently than independence predicts. The classic
+    * score is PMI = ln(lift); like tf-idf above, the ln stays out of
+    * the engine (libm last-ulp variance would break a hash oracle, and
+    * ln is monotone so the ranking is unchanged) — lift is computed as
+    * one double division of exact integer products, bit-identical on
+    * any IEEE engine:  lift = (c_ab · n_total) / (c_a · c_b).
+    *
+    * Shape at scale: bigrams explode linearly in corpus tokens (not
+    * quadratically — adjacency only), one hash agg with map-side
+    * combine absorbs hot pairs, TakeOrdered keeps the top-k without a
+    * full sort, and the unigram counts join only onto the k survivors
+    * (2k lookups, broadcast-sized regardless of vocabulary). */
+  def collocations(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val bigrams = when(size(toks) < 2, array())
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+    val uni = docs.select(explode(toks).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = docs.select(
+      sum(size(filter(toks, t => length(t) > 0))).as("n_total"))
+    val top = docs.select(explode(bigrams).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("bg").asc)))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    top
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", round(
+        (col("cnt") * col("n_total")).cast("double") /
+          (col("c1") * col("c2")).cast("double"), 6))
+      .select("rank", "bg", "cnt", "lift")
+  }
+
   def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val total = docs.select(

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling: per-column null counts, exact distinct counts, and
+  * canonical min/max — the data-quality sweep a pipeline runs before
+  * trusting a new drop of upstream data (schema drift, null storms,
+  * constant columns, truncated domains all surface here).
+  *
+  * One `agg` over the table computes every column's stats in a single
+  * pass; the multiple `count(DISTINCT …)` aggregates make Catalyst plan
+  * an Expand (one replicated stream per distinct column) feeding one
+  * hash aggregate — a single scan and a single exchange of partial
+  * states, not one job per column. At the 100 TB end exact distinct of
+  * a high-cardinality column is the expensive part; the scale path is
+  * swapping `countDistinct` for `approx_count_distinct` (HLL, mergeable,
+  * no Expand) — same output shape, bounded error (OperatorsSpec bounds
+  * HLL against the exact count).
+  *
+  * min/max leave the engine as CANONICAL STRINGS so one result schema
+  * fits every column type: integers via plain cast, floats through
+  * decimal(30,6) (fixed scale — engines' shortest-roundtrip float
+  * printers disagree on exponent thresholds, decimals print alike),
+  * timestamps via `yyyy-MM-dd HH:mm:ss`, strings as-is.
+  */
+object Profile {
+
+  private def canon(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType => c.cast(DecimalType(30, 6)).cast(StringType)
+    case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast(StringType)
+  }
+
+  /** Profile every column of `df`: one row per column with
+    * (col_name, n_rows, n_nulls, n_distinct, min_s, max_s),
+    * ordered by column name. */
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(lit(1)).as(s"__n_${f.name}"),
+        sum(c.isNull.cast("long")).as(s"__nulls_${f.name}"),
+        countDistinct(c).as(s"__dist_${f.name}"),
+        // min/max in the NATIVE type (a lexicographic string min would
+        // put "10" before "9"), canonicalized at the edge
+        canon(min(c), f.dataType).as(s"__min_${f.name}"),
+        canon(max(c), f.dataType).as(s"__max_${f.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // fan the single stats row out to one row per column
+    val rows = fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col(s"__n_${f.name}").as("n_rows"),
+        col(s"__nulls_${f.name}").as("n_nulls"),
+        col(s"__dist_${f.name}").as("n_distinct"),
+        col(s"__min_${f.name}").as("min_s"),
+        col(s"__max_${f.name}").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+}
