@@ -54,19 +54,6 @@ object CorpusStats {
       .select("doc_id", "term", "tf", "df", "score", "rank")
   }
 
-  /** Corpus-wide heavy hitters: the k most frequent tokens with counts
-    * and corpus mass. Exact path: explode → hash agg → `TakeOrdered`
-    * (orderBy+limit plans as a per-partition top-k + driver merge of
-    * 32·k rows, NOT a full sort). Map-side partial aggregation absorbs
-    * hot-term skew before the exchange — "the" arrives at its reducer
-    * as one partial count per map partition, not one row per
-    * occurrence.
-    *
-    * The sketch path for when even the distinct-term aggregate is too
-    * wide (per-minute heavy hitters over a firehose): a count-min
-    * sketch aggregate (`count_min_sketch`, mergeable, fixed ε·δ memory)
-    * estimates the same counts one-pass; CorpusStatsSpec bounds its
-    * error against this exact path. */
   /** Top-k bigram collocations with LIFT — how much more often two
     * tokens co-occur adjacently than independence predicts. The classic
     * score is PMI = ln(lift); like tf-idf above, the ln stays out of
@@ -110,6 +97,19 @@ object CorpusStats {
       .select("rank", "bg", "cnt", "lift")
   }
 
+  /** Corpus-wide heavy hitters: the k most frequent tokens with counts
+    * and corpus mass. Exact path: explode → hash agg → `TakeOrdered`
+    * (orderBy+limit plans as a per-partition top-k + driver merge of
+    * 32·k rows, NOT a full sort). Map-side partial aggregation absorbs
+    * hot-term skew before the exchange — "the" arrives at its reducer
+    * as one partial count per map partition, not one row per
+    * occurrence.
+    *
+    * The sketch path for when even the distinct-term aggregate is too
+    * wide (per-minute heavy hitters over a firehose): a count-min
+    * sketch aggregate (`count_min_sketch`, mergeable, fixed ε·δ memory)
+    * estimates the same counts one-pass; CorpusStatsSpec bounds its
+    * error against this exact path. */
   def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val total = docs.select(
