@@ -2034,6 +2034,97 @@ object SparkEntry {
         AND c2.w = string_split(bg, ' ')[2]
       ORDER BY rank"""))
 
+  /** KNN label voting ([[Similarity.knnLabel]]): the first 25 vectors
+    * play the unlabeled set, the rest the labeled corpus; each query
+    * takes the majority label of its 5 nearest neighbors. */
+  private val knnLabel = Q("q_knn_label",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 25)
+      Similarity.knnLabel(queries, emb.filter(col("vec_id") >= 25),
+          "vec_id", "embedding", "label", k = 5)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label"),
+          col("pred_label"), col("n_votes"))
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH q AS (SELECT * FROM embeddings WHERE vec_id < 25),
+      c AS (SELECT * FROM embeddings WHERE vec_id >= 25),
+      nn AS (
+        SELECT query_id, n_label FROM (
+          SELECT q.vec_id AS query_id, c.label AS n_label,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                   c.vec_id) AS rank
+          FROM q CROSS JOIN c)
+        WHERE rank <= 5),
+      v AS (SELECT query_id, n_label, count(*) AS n_votes
+            FROM nn GROUP BY query_id, n_label),
+      p AS (SELECT query_id, n_label AS pred_label, n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY n_votes DESC, n_label) AS r
+            FROM v)
+      SELECT p.query_id, q.label AS true_label, p.pred_label, p.n_votes
+      FROM p JOIN q ON q.vec_id = p.query_id
+      WHERE r = 1 ORDER BY query_id"""))
+
+  /** Class-balanced downsample ([[graft.operators.Sampling.balanceByHash]]):
+    * every label cut to the rarest label's size, membership a pure
+    * function of md5(seed ‖ vec_id). */
+  private val classBalance = Q("q_class_balance",
+    (s, d) => graft.operators.Sampling.balanceByHash(
+        Tables.embeddings(s, d).select(col("label"), col("vec_id")),
+        col("label"), col("vec_id"), seed = "bal")
+      .select(col("label"), col("vec_id"), col("rn").cast("int").as("rn"))
+      .orderBy(col("label"), col("rn")),
+    Some("""
+      WITH t AS (
+        SELECT label, vec_id,
+               CAST(row_number() OVER (PARTITION BY label
+                 ORDER BY md5('bal' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS rn
+        FROM embeddings),
+      m AS (SELECT min(n) AS target FROM
+        (SELECT count(*) AS n FROM embeddings GROUP BY label))
+      SELECT label, vec_id, rn FROM t, m
+      WHERE rn <= target ORDER BY label, rn"""))
+
+  /** Leak-proof train/valid split: the split key is the USER, not the
+    * row, so no user's events straddle the boundary (the leakage that
+    * inflates eval metrics). Membership replays the md5 predicate of
+    * [[graft.operators.Sampling.hashKeep]]. */
+  private val splitLeakproof = Q("q_split_leakproof",
+    (s, d) => Tables.events(s, d)
+      .withColumn("split",
+        when(graft.operators.Sampling.hashKeep(col("user_id"), 0.8, "split"),
+          lit("train")).otherwise(lit("valid")))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        Tables.dsum(col("value")).as("sum_value"))
+      .orderBy(col("split")),
+    Some(s"""
+      SELECT CASE WHEN substr(md5('split' || CAST(user_id AS VARCHAR)), 1, 12)
+                       < '${"%012x".format(math.round(0.8 * (1L << 48)))}'
+                  THEN 'train' ELSE 'valid' END AS split,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY split"""))
+
+  /** Key-skew histogram ([[Profile.keySkew]]) over the event stream's
+    * user key — power-of-two buckets via integer bit length, no libm
+    * log2 at the power-of-two boundaries. */
+  private val skewReport = Q("q_skew_report",
+    (s, d) => Profile.keySkew(Tables.events(s, d), "user_id"),
+    Some("""
+      WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+      SELECT CAST(length(format('{:b}', n)) AS INT) AS bucket,
+             count(*) AS n_keys, min(n) AS min_n, max(n) AS max_n
+      FROM c GROUP BY bucket ORDER BY bucket"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2047,6 +2138,7 @@ object SparkEntry {
     quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
     decontaminate, outlierZ, qualityBuckets, packGreedy, headMass,
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
+    knnLabel, classBalance, splitLeakproof, skewReport,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

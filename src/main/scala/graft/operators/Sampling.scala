@@ -67,6 +67,29 @@ object Sampling {
     if (cut <= 0L) "" else if (cut >= (1L << 48)) "g" else f"$cut%012x"
   }
 
+  /** Class-balanced deterministic downsample: every stratum is cut to
+    * the size of the SMALLEST stratum, keeping the rows with the
+    * lowest md5(seed ‖ key) — the rebalance step before training on a
+    * skewed label distribution, with the same data-keyed stability as
+    * [[sampleByHash]] (membership is a pure function of the data, so
+    * reloads and engine swaps keep the same rows).
+    *
+    * Shape: one count aggregate (strata-sized, broadcast back) + one
+    * stratum-partitioned row_number — the window parallelizes across
+    * strata; no stratum's data crosses to another. */
+  def balanceByHash(df: DataFrame, stratum: Column, key: Column,
+      seed: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n"))
+      .agg(min(col("_n")).as("_target"))
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(concat(lit(seed), key.cast("string"))), key)
+    df.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .where(col("rn") <= col("_target"))
+      .drop("_target")
+  }
+
   /** Per-stratum deterministic sampling: each stratum keeps its own
     * fraction (downsample the boilerplate-heavy domain, keep the rare
     * language whole) with the same data-keyed stability as

@@ -165,6 +165,36 @@ object Similarity {
         round(col("sum_fx").cast("double") / col("n") / scale, 6))
   }
 
+  /** KNN label vote: classify each query vector by majority label of
+    * its k nearest corpus neighbors ([[bruteForceTopK]] underneath) —
+    * the standard semi-supervised labeler for curation (propagate a
+    * small hand-labeled set onto the corpus). Ties break to the
+    * smallest label, making the prediction deterministic.
+    *
+    * Scale shape: the neighbor frame is k·|queries| rows (broadcast-
+    * sized by construction since the query side already is), so the
+    * label join broadcasts IT, not the corpus labels; the vote is one
+    * aggregate over k·|queries| rows and a query-partitioned
+    * row_number. Swap [[bruteForceTopK]] for [[ivfTopK]]/
+    * [[bucketedTopK]] when the corpus scan itself needs to shrink. */
+  def knnLabel(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val lbl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nbr_label"))
+    val votes = lbl.join(broadcast(nn), "neighbor_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("r", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("nbr_label").asc)))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("nbr_label").as("pred_label"),
+        col("n_votes"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucketed self-join, pairs
     * above `threshold`. The verify stage of embedding-level dedup.
     *

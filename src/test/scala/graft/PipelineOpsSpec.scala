@@ -90,4 +90,59 @@ class PipelineOpsSpec extends SparkSpec {
     val docs = Seq((0L, "solo"), (1L, "")).toDF("doc_id", "text")
     assert(CorpusStats.collocations(docs, "text", 5).count() == 0)
   }
+
+  test("knnLabel takes the neighbor majority; ties go to the smallest label") {
+    import graft.operators.Similarity
+    // 1-d embeddings: queries at 0.1 and 0.9; corpus clustered around
+    // each end with known labels
+    val corpus = Seq(
+      (100L, Seq(0.11f), 1), (101L, Seq(0.12f), 1), (102L, Seq(0.13f), 2),
+      (103L, Seq(0.88f), 3), (104L, Seq(0.89f), 4), (105L, Seq(0.91f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((0L, Seq(0.1f), 0), (1L, Seq(0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabel(queries, corpus,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("query_id")
+      .select("query_id", "pred_label", "n_votes")
+      .as[(Long, Int, Long)].collect().toSeq
+    // 1-d cosine of positive values is 1.0 everywhere → every corpus row
+    // ties at sim 1.0 and the k=3 cut keeps the lowest neighbor ids:
+    // query 0 → {100,101,102} → label 1 (2 votes);
+    // query 1 → same neighbors → label 1 again
+    assert(out == Seq((0L, 1, 2L), (1L, 1, 2L)))
+  }
+
+  test("balanceByHash cuts every stratum to the smallest stratum's size") {
+    import graft.operators.Sampling
+    val df = (1L to 30L).map(i => (i, if (i <= 20) "big" else "small"))
+      .toDF("id", "cls")
+    val kept = Sampling.balanceByHash(df, col("cls"), col("id"), seed = "s")
+    val byCls = kept.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(byCls == Map("big" -> 10L, "small" -> 10L))
+    // determinism: same seed → same membership
+    val again = Sampling.balanceByHash(df, col("cls"), col("id"), seed = "s")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("keySkew buckets by bit length (exact at powers of two)") {
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(7)("d")).toDF("k")
+    val out = Profile.keySkew(df, "k")
+      .select("bucket", "n_keys", "min_n", "max_n")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // counts 1,2,4,7 → bit lengths 1,2,3,3
+    assert(out == Seq((1, 1L, 1L, 1L), (2, 1L, 2L, 2L), (3, 2L, 4L, 7L)))
+  }
+
+  test("hash split is leak-proof: a key never lands on both sides") {
+    import graft.operators.Sampling
+    val rows = (1L to 50L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
+      .toDF("user_id", "event_id")
+    val (tr, va) = Sampling.splitByHash(rows, col("user_id"), 0.5, "split")
+    val overlap = tr.select("user_id").intersect(va.select("user_id")).count()
+    assert(overlap == 0)
+    assert(tr.count() + va.count() == 100)
+  }
 }
