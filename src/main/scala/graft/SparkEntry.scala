@@ -2125,6 +2125,161 @@ object SparkEntry {
              count(*) AS n_keys, min(n) AS min_n, max(n) AS max_n
       FROM c GROUP BY bucket ORDER BY bucket"""))
 
+  /** PQ-quantized ANN ([[Similarity.pqTopK]]): 4×16-dim subspaces,
+    * 16-centroid deterministic codebook, asymmetric-distance scoring
+    * through a broadcast LUT. Completes the quantization ladder next
+    * to exact (q_cosine_topk), SQ8, LSH, and IVF. */
+  private val pqAnn = Q("q_pq_ann",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH js AS (SELECT unnest(range(4)) AS j),
+      cent AS (
+        SELECT j, vec_id AS cid,
+               CAST(embedding[(j*16+1):(j*16+16)] AS DOUBLE[]) AS cv
+        FROM embeddings, js WHERE vec_id < 16),
+      sub AS (
+        SELECT vec_id, j,
+               CAST(embedding[(j*16+1):(j*16+16)] AS DOUBLE[]) AS sv
+        FROM embeddings, js),
+      dist AS (
+        SELECT s.vec_id, s.j, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                 round(list_inner_product(c.cv, c.cv)
+                       - 2.0 * list_inner_product(s.sv, c.cv), 6), c.cid) AS r
+        FROM sub s JOIN cent c USING (j)),
+      codes AS (SELECT vec_id AS neighbor_id, j, cid FROM dist WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5),
+      lut AS (
+        SELECT q.query_id, c.j, c.cid,
+               list_inner_product(q.qv[(c.j*16+1):(c.j*16+16)], c.cv) AS ip
+        FROM q, cent c),
+      parts AS (
+        SELECT l.query_id, cd.neighbor_id,
+               max(CASE WHEN cd.j = 0 THEN l.ip END) AS p0,
+               max(CASE WHEN cd.j = 1 THEN l.ip END) AS p1,
+               max(CASE WHEN cd.j = 2 THEN l.ip END) AS p2,
+               max(CASE WHEN cd.j = 3 THEN l.ip END) AS p3
+        FROM codes cd JOIN lut l ON l.j = cd.j AND l.cid = cd.cid
+        WHERE l.query_id <> cd.neighbor_id
+        GROUP BY l.query_id, cd.neighbor_id),
+      scored AS (
+        SELECT query_id, neighbor_id, round(((p0+p1)+p2)+p3, 6) AS sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 round(((p0+p1)+p2)+p3, 6) DESC, neighbor_id) AS rank
+        FROM parts)
+      SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+      FROM scored WHERE rank <= 10 ORDER BY query_id, rank"""))
+
+  /** Shortest-first curriculum interleave: per-source length ranking,
+    * then a round-robin merge across sources — epoch ordering that
+    * starts easy AND keeps every domain in every stripe. The global
+    * position window runs on the rn≤20 head only (bounded rows); a
+    * full-corpus curriculum would range-sort instead. */
+  private val interleave = Q("q_interleave",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("int").as("n_tokens"))
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") <= 20)
+        .withColumn("pos", row_number()
+          .over(Window.orderBy(col("rn"), col("source"))).cast("int"))
+        .select(col("pos"), col("source"), col("doc_id"), col("n_tokens"),
+          col("rn"))
+        .orderBy(col("pos"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS INT), doc_id) AS rn
+        FROM documents)
+      SELECT CAST(row_number() OVER (ORDER BY rn, source) AS INT) AS pos,
+             source, doc_id, n_tokens, CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 20 ORDER BY pos"""))
+
+  /** Per-doc out-of-vocabulary rate against the corpus top-100 vocab —
+    * the rare-token quality signal (gibberish and boilerplate sit at
+    * the extremes). Vocab is broadcast; the corpus never shuffles
+    * except the per-doc aggregate. */
+  private val oovRate = Q("q_oov_rate",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(100)
+        .select(col("term"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      t AS (SELECT * FROM tk WHERE len(term) > 0),
+      v AS (SELECT term FROM (
+        SELECT term, count(*) AS c FROM t GROUP BY term
+        ORDER BY c DESC, term LIMIT 100)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM t LEFT JOIN v ON t.term = v.term GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_oov,
+             round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+      FROM agg ORDER BY doc_id"""))
+
+  /** Reciprocal rank fusion ([[graft.operators.Retrieval.rrfFuse]]) of
+    * two top-50 document rankings (by length, by distinct-token
+    * count) — hybrid-retrieval merging with engine-exact arithmetic. */
+  private val rrfFusion = Q("q_rrf_fusion",
+    (s, d) => {
+      val m = Tables.documents(s, d).select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tok"),
+        size(array_distinct(TextFns.tokens(lower(col("text"))))).as("n_dst"))
+      val a = m.withColumn("rank", row_number()
+          .over(Window.orderBy(col("n_tok").desc, col("doc_id"))))
+        .filter(col("rank") <= 50)
+      val b = m.withColumn("rank", row_number()
+          .over(Window.orderBy(col("n_dst").desc, col("doc_id"))))
+        .filter(col("rank") <= 50)
+      graft.operators.Retrieval.rrfFuse(a, b, "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS n_dst
+        FROM documents),
+      a AS (SELECT doc_id, row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rank_a
+            FROM m QUALIFY rank_a <= 50),
+      b AS (SELECT doc_id, row_number() OVER (ORDER BY n_dst DESC, doc_id) AS rank_b
+            FROM m QUALIFY rank_b <= 50),
+      f AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rank_a, b.rank_b,
+               round((CASE WHEN a.rank_a IS NULL THEN 0.0 ELSE 1.0/(60+a.rank_a) END)
+                   + (CASE WHEN b.rank_b IS NULL THEN 0.0 ELSE 1.0/(60+b.rank_b) END), 6) AS rrf
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      SELECT doc_id, rank_a, rank_b, rrf
+      FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2139,6 +2294,7 @@ object SparkEntry {
     decontaminate, outlierZ, qualityBuckets, packGreedy, headMass,
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
+    pqAnn, interleave, oovRate, rrfFusion,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

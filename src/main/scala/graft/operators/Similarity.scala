@@ -165,6 +165,93 @@ object Similarity {
         round(col("sum_fx").cast("double") / col("n") / scale, 6))
   }
 
+  /** Product-quantization ANN (PQ with asymmetric distance): vectors
+    * are chopped into `m` subspaces, each subvector replaced by the id
+    * of its nearest codebook centroid (argmin round-6 L2, lowest-id
+    * ties), and queries score against the RECONSTRUCTION through a
+    * lookup table — the memory-side complement of [[ivfTopK]]'s
+    * candidate pruning (m bytes per vector instead of 4·dim).
+    *
+    * As with IVF, a production codebook comes from k-means; here it is
+    * deterministic (subvectors of the corpus vectors with id < nCents)
+    * so the whole operator — codes, LUT, ADC scores — replays in the
+    * DuckDB oracle bit-for-bit (`list_inner_product` matches the
+    * sequential left-fold of [[graft.functions.VectorFns.dot]]).
+    *
+    * Scale shape: encoding is a map-side fold over a literal codebook
+    * (zero shuffle, the classic PQ property that codes are computed
+    * once at ingest); the LUT is |queries|·m·nCents rows — broadcast-
+    * sized by construction — so scoring never shuffles the corpus
+    * either: the only exchange is the (query, neighbor) partial-sum
+    * aggregate, m rows per pair. The ADC sum is assembled in fixed
+    * subspace order (((s₀+s₁)+s₂)+s₃ — a float SUM's order is
+    * engine-dependent; a pivoted expression is not).
+    *
+    * Distance-to-centroid uses d = |c|² − 2⟨x,c⟩ (L2² minus the
+    * per-row constant |x|², which cannot change the argmin). */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, nCents: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centRows = corpus.filter(col(idCol) < nCents)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+    require(centRows.nonEmpty, s"no codebook: corpus has no $idCol < $nCents")
+    val dim = centRows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    // codebook in two shapes: a DataFrame for the LUT cross, and a
+    // per-subspace literal array for the encode fold
+    val centDf = broadcast(centRows.flatMap { r =>
+      val cid = r.getLong(0); val v = r.getSeq[Double](1)
+      (0 until m).map(j => (j, cid, v.slice(j * subDim, (j + 1) * subDim)))
+    }.toSeq.toDF("j", "cid", "cv"))
+    def centArr(j: Int): Column = array(centRows.map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        typedLit(r.getSeq[Double](1).slice(j * subDim, (j + 1) * subDim)).as("cv"))
+    }.toSeq: _*)
+    def sub(v: Column, j: Int): Column =
+      slice(v.cast("array<double>"), j * subDim + 1, subDim)
+    // encode: per subspace, argmin_c round6(|c|² − 2⟨x,c⟩), ties → lowest cid
+    def codeOf(v: Column, j: Int): Column =
+      aggregate(centArr(j),
+        struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val cv = c.getField("cv")
+          val d = round(
+            VectorFns.dot(cv, cv) - lit(2.0) * VectorFns.dot(sub(v, j), cv), 6)
+          when(d < acc.getField("best"),
+            struct(d.as("best"), c.getField("cid").as("cid"))).otherwise(acc)
+        }).getField("cid")
+    val enc0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val encoded = (0 until m).foldLeft(enc0) { (df, j) =>
+      df.withColumn(s"code$j", codeOf(col("v"), j))
+    }
+    // long form (neighbor, subspace, code) — the m-byte PQ code itself
+    val codes = encoded.select(col("neighbor_id"),
+      posexplode(array((0 until m).map(j => col(s"code$j")): _*))
+        .as(Seq("j", "cid")))
+    // LUT: ⟨q_j, centroid⟩ for every (query, subspace, centroid)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val lut = q.crossJoin(centDf)
+      .select(col("query_id"), col("j"), col("cid"),
+        VectorFns.dot(
+          slice(col("qv"), col("j") * subDim + 1, lit(subDim)),
+          col("cv")).as("ip"))
+    val parts = codes.join(broadcast(lut), Seq("j", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(when(col("j") === 0, col("ip"))).as("p0"),
+        (1 until m).map(j =>
+          max(when(col("j") === j, col("ip"))).as(s"p$j")): _*)
+    val adc = (1 until m).foldLeft(col("p0")) { (acc, j) => acc + col(s"p$j") }
+    topKPerQuery(parts.withColumn("sim", round(adc, 6)), k)
+  }
+
   /** KNN label vote: classify each query vector by majority label of
     * its k nearest corpus neighbors ([[bruteForceTopK]] underneath) —
     * the standard semi-supervised labeler for curation (propagate a

@@ -136,6 +136,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Seq((1, 1L, 1L, 1L), (2, 1L, 2L, 2L), (3, 2L, 4L, 7L)))
   }
 
+  test("pqTopK ranks by reconstructed inner product and finds true neighbors") {
+    import graft.operators.Similarity
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pq = Similarity.pqTopK(emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "embedding", k = 10)
+    val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "embedding", k = 10)
+    // quantized recall@10 vs exact: a 16-centroid codebook is coarse,
+    // but each query must still recover a decent share of true top-10
+    val pqSet = pq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exSet = exact.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    for ((q, ex) <- exSet) {
+      val rec = (pqSet(q) & ex).size
+      assert(rec >= 2, s"query $q: PQ recall@10 = $rec/10 — codebook broken")
+    }
+    // self never appears as its own neighbor
+    assert(pq.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("rrfFuse: items missing from one list contribute zero, not null") {
+    import graft.operators.Retrieval
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(a, b, "id").orderBy(col("rrf").desc)
+      .select("id", "rrf").as[(Long, Double)].collect().toSeq
+    // id 2: 1/62 + 1/61 = .032523; id 1: 1/61 = .016393; id 3: 1/62 = .016129
+    assert(out.map(_._1) == Seq(2L, 1L, 3L))
+    assert(out.head._2 == BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("hash split is leak-proof: a key never lands on both sides") {
     import graft.operators.Sampling
     val rows = (1L to 50L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
