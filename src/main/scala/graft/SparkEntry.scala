@@ -2280,6 +2280,49 @@ object SparkEntry {
       SELECT doc_id, rank_a, rank_b, rrf
       FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""))
 
+  /** Incremental-ingest dedup ([[Dedup.incrementalNew]]): docs with
+    * id ≥ 250 play the new shard, deduped against the existing corpus
+    * (id < 250) AND within themselves — only distinct 32-byte
+    * fingerprints of the existing side ride the anti-join. */
+  private val incrementalDedup = Q("q_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNew(
+          docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "text", "doc_id")
+        .select(col("fp"), col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      ex AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+      k AS (
+        SELECT fp, doc_id, source,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM f WHERE doc_id >= 250
+          AND fp NOT IN (SELECT fp FROM ex))
+      SELECT fp, doc_id, source FROM k WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** Integer-space equi-width histogram ([[Profile.histogram]]) of the
+    * event values — the distribution panel of the profiling sweep; bin
+    * edges computed in exact scaled-integer arithmetic so no float
+    * boundary flips a row between engines. */
+  private val histogram = Q("q_histogram",
+    (s, d) => Profile.histogram(
+      Tables.events(s, d).select(col("value")), "value", k = 10),
+    Some("""
+      WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+      st AS (SELECT min(CAST(round(value * 100.0) AS BIGINT)) AS lo,
+                    max(CAST(round(value * 100.0) AS BIGINT)) AS hi FROM v)
+      SELECT CAST((CAST(round(value * 100.0) AS BIGINT) - lo) * 10
+                  // (hi - lo + 1) AS INT) AS bin,
+             count(*) AS n,
+             round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+      FROM v, st GROUP BY bin ORDER BY bin"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2294,7 +2337,7 @@ object SparkEntry {
     decontaminate, outlierZ, qualityBuckets, packGreedy, headMass,
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
-    pqAnn, interleave, oovRate, rrfFusion,
+    pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

@@ -32,6 +32,28 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental-ingest dedup: keep only the NEW-batch docs whose
+    * fingerprint appears neither in the existing corpus nor earlier in
+    * the batch — the shape every daily/shard ingest runs (dedup against
+    * the index, not the world). The existing side contributes only its
+    * DISTINCT 32-byte fingerprints to the anti-join, so yesterday's
+    * petabytes ride the shuffle as fingerprints, never as documents;
+    * at steady state that distinct set is a materialized fingerprint
+    * index this operator reads instead of recomputing. */
+  def incrementalNew(
+      existing: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exFp = existing.select(TextFns.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    batch.withColumn("fp", TextFns.fingerprint(col(textCol)))
+      .join(exFp, Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col(idCol))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Word n-gram shingles of the text (the unit of Jaccard/MinHash). */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextFns.tokens(lower(text))

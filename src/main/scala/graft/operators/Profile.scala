@@ -77,6 +77,36 @@ object Profile {
     *
     * Shape: one count aggregate on the key (map-side combine absorbs
     * the very skew being measured) + one tiny bucket aggregate. */
+  /** Equi-width histogram of a FIXED-POINT numeric column (values with
+    * `scale` decimal digits, e.g. money at scale=2), computed entirely
+    * in integer space: the value is scaled to units
+    * (`round(v·10^scale)` — exact, both engines round the same double),
+    * and the bin is `(units − min)·k div (max − min + 1)` — integer
+    * floor division of non-negative operands, so no float boundary can
+    * flip a row's bin between engines (the failure mode of the
+    * textbook `floor((v-min)/width)`).
+    *
+    * Shape: one tiny min/max aggregate broadcast back, then one
+    * map-side bin computation + one k-row aggregate. */
+  def histogram(df: DataFrame, valueCol: String, k: Int,
+      scale: Int = 2): DataFrame = {
+    require(k > 0, s"histogram: k must be positive, got $k")
+    val mul = math.pow(10, scale)
+    val units = round(col(valueCol) * mul).cast("long")
+    val st = df.filter(col(valueCol).isNotNull)
+      .agg(min(units).as("lo"), max(units).as("hi"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(st))
+      .withColumn("bin",
+        expr(s"(CAST(round($valueCol * $mul) AS BIGINT) - lo) * $k div (hi - lo + 1)")
+          .cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 6).as("min_v"),
+        round(max(col(valueCol)), 6).as("max_v"))
+      .orderBy(col("bin"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .withColumn("bucket", length(bin(col("n"))).cast("int"))

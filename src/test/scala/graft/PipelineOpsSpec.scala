@@ -170,6 +170,34 @@ class PipelineOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("incrementalNew drops batch docs colliding with the corpus or each other") {
+    import graft.operators.Dedup
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA   beta"),   // normalizes to an existing fingerprint
+      (11L, "epsilon zeta"),   // genuinely new
+      (12L, "epsilon zeta"),   // dup within the batch → keep 11 only
+      (13L, "eta theta")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(existing, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("histogram bins in exact integer space: full range covered, edges stable") {
+    val df = (0 to 99).map(i => Tuple1(i / 100.0 * 10)).toDF("value")
+    val out = Profile.histogram(df, "value", k = 10)
+      .select("bin", "n").as[(Int, Long)].collect().toSeq
+    // 100 values 0.0..9.9 → 10 bins of 10
+    assert(out == (0 to 9).map(b => (b, 10L)))
+  }
+
+  test("histogram puts the max value in the last bin, not an overflow bin") {
+    val df = Seq(0.0, 5.0, 10.0).toDF("value")
+    val bins = Profile.histogram(df, "value", k = 4)
+      .select("bin").as[Int].collect().toSeq
+    assert(bins.max == 3 && bins.min == 0)
+  }
+
   test("hash split is leak-proof: a key never lands on both sides") {
     import graft.operators.Sampling
     val rows = (1L to 50L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
