@@ -208,27 +208,35 @@ object Similarity {
       val cid = r.getLong(0); val v = r.getSeq[Double](1)
       (0 until m).map(j => (j, cid, v.slice(j * subDim, (j + 1) * subDim)))
     }.toSeq.toDF("j", "cid", "cv"))
+    // |c|² is precomputed into the literal codebook with the SAME
+    // sequential left-fold the engines use, so the argmin quantity stays
+    // bit-identical while the per-row fold drops half its dot products
     def centArr(j: Int): Column = array(centRows.map { r =>
+      val cv = r.getSeq[Double](1).slice(j * subDim, (j + 1) * subDim)
+      var cc = 0.0
+      cv.foreach(x => cc += x * x)
       struct(lit(r.getLong(0)).as("cid"),
-        typedLit(r.getSeq[Double](1).slice(j * subDim, (j + 1) * subDim)).as("cv"))
+        typedLit(cv).as("cv"), lit(cc).as("cc"))
     }.toSeq: _*)
     def sub(v: Column, j: Int): Column =
       slice(v.cast("array<double>"), j * subDim + 1, subDim)
-    // encode: per subspace, argmin_c round6(|c|² − 2⟨x,c⟩), ties → lowest cid
-    def codeOf(v: Column, j: Int): Column =
+    // encode: per subspace, argmin_c round6(|c|² − 2⟨x,c⟩), ties → lowest
+    // cid; the subvector is hoisted to its own column so the slice runs
+    // once per row, not once per centroid inside the fold
+    def codeOf(subV: Column, j: Int): Column =
       aggregate(centArr(j),
         struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
         (acc, c) => {
-          val cv = c.getField("cv")
           val d = round(
-            VectorFns.dot(cv, cv) - lit(2.0) * VectorFns.dot(sub(v, j), cv), 6)
+            c.getField("cc") - lit(2.0) * VectorFns.dot(subV, c.getField("cv")), 6)
           when(d < acc.getField("best"),
             struct(d.as("best"), c.getField("cid").as("cid"))).otherwise(acc)
         }).getField("cid")
     val enc0 = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("v"))
     val encoded = (0 until m).foldLeft(enc0) { (df, j) =>
-      df.withColumn(s"code$j", codeOf(col("v"), j))
+      df.withColumn(s"sub$j", sub(col("v"), j))
+        .withColumn(s"code$j", codeOf(col(s"sub$j"), j))
     }
     // long form (neighbor, subspace, code) — the m-byte PQ code itself
     val codes = encoded.select(col("neighbor_id"),

@@ -165,17 +165,35 @@ object StreamingFeatures {
       .drop(s"e_$keyCol")
   }
 
-  /** Sink: append each micro-batch into the record-log parquet layout
-    * (partitioned by snapshot date, same as batch writes). */
+  /** Sink: each micro-batch lands in the record-log parquet layout
+    * (partitioned by snapshot date, readable by the batch serving
+    * path), with REPLAY-IDEMPOTENT writes: foreachBatch gives
+    * at-least-once delivery — a crash between the parquet commit and
+    * the checkpoint commit re-runs the same epoch, and a plain append
+    * would double those rows in the log (silent training-data
+    * duplication). Partitioning by (p_date, p_epoch) under DYNAMIC
+    * partition overwrite makes the replay rewrite exactly its own
+    * epoch partitions and nothing else — effectively exactly-once in
+    * the table for any number of replays, with no read-side dedup. */
   def toRecordLog(features: DataFrame, outDir: String,
       checkpoint: String): DataStreamWriter[Row] =
     features.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("10 seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
-          .withColumn("p_date", to_date(col("ts")))
-          .write.mode("append").partitionBy("p_date").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        writeEpoch(batch, epochId, outDir)
       }
+
+  /** The idempotent per-epoch write, exposed for direct testing (a
+    * foreachBatch body re-running with the same epochId must leave the
+    * table unchanged). */
+  def writeEpoch(batch: DataFrame, epochId: Long, outDir: String): Unit =
+    batch
+      .withColumn("p_date", to_date(col("ts")))
+      .withColumn("p_epoch", lit(epochId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_date", "p_epoch")
+      .parquet(outDir)
 }

@@ -158,6 +158,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pq.filter(col("query_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("knnLabel plan broadcasts the small frames — corpus side never sort-merges") {
+    import graft.operators.Similarity
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.knnLabel(emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "embedding", "label", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("rrfFuse: items missing from one list contribute zero, not null") {
     import graft.operators.Retrieval
     val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")

@@ -98,6 +98,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("epoch replay is idempotent: re-running a batch leaves the log unchanged") {
+    val outDir = tmpDir("epoch_replay")
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 2.0)).toDF("user_id", "ts", "value")
+    val b2 = Seq((3L, ts("2024-01-01 11:00:00"), 3.0))
+      .toDF("user_id", "ts", "value")
+    StreamingFeatures.writeEpoch(b1, 0L, outDir)
+    StreamingFeatures.writeEpoch(b2, 1L, outDir)
+    val before = spark.read.parquet(outDir).count()
+    assert(before == 3)
+    // crash-replay of epoch 0 (at-least-once foreachBatch): rewrites its
+    // own partitions only — no duplicates, epoch 1 untouched
+    StreamingFeatures.writeEpoch(b1, 0L, outDir)
+    val after = spark.read.parquet(outDir)
+    assert(after.count() == 3)
+    assert(after.filter(col("p_epoch") === 1L).count() == 1)
+  }
+
   test("flatMapGroupsWithState running features update across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
