@@ -1982,6 +1982,10 @@ object SparkEntry {
         .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
         .withColumn("w", round(sqrt(col("n_tokens").cast("double")), 6)
           .cast(DecimalType(18, 6)))
+        // sources-sized frame feeding two parents: materialize once or
+        // Spark recomputes the whole scan+agg subtree per parent
+        // (diamond DAGs recompute; see CorpusStats scaladoc)
+        .localCheckpoint(false)
       val tot = per.agg(sum(col("n_tokens")).as("tot_n"), sum(col("w")).as("tot_w"))
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_tokens"),
@@ -2323,6 +2327,63 @@ object SparkEntry {
              round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
       FROM v, st GROUP BY bin ORDER BY bin"""))
 
+  /** Fit-on-train / apply-on-valid normalization — the leakage-correct
+    * scaler pattern (statistics must never see the eval split). The
+    * moments are EXACT decimal sums (value and value² at their native
+    * 2/4-decimal scales), so mu/sigma are bit-identical on both engines
+    * and the z-scores replay deterministically — unlike a distributed
+    * `stddev_samp`, whose merge order drifts in the last ulp. */
+  private val fitTransform = Q("q_fit_transform",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("split",
+        when(graft.operators.Sampling.hashKeep(col("user_id"), 0.8, "split"),
+          lit("train")).otherwise(lit("valid")))
+      val st = ev.filter(col("split") === "train")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 4)))
+            .cast(DoubleType).as("s2"),
+          count(col("value")).as("cnt"))
+        .withColumn("mu", col("s1") / col("cnt"))
+        .withColumn("sigma",
+          sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - 1)))
+      ev.filter(col("split") === "valid")
+        .join(broadcast(st), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .groupBy(col("event_type"))
+        .agg(count(col("z")).as("n"),
+          round(sum(round(col("z"), 6).cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(col("z")), 6).as("mean_z"),
+          round(min(col("z")), 6).as("min_z"),
+          round(max(col("z")), 6).as("max_z"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH lab AS (
+        SELECT *, CASE WHEN substr(md5('split' || CAST(user_id AS VARCHAR)), 1, 12)
+                            < '${"%012x".format(math.round(0.8 * (1L << 48)))}'
+                       THEN 'train' ELSE 'valid' END AS split
+        FROM events),
+      st AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+               count(value) AS cnt
+        FROM lab WHERE split = 'train' GROUP BY event_type),
+      stm AS (
+        SELECT event_type, s1 / cnt AS mu,
+               sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) AS sigma
+        FROM st),
+      v AS (
+        SELECT l.event_type, (l.value - m.mu) / m.sigma AS z
+        FROM lab l JOIN stm m USING (event_type) WHERE l.split = 'valid')
+      SELECT event_type, count(z) AS n,
+             round(CAST(sum(CAST(round(z, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(z), 6) AS mean_z,
+             round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+      FROM v GROUP BY event_type ORDER BY event_type"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2338,6 +2399,7 @@ object SparkEntry {
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
     pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
+    fitTransform,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

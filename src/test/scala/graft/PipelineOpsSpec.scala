@@ -209,6 +209,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bins.max == 3 && bins.min == 0)
   }
 
+  test("exact-moment sigma agrees with stddev_samp (the formula, not the drift)") {
+    val df = Seq(1.25, 2.50, 3.75, 10.00, 7.25).map(Tuple1(_)).toDF("value")
+    val m = df.agg(
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast("decimal(28,4)")).cast("double").as("s2"),
+      count(col("value")).as("cnt"),
+      stddev_samp(col("value")).as("ref")).collect()(0)
+    val (s1, s2, n) = (m.getDouble(0), m.getDouble(1), m.getLong(2))
+    val sigma = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    assert(math.abs(sigma - m.getDouble(3)) < 1e-9)
+  }
+
   test("hash split is leak-proof: a key never lands on both sides") {
     import graft.operators.Sampling
     val rows = (1L to 50L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
