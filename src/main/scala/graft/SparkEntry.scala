@@ -2384,6 +2384,56 @@ object SparkEntry {
              round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
       FROM v GROUP BY event_type ORDER BY event_type"""))
 
+  /** PageRank centrality ([[graft.operators.PageRank.pageRank]]) over
+    * the k=3 cosine-kNN graph of the first 100 embeddings — graph-based
+    * representativeness scoring; 3 fixed-point iterations replayed
+    * exactly by the oracle's unrolled CTEs. */
+  private val pageRank = Q("q_pagerank",
+    (s, d) => {
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      val edges = Similarity.bruteForceTopK(sub, sub,
+          "vec_id", "embedding", k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.PageRank.pageRank(
+          edges, sub.select(col("vec_id").as("id")), iters = 3)
+        .select(col("id").as("vec_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH sub AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 100),
+      nn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 round(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS rnk
+        FROM sub a CROSS JOIN sub b WHERE a.vec_id <> b.vec_id),
+      e AS (SELECT src, dst FROM nn WHERE rnk <= 3),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      n AS (SELECT vec_id AS id FROM sub),
+      s0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS score FROM n),
+      i1 AS (
+        SELECT n.id, CAST(150000000000 + coalesce(sum(t.c), 0) AS BIGINT) AS score
+        FROM n LEFT JOIN (
+          SELECT e.dst AS id, (s.score * 85) // (100 * d.deg) AS c
+          FROM e JOIN s0 s ON s.id = e.src JOIN deg d ON d.src = e.src) t
+        USING (id) GROUP BY n.id),
+      i2 AS (
+        SELECT n.id, CAST(150000000000 + coalesce(sum(t.c), 0) AS BIGINT) AS score
+        FROM n LEFT JOIN (
+          SELECT e.dst AS id, (s.score * 85) // (100 * d.deg) AS c
+          FROM e JOIN i1 s ON s.id = e.src JOIN deg d ON d.src = e.src) t
+        USING (id) GROUP BY n.id),
+      i3 AS (
+        SELECT n.id, CAST(150000000000 + coalesce(sum(t.c), 0) AS BIGINT) AS score
+        FROM n LEFT JOIN (
+          SELECT e.dst AS id, (s.score * 85) // (100 * d.deg) AS c
+          FROM e JOIN i2 s ON s.id = e.src JOIN deg d ON d.src = e.src) t
+        USING (id) GROUP BY n.id)
+      SELECT id AS vec_id, score FROM i3
+      ORDER BY score DESC, vec_id LIMIT 20"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2399,7 +2449,7 @@ object SparkEntry {
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
     pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
-    fitTransform,
+    fitTransform, pageRank,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

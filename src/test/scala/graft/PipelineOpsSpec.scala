@@ -221,6 +221,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(sigma - m.getDouble(3)) < 1e-9)
   }
 
+  test("pageRank fixed-point: a cycle is stationary at the initial mass") {
+    import graft.operators.PageRank
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    // every node forwards 85% and restarts with 15%: a 1-regular cycle
+    // keeps exactly scale = 10^12 per node, every iteration
+    val s = PageRank.pageRank(edges, nodes, iters = 3)
+      .select("score").as[Long].collect().toSeq
+    assert(s == Seq.fill(3)(1000000000000L))
+  }
+
+  test("pageRank star: the hub accumulates its spokes' mass, spokes keep the base") {
+    import graft.operators.PageRank
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val s = PageRank.pageRank(edges, nodes, iters = 2)
+      .orderBy("id").select("id", "score").as[(Long, Long)].collect().toSeq
+    // iter1: spokes → 1.5e11; hub = 1.5e11 + 2·(1e12·85 div 100) = 1.85e12
+    // iter2: hub = 1.5e11 + 2·(1.5e11·85 div 100) = 4.05e11
+    assert(s == Seq((1L, 150000000000L), (2L, 405000000000L),
+      (3L, 150000000000L)))
+  }
+
   test("hash split is leak-proof: a key never lands on both sides") {
     import graft.operators.Sampling
     val rows = (1L to 50L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
