@@ -2434,6 +2434,41 @@ object SparkEntry {
       SELECT id AS vec_id, score FROM i3
       ORDER BY score DESC, vec_id LIMIT 20"""))
 
+  /** Multi-probe LSH ANN ([[Similarity.multiprobeTopK]]): the query
+    * probes its bucket plus all Hamming-1 neighbors — same corpus-side
+    * plan as q_ann_bucketed, ~9× recall surface. */
+  private val multiprobeAnn = Q("q_ann_multiprobe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.multiprobeTopK(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 5, nBits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+               (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+               (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+               (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+               (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        FROM embeddings)
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT q.id AS query_id, c.id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS sim,
+               row_number() OVER (PARTITION BY q.id ORDER BY
+                 round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                 c.id) AS rank
+        FROM (SELECT * FROM b WHERE id < 20) q
+        JOIN b c ON q.id <> c.id
+          AND (q.bucket = c.bucket OR
+               xor(q.bucket, c.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128)))
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2449,7 +2484,7 @@ object SparkEntry {
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
     pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
-    fitTransform, pageRank,
+    fitTransform, pageRank, multiprobeAnn,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

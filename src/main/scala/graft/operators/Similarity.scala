@@ -79,6 +79,33 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe LSH ANN: like [[bucketedTopK]] but each query also
+    * probes every Hamming-1 neighbor of its sign bucket — the standard
+    * recall dial for LSH (a vector near a projection hyperplane lands
+    * one bit away; probing adjacent buckets recovers it without
+    * touching the candidate-fraction exponent). Candidates ≈
+    * (nBits+1)/2^nBits of the corpus vs 1/2^nBits single-probe.
+    *
+    * The QUERY side explodes ×(nBits+1) (still broadcast-sized); the
+    * corpus is joined once on its own bucket and never expands — a
+    * corpus vector matches at most one probe value, so no dedup pass
+    * is needed. */
+  def multiprobeTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorFns.signBucket(col(vecCol), nBits).as("bucket"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorFns.signBucket(col(vecCol), nBits).as("b0"))
+    val probes = q0.withColumn("bucket", explode(array(
+      (col("b0") +: (0 until nBits).map(i =>
+        col("b0").bitwiseXOR(lit(1L << i)))): _*)))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF-style ANN (inverted file with a coarse quantizer): the corpus
     * is partitioned into `nCells` cells by nearest centroid; each query
     * probes its `nProbe` nearest cells and ranks only those cells'

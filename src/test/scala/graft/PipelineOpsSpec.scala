@@ -221,6 +221,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(sigma - m.getDouble(3)) < 1e-9)
   }
 
+  test("multiprobe LSH recall dominates single-bucket recall") {
+    import graft.operators.Similarity
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = hits(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val single = hits(Similarity.bucketedTopK(q, emb, "vec_id", "embedding", 5))
+    val multi = hits(Similarity.multiprobeTopK(q, emb, "vec_id", "embedding", 5))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (k, ex) =>
+        (approx.getOrElse(k, Set.empty) & ex).size.toDouble / ex.size }
+      per.sum / per.size
+    }
+    assert(recall(multi) >= recall(single),
+      s"multiprobe ${recall(multi)} < single ${recall(single)}")
+    // probing 9 of 256 buckets must find strictly more candidates than 1
+    assert(multi.values.map(_.size).sum >= single.values.map(_.size).sum)
+  }
+
   test("pageRank fixed-point: a cycle is stationary at the initial mass") {
     import graft.operators.PageRank
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
