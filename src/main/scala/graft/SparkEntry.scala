@@ -2469,6 +2469,29 @@ object SparkEntry {
                xor(q.bucket, c.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128)))
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Real decode + nearest-neighbor resize to 3×2
+    * ([[graft.multimodal.Multimodal.resizeImages]]): the oracle replays
+    * the sampled source indices (integer floor) against the generation
+    * arithmetic — a wrong pixel pick breaks the hash. */
+  private val mediaResize = Q("q_media_resize",
+    (s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticImages(
+        Tables.documents(s, d))
+      graft.multimodal.Multimodal.resizeImages(s, media, 3, 2).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("sum_gray").cast(DoubleType) / col("n_px"), 4).as("mean_gray"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT doc_id AS media_id, CAST(3 AS INT) AS width,
+             CAST(2 AS INT) AS height,
+             round(CAST(list_sum(list_transform(range(6), i ->
+               ((doc_id * 31) % 256
+                + ((i // 3) * (3 + doc_id % 7) // 2) * (4 + doc_id % 13)
+                + ((i % 3) * (4 + doc_id % 13) // 3)) % 256)) AS DOUBLE)
+               / 6, 4) AS mean_gray
+      FROM documents ORDER BY media_id"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2489,7 +2512,7 @@ object SparkEntry {
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
     dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,
-    mediaFeatures, mediaFrames, mediaDecode)
+    mediaFeatures, mediaFrames, mediaDecode, mediaResize)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -153,6 +153,45 @@ object Multimodal {
       }
   }
 
+  /** REAL decode + nearest-neighbor downsample to (targetW, targetH) —
+    * the resize step of an image-training pipeline, after [[decodeImages]]'s
+    * plain decode. Source index arithmetic is integer floor
+    * (sx = x·w div tw), so the sampled pixel set — and therefore the
+    * output statistics — replays exactly from the generation formula in
+    * the oracle. Same per-partition reader lifecycle as decode; cost is
+    * O(target pixels) per image after the decode. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int,
+      format: String = "bmp"): Dataset[ImageFeature] = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName(format).next()
+        rows.map { case (id, payload) =>
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload)), true, true)
+          val img = reader.read(0)
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < targetH) {
+            val sy = y * h / targetH
+            var x = 0
+            while (x < targetW) {
+              val sx = x * w / targetW
+              sum += img.getRGB(sx, sy) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeature(id, targetW, targetH, targetW * targetH, sum)
+        }
+      }
+  }
+
   /** Mint a real BMP image per document: dims and a per-pixel-varying
     * gray ramp derived from doc_id, so the decoded statistics are
     * arithmetic over doc_id — DuckDB-replayable while the bytes go

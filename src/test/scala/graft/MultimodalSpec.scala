@@ -49,6 +49,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImages picks nearest-neighbor source pixels with floor indices") {
+    // 4×2 image with pixel(x,y) = y*4 + x; resize to 2×1:
+    // sy = 0·2/1 = 0; sx ∈ {0·4/2, 1·4/2} = {0, 2} → pixels 0 and 2
+    val bytes = Multimodal.encodeBmpGray(4, 2, (x, y) => y * 4 + x)
+    val media = Seq((7L, bytes)).toDF("media_id", "payload")
+    val out = Multimodal.resizeImages(spark, media, 2, 1).collect().head
+    assert(out.width == 2 && out.height == 1 && out.n_px == 2)
+    assert(out.sum_gray == 0L + 2L)
+  }
+
   test("frame sampling chunks payloads at fixed stride") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, sf)).filter($"media_id" < 5)
