@@ -2030,8 +2030,8 @@ object SparkEntry {
         ORDER BY cnt DESC, bg LIMIT 20)
       SELECT CAST(row_number() OVER (ORDER BY cnt DESC, bg) AS INT) AS rank,
              bg, cnt,
-             round(CAST(cnt * n_total AS DOUBLE) /
-                   CAST(c1.c * c2.c AS DOUBLE), 6) AS lift
+             round((CAST(cnt AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+                   (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)), 6) AS lift
       FROM top, tot,
            uc c1, uc c2
       WHERE c1.w = string_split(bg, ' ')[1]
@@ -2214,7 +2214,10 @@ object SparkEntry {
   /** Per-doc out-of-vocabulary rate against the corpus top-100 vocab —
     * the rare-token quality signal (gibberish and boilerplate sit at
     * the extremes). Vocab is broadcast; the corpus never shuffles
-    * except the per-doc aggregate. */
+    * except the per-doc aggregate. The token frame feeds both the
+    * vocab aggregate and the join, so the scan+explode runs twice BY
+    * CHOICE: materializing the exploded tokens (corpus × tokens-per-doc
+    * rows) costs more than re-scanning the documents at any scale. */
   private val oovRate = Q("q_oov_rate",
     (s, d) => {
       val toks = Tables.documents(s, d)
@@ -2302,13 +2305,14 @@ object SparkEntry {
         SELECT doc_id, source,
                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         FROM documents),
-      ex AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+      ex AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250 AND fp IS NOT NULL),
       k AS (
         SELECT fp, doc_id, source,
                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         FROM f WHERE doc_id >= 250
-          AND fp NOT IN (SELECT fp FROM ex))
-      SELECT fp, doc_id, source FROM k WHERE rn = 1 ORDER BY doc_id"""))
+          AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = f.fp))
+      SELECT fp, doc_id, source FROM k
+      WHERE fp IS NULL OR rn = 1 ORDER BY doc_id"""))
 
   /** Integer-space equi-width histogram ([[Profile.histogram]]) of the
     * event values — the distribution panel of the profiling sweep; bin
@@ -2341,7 +2345,7 @@ object SparkEntry {
       val st = ev.filter(col("split") === "train")
         .groupBy(col("event_type"))
         .agg(
-          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("s1"),
+          Tables.dsum(col("value")).as("s1"),
           sum((col("value") * col("value")).cast(DecimalType(28, 4)))
             .cast(DoubleType).as("s2"),
           count(col("value")).as("cnt"))

@@ -116,42 +116,51 @@ object Multimodal {
     * heavyweight decoder's init cost amortizes across the partition
     * (same batch shape as [[extractFeatures]]); the pixel loop touches
     * each pixel once, so cost is O(pixels) per row, fully distributed. */
-  def decodeImages(spark: SparkSession, media: DataFrame,
-      format: String = "bmp"): Dataset[ImageFeature] = {
+  /** Shared per-partition decode scaffold for [[decodeImages]] /
+    * [[resizeImages]]: one decoder instance per partition, reset per
+    * row — the static ImageIO.read re-resolves the plugin registry and
+    * allocates a fresh reader per call, which dominates at thousands
+    * of small payloads per task. Input goes through a
+    * MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+    * the latter defaults to a FILE-backed cache — one temp file
+    * created+deleted per image, so a partition of small payloads
+    * spends its whole wall-clock blocked on disk I/O (measured: ~0
+    * user-CPU over seconds of wall). */
+  private def mapDecoded(spark: SparkSession, media: DataFrame,
+      format: String)(
+      f: (Long, java.awt.image.BufferedImage) => ImageFeature)
+      : Dataset[ImageFeature] = {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // One decoder instance per partition, reset per row — the
-        // static ImageIO.read re-resolves the plugin registry and
-        // allocates a fresh reader per call, which dominates at
-        // thousands of small payloads per task.
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName(format).next()
         rows.map { case (id, payload) =>
-          // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
-          // the latter defaults to a FILE-backed cache — one temp file
-          // created+deleted per image, so a partition of small payloads
-          // spends its whole wall-clock blocked on disk I/O (measured:
-          // ~0 user-CPU over seconds of wall).
           reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(payload)), true, true)
           val img = reader.read(0)
           require(img != null, s"media_id=$id: payload is not a decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              sum += img.getRGB(x, y) & 0xff // B=G=R gray: low byte suffices
-              x += 1
-            }
-            y += 1
-          }
-          ImageFeature(id, w, h, w * h, sum)
+          f(id, img)
         }
       }
   }
+
+  def decodeImages(spark: SparkSession, media: DataFrame,
+      format: String = "bmp"): Dataset[ImageFeature] =
+    mapDecoded(spark, media, format) { (id, img) =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += img.getRGB(x, y) & 0xff // B=G=R gray: low byte suffices
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeature(id, w, h, w * h, sum)
+    }
 
   /** REAL decode + nearest-neighbor downsample to (targetW, targetH) —
     * the resize step of an image-training pipeline, after [[decodeImages]]'s
@@ -164,32 +173,22 @@ object Multimodal {
       targetW: Int, targetH: Int,
       format: String = "bmp"): Dataset[ImageFeature] = {
     require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
-    import spark.implicits._
-    media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        val reader = javax.imageio.ImageIO
-          .getImageReadersByFormatName(format).next()
-        rows.map { case (id, payload) =>
-          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(payload)), true, true)
-          val img = reader.read(0)
-          require(img != null, s"media_id=$id: payload is not a decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < targetH) {
-            val sy = y * h / targetH
-            var x = 0
-            while (x < targetW) {
-              val sx = x * w / targetW
-              sum += img.getRGB(sx, sy) & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          ImageFeature(id, targetW, targetH, targetW * targetH, sum)
+    mapDecoded(spark, media, format) { (id, img) =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < targetH) {
+        val sy = y * h / targetH
+        var x = 0
+        while (x < targetW) {
+          val sx = x * w / targetW
+          sum += img.getRGB(sx, sy) & 0xff
+          x += 1
         }
+        y += 1
       }
+      ImageFeature(id, targetW, targetH, targetW * targetH, sum)
+    }
   }
 
   /** Mint a real BMP image per document: dims and a per-pixel-varying

@@ -77,8 +77,11 @@ object CorpusStats {
     val uni = docs.select(explode(toks).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val total = docs.select(
-      sum(size(filter(toks, t => length(t) > 0))).as("n_total"))
+      // vocab-sized frame feeding three parents (total + two survivor
+      // joins) — materialize once or the explode+agg subtree reruns
+      .localCheckpoint(false)
+    // n_total is the sum of the unigram counts — no third tokenize pass
+    val total = uni.agg(sum(col("c")).as("n_total"))
     val top = docs.select(explode(bigrams).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bg").asc)
@@ -91,9 +94,13 @@ object CorpusStats {
       .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
       .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
       .crossJoin(broadcast(total))
+      // each factor goes to double BEFORE the multiply: a Long×Long
+      // product overflows at ~10^19 (hot bigram × web-scale n_total)
+      // and non-ANSI Spark would wrap silently; the double products
+      // are correctly rounded, so the round-6 lift is still engine-exact
       .withColumn("lift", round(
-        (col("cnt") * col("n_total")).cast("double") /
-          (col("c1") * col("c2")).cast("double"), 6))
+        (col("cnt").cast("double") * col("n_total").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double")), 6))
       .select("rank", "bg", "cnt", "lift")
   }
 

@@ -44,13 +44,19 @@ object Dedup {
       existing: DataFrame, batch: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null fingerprints (null text) are NOT comparable: they never
+    // match the existing side and never collapse with each other —
+    // without the explicit carve-outs a null in `existing` would veto
+    // nothing in Spark but everything in a NOT-IN oracle, and null
+    // batch rows would silently collapse to one "duplicate"
     val exFp = existing.select(TextFns.fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
       .distinct()
     batch.withColumn("fp", TextFns.fingerprint(col(textCol)))
       .join(exFp, Seq("fp"), "left_anti")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col(idCol))))
-      .filter(col("rn") === 1)
+      .filter(col("fp").isNull || col("rn") === 1)
       .drop("rn")
   }
 

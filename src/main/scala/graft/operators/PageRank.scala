@@ -52,6 +52,10 @@ object PageRank {
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(col("in_sum"), lit(0L))).as("score"))
+        // truncate lineage per round — an iters-deep nested join-agg
+        // plan grows Catalyst analysis superlinearly (same fix as
+        // ConnectedComponents' per-round checkpoint)
+        .localCheckpoint(false)
     }
     score
   }

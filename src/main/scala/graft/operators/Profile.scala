@@ -65,18 +65,6 @@ object Profile {
       .orderBy(col("col_name"))
   }
 
-  /** Key-skew diagnosis: histogram of per-key row counts in power-of-
-    * two buckets — the pre-flight check before keying a join or window
-    * on a column (a key whose top bucket holds millions of rows needs
-    * salting / AQE skew handling; see [[graft.operators.SkewJoin]]).
-    *
-    * The bucket is `floor(log2 n) + 1` computed as the BIT LENGTH of
-    * the count (`length(bin(n))`) — pure integer arithmetic, because
-    * float log2 is a libm call that lands on x.999… at exact powers of
-    * two and buckets differently between engines.
-    *
-    * Shape: one count aggregate on the key (map-side combine absorbs
-    * the very skew being measured) + one tiny bucket aggregate. */
   /** Equi-width histogram of a FIXED-POINT numeric column (values with
     * `scale` decimal digits, e.g. money at scale=2), computed entirely
     * in integer space: the value is scaled to units
@@ -107,6 +95,18 @@ object Profile {
       .orderBy(col("bin"))
   }
 
+  /** Key-skew diagnosis: histogram of per-key row counts in power-of-
+    * two buckets — the pre-flight check before keying a join or window
+    * on a column (a key whose top bucket holds millions of rows needs
+    * salting / AQE skew handling; see [[graft.operators.SkewJoin]]).
+    *
+    * The bucket is `floor(log2 n) + 1` computed as the BIT LENGTH of
+    * the count (`length(bin(n))`) — pure integer arithmetic, because
+    * float log2 is a libm call that lands on x.999… at exact powers of
+    * two and buckets differently between engines.
+    *
+    * Shape: one count aggregate on the key (map-side combine absorbs
+    * the very skew being measured) + one tiny bucket aggregate. */
   def keySkew(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .withColumn("bucket", length(bin(col("n"))).cast("int"))

@@ -93,6 +93,12 @@ object Similarity {
   def multiprobeTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    // same enforced broadcast bound as bruteForceTopK — the probe
+    // explosion multiplies the broadcast by (nBits+1)
+    val nq = queries.limit(MaxBroadcastQueries / (nBits + 1) + 1).count()
+    require(nq <= MaxBroadcastQueries / (nBits + 1),
+      s"multiprobeTopK: query side × ${nBits + 1} probes exceeds " +
+        s"$MaxBroadcastQueries broadcast rows; use bucketedTopK shards")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VectorFns.signBucket(col(vecCol), nBits).as("bucket"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -222,6 +228,11 @@ object Similarity {
       m: Int = 4, nCents: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // enforced LUT bound: the broadcast is |queries|·m·nCents rows
+    val nq = queries.limit(MaxBroadcastQueries / (m * nCents) + 1).count()
+    require(nq <= MaxBroadcastQueries / (m * nCents),
+      s"pqTopK: query side × ${m * nCents} LUT rows exceeds " +
+        s"$MaxBroadcastQueries broadcast rows; shard the query set")
     val centRows = corpus.filter(col(idCol) < nCents)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().sortBy(_.getLong(0))

@@ -174,7 +174,14 @@ object StreamingFeatures {
     * duplication). Partitioning by (p_date, p_epoch) under DYNAMIC
     * partition overwrite makes the replay rewrite exactly its own
     * epoch partitions and nothing else — effectively exactly-once in
-    * the table for any number of replays, with no read-side dedup. */
+    * the table for any number of replays, with no read-side dedup.
+    *
+    * LAYOUT OWNERSHIP: the extra p_epoch level means a stream-owned
+    * log directory — pointing this sink and batch
+    * [[graft.fs.RecordLog.write]] (p_date only) at the SAME directory
+    * would mix partition depths and break discovery. Batch readers
+    * ([[graft.fs.Serving]], plain `spark.read.parquet`) read either
+    * layout fine; writers must not share a directory across modes. */
   def toRecordLog(features: DataFrame, outDir: String,
       checkpoint: String): DataStreamWriter[Row] =
     features.writeStream

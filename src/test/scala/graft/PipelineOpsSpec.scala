@@ -194,6 +194,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Set(11L, 13L))
   }
 
+  test("incrementalNew: null texts are incomparable — never vetoed, never collapsed") {
+    import graft.operators.Dedup
+    val existing = Seq((1L, Option("alpha")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, Option.empty[String]), (11L, Option.empty[String]),
+      (12L, Option("beta"))).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(existing, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // the existing null must not veto anything; both null batch rows
+    // survive (not duplicates of each other), and beta is new
+    assert(kept == Set(10L, 11L, 12L))
+  }
+
   test("histogram bins in exact integer space: full range covered, edges stable") {
     val df = (0 to 99).map(i => Tuple1(i / 100.0 * 10)).toDF("value")
     val out = Profile.histogram(df, "value", k = 10)
