@@ -2496,6 +2496,34 @@ object SparkEntry {
                / 6, 4) AS mean_gray
       FROM documents ORDER BY media_id"""))
 
+  /** Equi-DEPTH histogram (deciles per event_type via ntile) — the
+    * partner of q_histogram's equi-width bins: bucket populations are
+    * equal by construction and the BOUNDARIES carry the information.
+    * The window partitions by type, so the sort parallelizes across
+    * types instead of one global ranking. */
+  private val histogramDepth = Q("q_histogram_depth",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))
+        .orderBy(col("event_type"), col("decile"))
+    },
+    Some("""
+      SELECT event_type, decile, count(*) AS n,
+             round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+      FROM (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS decile
+        FROM events WHERE value IS NOT NULL)
+      GROUP BY event_type, decile ORDER BY event_type, decile"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2511,7 +2539,7 @@ object SparkEntry {
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
     pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
-    fitTransform, pageRank, multiprobeAnn,
+    fitTransform, pageRank, multiprobeAnn, histogramDepth,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,

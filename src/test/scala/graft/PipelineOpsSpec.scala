@@ -279,6 +279,24 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 150000000000L)))
   }
 
+  test("results are AQE-invariant: plans may re-shape, rows may not") {
+    // the determinism conventions promise results independent of
+    // physical planning; flipping AQE is the cheapest planning shake
+    val names = Seq("q_source_mix", "q_topk", "q_scd2_history")
+    val sfDir = sf
+    def run(): Map[String, Array[String]] = names.map { n =>
+      n -> SparkEntry.queries(n)(spark, sfDir).collect().map(_.toString)
+    }.toMap
+    val key = "spark.sql.adaptive.enabled"
+    val orig = spark.conf.get(key)
+    val on = run()
+    try {
+      spark.conf.set(key, "false")
+      val off = run()
+      for (n <- names) assert(on(n).sameElements(off(n)), s"$n drifted under AQE flip")
+    } finally spark.conf.set(key, orig)
+  }
+
   test("hash split is leak-proof: a key never lands on both sides") {
     import graft.operators.Sampling
     val rows = (1L to 50L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
