@@ -18,6 +18,8 @@ import graft.plans.{BoundedTopK, CosineSim, MinHashBands, SimHash64, WinnowFps}
   *   SELECT simhash64(tokens),
   *          cosine_sim(a, b),
   *          top_k(score, id, 5)
+  *   ...
+  *   WHERE hash_keep(doc_id, 0.1D, 'holdout')  -- deterministic sample
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -66,6 +68,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 3, "winnow_fps(text: string, k: int, w: int)")
         WinnowFps(args.head,
           intArg(args(1), "winnow_fps", 1), intArg(args(2), "winnow_fps", 2))
+      }))
+    // deterministic data-keyed sampling predicate for SQL users —
+    // the same md5-threshold membership as Sampling.hashKeep, so a
+    // SQL WHERE clause and the column API select identical rows
+    ext.injectFunction((
+      new FunctionIdentifier("hash_keep"),
+      new ExpressionInfo("graft.operators.Sampling", "hash_keep"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "hash_keep(key, fraction: double literal, seed: string literal)")
+        val frac = args(1) match {
+          case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => d
+          case other => throw new IllegalArgumentException(
+            s"hash_keep: fraction must be a double literal, got $other")
+        }
+        val seed = args(2) match {
+          case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"hash_keep: seed must be a string literal, got $other")
+        }
+        // built from raw Catalyst nodes: a functions-API Column wraps
+        // ColumnNodes that do not survive the function-builder path
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, LessThan, Md5, Substring}
+        import org.apache.spark.sql.types.StringType
+        val cut = math.round(frac * (1L << 48))
+        if (cut <= 0L) Literal.FalseLiteral
+        else if (cut >= (1L << 48)) Literal.TrueLiteral
+        else LessThan(
+          Substring(
+            Md5(Cast(Concat(Seq(Literal(seed),
+              Cast(args.head, StringType))), org.apache.spark.sql.types.BinaryType)),
+            Literal(1), Literal(12)),
+          Literal(graft.operators.Sampling.thresholdHex(frac)))
       }))
   }
 }

@@ -27,7 +27,7 @@ object Sampling {
     * render 13 hex chars and break the lexicographic compare, so the
     * degenerate fractions are handled as constant predicates in
     * [[hashKeep]]. */
-  private[operators] def thresholdHex(fraction: Double): String = {
+  private[graft] def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
     f"${math.round(fraction * (1L << 48))}%012x"
   }

@@ -56,6 +56,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.head.nonEmpty && viaSql(1).isEmpty)
   }
 
+  test("hash_keep callable from SQL, equals the column API") {
+    import graft.operators.Sampling
+    val df = (1L to 200L).toDF("id")
+    df.createOrReplaceTempView("hk_ids")
+    val viaSql = spark.sql(
+      "SELECT id FROM hk_ids WHERE hash_keep(id, 0.3D, 'seed')")
+      .as[Long].collect().toSet
+    val viaCol = df.where(Sampling.hashKeep(col("id"), 0.3, "seed"))
+      .as[Long].collect().toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
   test("non-literal k is rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT top_k(1.0, 1, id) FROM range(3)").collect()
