@@ -2524,6 +2524,54 @@ object SparkEntry {
         FROM events WHERE value IS NOT NULL)
       GROUP BY event_type, decile ORDER BY event_type, decile"""))
 
+  /** TPC-H Q5-style local-supplier revenue: a 6-table join (two fact
+    * tables + four dims) with a region filter and a date range — the
+    * multi-join planning flagship. The three dims broadcast (no
+    * exchange on the fact side for them); lineitem⋈orders⋈customer
+    * shuffle on their join keys; revenue goes through the bounded-
+    * decimal money path of q1_agg. Catalyst pushes the region filter
+    * through nation before any fact row is touched. */
+  private val q5Revenue = Q("q5_region_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .withColumn("__rev",
+          (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DecimalType(18, 4)))
+        .groupBy(col("n_name"))
+        .agg(sum(col("__rev")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem, orders, customer, supplier, nation, region
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -2539,7 +2587,7 @@ object SparkEntry {
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
     pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
-    fitTransform, pageRank, multiprobeAnn, histogramDepth,
+    fitTransform, pageRank, multiprobeAnn, histogramDepth, q5Revenue,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
