@@ -78,11 +78,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 3,
           "hash_keep(key, fraction: double literal, seed: string literal)")
+        // Spark SQL parses an unsuffixed 0.1 as DECIMAL(1,1), so accept
+        // decimal/float literals too — requiring the 0.1D suffix was a
+        // usability trap (ADVICE r5).
         val frac = args(1) match {
           case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => d
+          case Literal(f: Float, org.apache.spark.sql.types.FloatType) => f.toDouble
+          case Literal(d: org.apache.spark.sql.types.Decimal,
+              _: org.apache.spark.sql.types.DecimalType) => d.toDouble
           case other => throw new IllegalArgumentException(
-            s"hash_keep: fraction must be a double literal, got $other")
+            s"hash_keep: fraction must be a numeric literal, got $other")
         }
+        // same contract as Sampling.hashKeep — out-of-range fractions
+        // fail loudly instead of silently degenerating to TRUE/FALSE
+        require(frac >= 0.0 && frac <= 1.0,
+          s"hash_keep: fraction must be in [0, 1], got $frac")
         val seed = args(2) match {
           case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
             s.toString

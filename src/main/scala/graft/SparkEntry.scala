@@ -111,6 +111,64 @@ object SparkEntry {
       ) o ON true
       ORDER BY e.event_id"""))
 
+  /** Per-row as-of PIT join (SURVEY §7.3's hard case, VERDICT r5 #6):
+    * R9 with per-entity as-of timestamps — every 'purchase' event is a
+    * training example carrying its OWN label time, and TWO feature
+    * groups (latest 'error' value; latest order) attach as-of that
+    * per-row time via two [[Serving.asOfJoin]] folds. This is the
+    * training-set-generation shape: one shuffle per group on the entity
+    * key, union-tag windows, no per-row loops, later folds simply
+    * extend the row. The oracle is DuckDB's native ASOF JOIN; right
+    * sides are deduped at equal timestamps (max id wins) so the
+    * engines' tie rules provably coincide. */
+  private val pitAsofPerRow = Q("q_pit_asof_perrow",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val labels = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errFeats = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("fts"),
+          col("event_id").as("err_event_id"),
+          round(col("value"), 6).as("err_value"))
+      val ords = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      val withErr = Serving.asOfJoin(labels, errFeats, "user_id", "ts", "fts",
+        Seq("err_value", "err_event_id"), Seq("fts", "err_event_id"))
+      val withOrd = Serving.asOfJoin(withErr, ords, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"), Seq("o_orderdate", "o_orderkey"))
+      withOrd.select(col("event_id"), col("user_id"),
+          Tables.tsStr(col("ts")).as("ts_s"),
+          col("err_value"), col("err_event_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH ef AS (
+        SELECT user_id, ts AS fts, event_id AS err_event_id,
+               round(value, 6) AS err_value
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'error') t
+        WHERE rn = 1),
+      od AS (
+        SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+          FROM orders) t
+        WHERE rn = 1)
+      SELECT l.event_id, l.user_id,
+             strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             ef.err_value, ef.err_event_id, od.o_orderkey, od.o_totalprice
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN ef ON l.user_id = ef.user_id AND l.ts >= ef.fts
+      ASOF LEFT JOIN od ON l.user_id = od.user_id AND l.ts >= od.o_orderdate
+      ORDER BY l.event_id"""))
+
   private val groupStats = Q("q_group_stats",
     (s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))
@@ -1261,12 +1319,16 @@ object SparkEntry {
     * (one array column, single expression evaluation) and DuckDB
     * replays the identical md5/min/sort pipeline, so the sketch is
     * hash-verified end to end. The length filter is pushed to the
-    * scan; everything else is one map-side pass, no shuffle. */
+    * scan; everything else is one map-side pass, no shuffle. The set
+    * is emitted joined to one scalar string (the driver's comparator
+    * sorts frames with pandas, which cannot hash array cells), so the
+    * full fingerprint list stays hash-verified — as a scalar. */
   private val winnowFp = Q("q_winnow_fp",
     (s, d) => Tables.documents(s, d)
       .filter(length(col("text")) >= 11)
       .select(col("doc_id"),
-        TextFns.winnowFingerprints(col("text"), 8, 4).as("fps"))
+        array_join(TextFns.winnowFingerprints(col("text"), 8, 4), ",")
+          .as("fps"))
       .orderBy(col("doc_id")),
     Some("""
       WITH d AS (
@@ -1278,8 +1340,10 @@ object SparkEntry {
                  substr(md5(substr(t, CAST(i + 1 AS INT), 8)), 1, 12)) AS hashes
         FROM d)
       SELECT doc_id,
-             list_sort(list_distinct(list_transform(range(len(hashes) - 3), j ->
-               list_min(hashes[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))) AS fps
+             array_to_string(
+               list_sort(list_distinct(list_transform(range(len(hashes) - 3), j ->
+                 list_min(hashes[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))),
+               ',') AS fps
       FROM hs ORDER BY doc_id"""))
 
   /** Context-window chunking: fixed-size overlapping character chunks
@@ -1602,6 +1666,38 @@ object SparkEntry {
                / ((4 + doc_id % 13) * (3 + doc_id % 7)), 4) AS mean_gray
       FROM documents ORDER BY media_id"""))
 
+  /** REAL audio decode (VERDICT r5 #5): every document mints a genuine
+    * RIFF/WAVE PCM16 mono clip (length + sample ramp derived from
+    * doc_id), which goes through an actual `javax.sound.sampled` decode
+    * per partition — sample rate, length, peak, energy and zero
+    * crossings are computed from decoded PCM samples, not metadata. All
+    * stats are integer-exact, so DuckDB replays the generation
+    * arithmetic and a byte-level fault anywhere in the
+    * encode → decode → stats pipeline breaks the hash. */
+  private val mediaAudio = Q("q_media_audio",
+    (s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticAudio(
+        Tables.documents(s, d))
+      graft.multimodal.Multimodal.decodeWav(s, media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("peak"), col("sum_sq"), col("zero_cross"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 64 + doc_id % 129 AS n,
+               list_transform(range(64 + doc_id % 129),
+                 i -> (doc_id * 7 + i * 13) % 2048 - 1024) AS s
+        FROM documents)
+      SELECT doc_id AS media_id,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(n AS INT) AS n_samples,
+             CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+             CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+             CAST(len(list_filter(range(1, CAST(n AS INT)),
+               i -> (s[i + 1] >= 0) <> (s[i] >= 0))) AS INT) AS zero_cross
+      FROM d ORDER BY media_id"""))
+
   /** Time-based rolling features (SURVEY §2.B window frames, the
     * rangeBetween half — VERDICT r4 #4): per-user trailing-1h sum and
     * count over the event stream. The frame is value-based (micros
@@ -1825,8 +1921,48 @@ object SparkEntry {
                CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
                CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END
         FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
-      SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+      SELECT source, bin, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
       FROM p GROUP BY source, bin ORDER BY source, bin"""))
+
+  /** Shard-parallel packing ([[Packing.packGreedySharded]]) — the
+    * 100 TB variant of q_pack_greedy: each source splits into 4
+    * deterministic shards (doc_id mod 4) packed independently, so
+    * parallelism is #sources × #shards instead of #sources (VERDICT r5
+    * flagged the unsharded scan as the repo's one scale-killer). The
+    * oracle replays the same forward scan per (source, shard) as a
+    * recursive CTE — pmod arithmetic, engine-identical. */
+  private val packSharded = Q("q_pack_sharded",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packGreedySharded(docs, "source", "doc_id", "n_tokens",
+          budget = 256, nShards = 4)
+        .groupBy(col("source"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("source"), col("shard"), col("bin"))
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT source, doc_id % 4 AS shard, doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source, doc_id % 4
+                 ORDER BY doc_id) AS rn
+        FROM documents),
+      p AS (
+        SELECT source, shard, doc_id, rn, n_tokens,
+               CAST(1 AS BIGINT) AS bin, n_tokens AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.shard, d.doc_id, d.rn, d.n_tokens,
+               CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        FROM d JOIN p ON d.source = p.source AND d.shard = p.shard
+          AND d.rn = p.rn + 1)
+      SELECT source, shard, bin, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      FROM p GROUP BY source, shard, bin ORDER BY source, shard, bin"""))
 
   /** Head-of-distribution curation: per source, the smallest
     * longest-first doc prefix holding ≤90% of the source's token mass
@@ -1864,8 +2000,9 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                sum(n) OVER (PARTITION BY source) AS total
         FROM t)
-      SELECT source, count(*) AS n_head_docs, max(cum) AS head_tokens,
-             max(total) AS total_tokens
+      SELECT source, count(*) AS n_head_docs,
+             CAST(max(cum) AS BIGINT) AS head_tokens,
+             CAST(max(total) AS BIGINT) AS total_tokens
       FROM c WHERE cum * 10 <= total * 9
       GROUP BY source ORDER BY source"""))
 
@@ -2575,7 +2712,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
-    pitLatest, pitJoin, asofJoin, groupStats, storeRoundtrip,
+    pitLatest, pitJoin, asofJoin, pitAsofPerRow, groupStats, storeRoundtrip,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
     rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg,
     bucketedJoin, outerJoin,
@@ -2583,7 +2720,7 @@ object SparkEntry {
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupFp, winnowFp, winnowDup, chunkText, langDist, langIdDist,
     quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
-    decontaminate, outlierZ, qualityBuckets, packGreedy, headMass,
+    decontaminate, outlierZ, qualityBuckets, packGreedy, packSharded, headMass,
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
     pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
@@ -2592,7 +2729,7 @@ object SparkEntry {
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
     dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,
-    mediaFeatures, mediaFrames, mediaDecode, mediaResize)
+    mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

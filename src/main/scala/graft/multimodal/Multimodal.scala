@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   *
   * Image decoding is REAL: `decodeImages` runs `javax.imageio` (in the
   * JDK, offline-safe) per partition over BMP/PNG payloads and extracts
-  * width/height/pixel statistics — see `q_media_decode`. Audio/video
-  * codecs remain stubbed (`decodeStub` — no media libraries in this
-  * container): the deterministic fake keeps schema, partitioning, batch
-  * shape and the partition-local decoder lifecycle real and testable;
-  * swapping in a real codec touches only the stub, exactly as the image
-  * path demonstrates.
+  * width/height/pixel statistics — see `q_media_decode`. Audio decoding
+  * is REAL too: `decodeWav` runs `javax.sound.sampled` over RIFF/WAVE
+  * PCM16 payloads and computes integer-exact sample statistics — see
+  * `q_media_audio`. Video codecs remain stubbed (`decodeStub` — no
+  * video libraries in this container): the deterministic fake keeps
+  * schema, partitioning, batch shape and the partition-local decoder
+  * lifecycle real and testable; swapping in a real codec touches only
+  * the stub, exactly as the image and audio paths demonstrate.
   */
 object Multimodal {
 
@@ -189,6 +191,95 @@ object Multimodal {
       }
       ImageFeature(id, targetW, targetH, targetW * targetH, sum)
     }
+  }
+
+  // ---- real audio path (javax.sound.sampled — VERDICT r5 #5) ----------
+
+  final case class AudioFeature(
+      media_id: Long, sample_rate: Int, n_samples: Int,
+      peak: Int, sum_sq: Long, zero_cross: Int)
+
+  /** Minimal RIFF/WAVE PCM16 mono encoder (little-endian, canonical
+    * 44-byte header). Used to mint real, decodable audio payloads;
+    * generation is separate from [[decodeWav]], which sees only opaque
+    * bytes — same split as the BMP pair. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                                  // PCM
+      .putShort(1)                                  // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)                       // byte rate
+      .putShort(2)                                  // block align
+      .putShort(16)                                 // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL per-partition WAV decode via `javax.sound.sampled`
+    * (JDK-native, offline-safe): payload bytes → AudioInputStream →
+    * PCM sample statistics, all integer-exact — peak (max |s|), energy
+    * (Σ s², BIGINT), zero crossings (sign flips between consecutive
+    * samples, with s ≥ 0 counting as non-negative). Same
+    * mapPartitions batch shape as the image path; cost is O(samples)
+    * per row, fully distributed. */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[AudioFeature] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected PCM16 mono, got $fmt")
+          val bytes = ais.readAllBytes()
+          ais.close()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 2
+          var i = 0; var peak = 0; var sumSq = 0L; var zc = 0
+          var prevNonNeg = false
+          while (i < n) {
+            val s = bb.getShort(i * 2).toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumSq += s.toLong * s
+            val nonNeg = s >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          AudioFeature(id, fmt.getSampleRate.toInt, n, peak, sumSq, zc)
+        }
+      }
+  }
+
+  /** Mint a real WAV clip per document: length and a sawtooth-ish
+    * sample ramp derived from doc_id (s(i) = (doc_id·7 + i·13) mod 2048
+    * − 1024), so the decoded statistics are arithmetic over doc_id —
+    * DuckDB-replayable while the bytes go through a genuine
+    * encode → AudioSystem decode round trip. */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (64 + id % 129).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((id * 7 + i * 13) % 2048 - 1024).toShort)
+          (id, encodeWavPcm16(8000, samples))
+        }
+      }.toDF("media_id", "payload")
+      .select(col("media_id"), lit("audio/wav").as("mime"), col("payload"))
   }
 
   /** Mint a real BMP image per document: dims and a per-pixel-varying

@@ -17,6 +17,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * and a single forward scan assigns bins. Parallelism = number of
   * groups (sources/shards), the same contract as any per-stream
   * sessionization; no state ever crosses a group boundary.
+  *
+  * At 100 TB with few sources that contract is the bottleneck
+  * (VERDICT r5: a ~20-task full sort + scan of the corpus). Packing
+  * never requires a GLOBAL order, only a consistent one — so
+  * [[packGreedySharded]] splits each group into `nShards` deterministic
+  * shards keyed off the order column (`pmod(orderCol, nShards)` —
+  * engine-replayable arithmetic, no Murmur dependence) and packs each
+  * (group, shard) independently. Parallelism becomes
+  * #groups × nShards; every bin invariant (no overflow, 1-based
+  * contiguous numbering) holds per shard. The trade is bin *identity*:
+  * bins are scoped (group, shard, bin), and up to nShards partially
+  * filled tail bins exist per group instead of one — bounded waste,
+  * bought for cluster-wide parallelism.
   */
 object Packing {
 
@@ -56,6 +69,54 @@ object Packing {
           else if (fill + size > budget) { bin += 1L; fill = size }
           else fill += size
           Row(g, r.getLong(1), size, bin)
+        }
+      }(enc)
+  }
+
+  /** Shard-parallel greedy packing — the 100 TB shape. Each group is
+    * split into `nShards` deterministic shards
+    * (`shard = pmod(orderCol, nShards)`), and each (group, shard)
+    * packs independently with [[packGreedy]] semantics: ordered by
+    * `orderCol` within the shard, bins 1-based per (group, shard),
+    * a bin closed when the next row would overflow `budget`.
+    *
+    * Output columns: groupCol (string), `shard` (long), orderCol
+    * (long), sizeCol (long), `bin` (long, 1-based per (group, shard)).
+    */
+  def packGreedySharded(
+      df: DataFrame, groupCol: String, orderCol: String,
+      sizeCol: String, budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0, s"packGreedySharded: budget must be positive, got $budget")
+    require(nShards > 0, s"packGreedySharded: nShards must be positive, got $nShards")
+    val in = df.select(
+      col(groupCol).cast("string"),
+      pmod(col(orderCol).cast("long"), lit(nShards.toLong)).as("shard"),
+      col(orderCol).cast("long"), col(sizeCol).cast("long"))
+    val outSchema = StructType(Seq(
+      StructField(groupCol, org.apache.spark.sql.types.StringType),
+      StructField("shard", LongType),
+      StructField(orderCol, LongType),
+      StructField(sizeCol, LongType),
+      StructField("bin", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.repartition(col(groupCol), col("shard"))
+      .sortWithinPartitions(col(groupCol), col("shard"), col(orderCol))
+      .mapPartitions { rows =>
+        // forward scan; state resets at each (group, shard) boundary
+        var curGroup: String = null
+        var curShard = -1L
+        var bin = 0L
+        var fill = 0L
+        rows.map { r =>
+          val g = r.getString(0)
+          val sh = r.getLong(1)
+          val size = r.getLong(3)
+          if (g != curGroup || sh != curShard) {
+            curGroup = g; curShard = sh; bin = 1L; fill = size
+          }
+          else if (fill + size > budget) { bin += 1L; fill = size }
+          else fill += size
+          Row(g, sh, r.getLong(2), size, bin)
         }
       }(enc)
   }

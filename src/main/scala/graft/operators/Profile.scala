@@ -29,7 +29,12 @@ object Profile {
 
   private def canon(c: Column, dt: DataType): Column = dt match {
     case DoubleType | FloatType => c.cast(DecimalType(30, 6)).cast(StringType)
+    // decimals re-render at the fixed canonical scale too — a native-
+    // scale decimal would print '123.45' where the contract says
+    // '123.450000' (ADVICE r5)
+    case _: DecimalType => c.cast(DecimalType(30, 6)).cast(StringType)
     case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case DateType => date_format(c, "yyyy-MM-dd")
     case _ => c.cast(StringType)
   }
 

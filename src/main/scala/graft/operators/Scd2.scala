@@ -47,10 +47,15 @@ object Scd2 {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(orderCol), col(tieCol))
     // a row is a CHANGE if any tracked column differs from the
-    // previous snapshot (null-safe: <=> treats null==null as equal)
+    // previous snapshot (null-safe: <=> treats null==null as equal).
+    // Partition-boundary detection uses tieCol (a non-null record id):
+    // lag(orderCol).isNull would also fire after a mid-partition null
+    // event time, and null timestamp ordering differs between engines
+    // (Spark nulls-first vs DuckDB nulls-last), so orderCol is not a
+    // safe boundary probe (ADVICE r5).
     val changed = trackCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
-      .reduce(_ || _) || lag(col(orderCol), 1).over(w).isNull
+      .reduce(_ || _) || lag(col(tieCol), 1).over(w).isNull
     val compacted = df
       .withColumn("_chg", changed)
       .filter(col("_chg"))

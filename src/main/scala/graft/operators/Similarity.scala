@@ -260,9 +260,12 @@ object Similarity {
       slice(v.cast("array<double>"), j * subDim + 1, subDim)
     // encode: per subspace, argmin_c round6(|c|² − 2⟨x,c⟩), ties → lowest
     // cid; the subvector is hoisted to its own column so the slice runs
-    // once per row, not once per centroid inside the fold
-    def codeOf(subV: Column, j: Int): Column =
-      aggregate(centArr(j),
+    // once per row, not once per centroid inside the fold. A NaN vector
+    // would make every distance NaN, the `d < best` never fire, and the
+    // sentinel -1 silently drop the row from the LUT join downstream —
+    // so a failed encode raises instead of vanishing (ADVICE r5).
+    def codeOf(subV: Column, j: Int): Column = {
+      val cid = aggregate(centArr(j),
         struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
         (acc, c) => {
           val d = round(
@@ -270,6 +273,10 @@ object Similarity {
           when(d < acc.getField("best"),
             struct(d.as("best"), c.getField("cid").as("cid"))).otherwise(acc)
         }).getField("cid")
+      when(cid >= 0, cid).otherwise(raise_error(concat(
+        lit(s"pqTopK: subspace $j encode failed (NaN/corrupt vector): "),
+        col("neighbor_id").cast("string"))))
+    }
     val enc0 = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("v"))
     val encoded = (0 until m).foldLeft(enc0) { (df, j) =>

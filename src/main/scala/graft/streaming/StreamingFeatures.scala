@@ -194,7 +194,17 @@ object StreamingFeatures {
 
   /** The idempotent per-epoch write, exposed for direct testing (a
     * foreachBatch body re-running with the same epochId must leave the
-    * table unchanged). */
+    * table unchanged).
+    *
+    * PRECONDITION — deterministic replay: dynamic partition overwrite
+    * rewrites only the (p_date, p_epoch) partitions present in THIS
+    * batch. Idempotence therefore requires the replayed epoch to emit
+    * the same p_date set as the first attempt — true for replayable
+    * sources (files, Kafka) with deterministic transforms, which is
+    * the contract Structured Streaming's epoch replay assumes anyway.
+    * A nondeterministic transform that shifts rows across dates could
+    * leave a first-attempt (p_date, p_epoch) partition orphaned as
+    * duplicates (ADVICE r5). */
   def writeEpoch(batch: DataFrame, epochId: Long, outDir: String): Unit =
     batch
       .withColumn("p_date", to_date(col("ts")))

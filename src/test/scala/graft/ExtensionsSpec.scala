@@ -68,6 +68,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
+  test("hash_keep accepts unsuffixed decimal fractions and rejects out-of-range (ADVICE r5)") {
+    import graft.operators.Sampling
+    val df = (1L to 200L).toDF("id")
+    df.createOrReplaceTempView("hk_ids2")
+    // Spark SQL parses 0.3 as DECIMAL(1,1); it must select the same
+    // rows as 0.3D and the column API
+    val viaDec = spark.sql(
+      "SELECT id FROM hk_ids2 WHERE hash_keep(id, 0.3, 'seed')")
+      .as[Long].collect().toSet
+    val viaCol = df.where(Sampling.hashKeep(col("id"), 0.3, "seed"))
+      .as[Long].collect().toSet
+    assert(viaDec == viaCol && viaDec.nonEmpty)
+    // out-of-range fails loudly (same contract as Sampling.hashKeep),
+    // instead of silently degenerating to constant TRUE
+    val e = intercept[Exception] {
+      spark.sql("SELECT id FROM hk_ids2 WHERE hash_keep(id, 1.5, 'seed')").collect()
+    }
+    assert(e.getMessage.contains("[0, 1]"), s"wrong message: ${e.getMessage}")
+  }
+
   test("non-literal k is rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT top_k(1.0, 1, id) FROM range(3)").collect()

@@ -57,6 +57,42 @@ class FeatureStoreSpec extends SparkSpec {
     assert(c.getFeature("ok").isEmpty, "failed batch must write nothing")
   }
 
+  test("concurrent registers: serialized writes, no lost updates, per-name last-writer-wins (VERDICT r5 #7)") {
+    // The catalog's concurrency contract (SURVEY §7.3, no-ACID): writes
+    // are collect-modify-rewrite under the _LOCK file, so interleaved
+    // registers SERIALIZE — disjoint names all survive (no lost
+    // update), and a name written by several threads holds exactly one
+    // thread's complete row (no torn/merged rows). This test asserts
+    // the contract instead of just stating it.
+    val c = freshCatalog()
+    val threads = 4; val rounds = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until rounds).foreach { r =>
+            c.registerFeatures(Seq(
+              // disjoint per thread: must never be lost
+              FeatureDef(s"own_${t}_$r", "user", "int"),
+              // contended name: all threads fight over it
+              FeatureDef("shared", "user", "float", description = s"writer_$t")))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent register threw: ${errs.peek()}")
+    val byName = c.listFeatures().map(f => f.name -> f).toMap
+    // every disjoint name landed despite interleaving
+    for (t <- 0 until threads; r <- 0 until rounds)
+      assert(byName.contains(s"own_${t}_$r"), s"lost update own_${t}_$r")
+    // the contended name holds exactly one writer's complete row
+    val winner = byName("shared")
+    assert(winner.dtype == "float" &&
+      winner.description.matches("writer_[0-3]"), s"torn row: $winner")
+    assert(byName.size == threads * rounds + 1)
+  }
+
   test("invalid dtype rejected (test_register_feature_invalid_dtype :47-49)") {
     val c = freshCatalog()
     intercept[IllegalArgumentException] {

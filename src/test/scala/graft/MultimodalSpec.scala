@@ -59,6 +59,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out.sum_gray == 0L + 2L)
   }
 
+  test("WAV encode → javax.sound decode recovers exact PCM statistics") {
+    // hand-computed clip: samples {100, -200, 0, -1, 32767, -32768}
+    // peak = 32768, sum_sq = 100² + 200² + 0 + 1 + 32767² + 32768²,
+    // zero crossings at 100→-200, -200→0 (0 counts non-negative),
+    // 0→-1, -1→32767, 32767→-32768 = 5
+    val samples = Array[Short](100, -200, 0, -1, 32767, -32768)
+    val bytes = Multimodal.encodeWavPcm16(8000, samples)
+    val media = Seq((3L, bytes)).toDF("media_id", "payload")
+    val f = Multimodal.decodeWav(spark, media).collect().head
+    assert(f.sample_rate == 8000 && f.n_samples == 6)
+    assert(f.peak == 32768)
+    assert(f.sum_sq == 100L * 100 + 200L * 200 + 1 + 32767L * 32767 + 32768L * 32768)
+    assert(f.zero_cross == 5)
+  }
+
+  test("syntheticAudio round-trips the generation arithmetic through a real codec") {
+    val media = Multimodal.syntheticAudio(
+      Tables.documents(spark, sf).filter($"doc_id" < 40))
+    val feats = Multimodal.decodeWav(spark, media).collect()
+    assert(feats.length.toLong == media.count())
+    feats.foreach { f =>
+      val id = f.media_id
+      val n = (64 + id % 129).toInt
+      val s = Array.tabulate(n)(i => ((id * 7 + i * 13) % 2048 - 1024).toInt)
+      assert(f.n_samples == n, s"media $id n_samples")
+      assert(f.peak == s.map(math.abs).max, s"media $id peak")
+      assert(f.sum_sq == s.map(x => x.toLong * x).sum, s"media $id sum_sq")
+      val zc = (1 until n).count(i => (s(i) >= 0) != (s(i - 1) >= 0))
+      assert(f.zero_cross == zc, s"media $id zero_cross")
+    }
+  }
+
   test("frame sampling chunks payloads at fixed stride") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, sf)).filter($"media_id" < 5)

@@ -440,6 +440,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("packGreedySharded: per-(group,shard) invariants and shard-local replay") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map(i =>
+      (s"g${i % 3}", i.toLong, 1L + rnd.nextInt(120).toLong)).toDF("src", "ord", "sz")
+    val out = Packing.packGreedySharded(df, "src", "ord", "sz",
+        budget = 200, nShards = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // deterministic shard assignment
+    out.foreach { case (_, shard, ord, _, _) => assert(shard == ord % 4) }
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val byOrd = rows.sortBy(_._3)
+      // bins 1-based, contiguous, never decreasing within the shard
+      byOrd.map(_._5).foldLeft(0L) { (prev, b) =>
+        assert(b == prev || b == prev + 1, s"non-contiguous bin $prev -> $b"); b
+      }
+      // no overflow unless a single oversized row owns the bin
+      byOrd.groupBy(_._5).foreach { case (_, binRows) =>
+        assert(binRows.map(_._4).sum <= 200 || binRows.length == 1)
+      }
+    }
+    // shard-local equivalence: each (group, shard)'s bins match packGreedy
+    // run on just that shard's rows — sharding changes parallelism, not
+    // the packing rule
+    val oneShard = df.filter($"ord" % 4 === 2)
+    val expect = Packing.packGreedy(oneShard, "src", "ord", "sz", budget = 200)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val got = out.filter(_._2 == 2L).map(r => (r._1, r._3) -> r._5).toMap
+    assert(got == expect)
+  }
+
   test("contamination counts shared n-grams; decontaminate drops flagged docs") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"), // contains bench 3-grams

@@ -63,6 +63,22 @@ class PipelineOpsSpec extends SparkSpec {
       ("v", 3L, 1L, 2L, Some("1.250000"), Some("2.500000"))))
   }
 
+  test("profile canonicalizes decimal and date columns at fixed scale (ADVICE r5)") {
+    val df = Seq(
+      (java.math.BigDecimal.valueOf(12345, 2),   // 123.45
+        java.sql.Date.valueOf("2024-03-07")),
+      (java.math.BigDecimal.valueOf(-5, 1),      // -0.5
+        java.sql.Date.valueOf("2023-11-30")))
+      .toDF("d", "dt")
+    val p = Profile.profile(df)
+      .select("col_name", "min_s", "max_s")
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2.get, r._3.get))).toMap
+    // decimal renders at the canonical 6-dp scale, not its native scale
+    assert(p("d") == (("-0.500000", "123.450000")), p)
+    assert(p("dt") == (("2023-11-30", "2024-03-07")), p)
+  }
+
   test("profile is a single job: one aggregate, no per-column scans") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
     val plan = Profile.profile(df).queryExecution.executedPlan.toString

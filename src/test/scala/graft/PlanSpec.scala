@@ -81,6 +81,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no map-side partial max_by in:\n$plan")
   }
 
+  test("per-row as-of PIT joins via union-tag windows, never a nested loop") {
+    // Two as-of folds = two key-partitioned windows; a theta-join
+    // formulation (r.ts <= l.ts) would plan a BroadcastNestedLoopJoin
+    // that cross-multiplies at scale.
+    val plan = physical(run("q_pit_asof_perrow"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"per-row as-of degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"), s"expected union-tag windows in:\n$plan")
+  }
+
+  test("sharded packing exchanges on (group, shard), not group alone") {
+    // The whole point of the r6 rework: the repartition key must carry
+    // the shard so parallelism is #groups × #shards.
+    val plan = physical(run("q_pack_sharded"))
+    assert(plan.contains("hashpartitioning(source") && plan.contains("shard"),
+      s"expected a (source, shard) exchange in:\n$plan")
+  }
+
   test("top-k queries use the bounded aggregate, not a per-query window") {
     // A Window.partitionBy(query_id) would funnel every scored corpus
     // row for a query into one task; the BoundedTopK aggregate keeps

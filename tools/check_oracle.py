@@ -11,6 +11,7 @@ import os
 import sys
 
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -25,6 +26,50 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(v)
     return str(v)
+
+
+def driver_hash(name, spark_files, con, sql):
+    """Reproduce the driver's dtype-sensitive sort+hash compare.
+
+    The driver loads both frames into pandas, orders columns by name,
+    sorts rows by all columns (pandas sort_values — dies on array
+    cells), and hashes the frame (dtype-sensitive: DuckDB HUGEINT →
+    float64 hashes differently from Spark's int64 even when every cell
+    matches).  The per-cell diff in main() misses exactly that class,
+    so this runs as a second gate.  Returns None on pass, else a
+    failure string.
+    """
+    try:
+        sdf = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)],
+                        ignore_index=True)
+        odf = con.execute(sql).df()
+    except Exception as e:
+        return f"load: {e}"
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    try:
+        s, o = canon(sdf), canon(odf)
+    except Exception as e:
+        return f"sort_values (unsortable column, like the driver): {e}"
+    # hash_pandas_object is the driver's comparator: integer widths hash
+    # by VALUE (int32 1 == int64 1), but int↔float/object kind changes
+    # hash by representation — exactly the HUGEINT→float64 class. So the
+    # hash itself is the verdict; dtypes are reported as diagnostics.
+    try:
+        hs = pd.util.hash_pandas_object(s, index=False).values
+        ho = pd.util.hash_pandas_object(o, index=False).values
+    except Exception as e:
+        return f"hash: {e}"
+    if len(hs) != len(ho) or not (hs == ho).all():
+        dt = [(c, str(s[c].dtype), str(o[c].dtype)) for c in s.columns
+              if s[c].dtype.kind != o[c].dtype.kind]
+        hint = ("; dtype-kind drift " + ", ".join(
+            f"{c}: spark={a} duck={b}" for c, a, b in dt)) if dt else ""
+        return f"frame hash mismatch after sort{hint}"
+    return None
 
 
 def main(sf_dir, out_dir):
@@ -67,6 +112,11 @@ def main(sf_dir, out_dir):
         if bad:
             i, c, gv, wv = bad
             print(f"FAIL {name}: row {i} col {c}: spark={gv!r} duck={wv!r}")
+            n_fail += 1
+            continue
+        herr = driver_hash(name, files, con, sql)
+        if herr:
+            print(f"FAIL {name}: driver-hash: {herr}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
