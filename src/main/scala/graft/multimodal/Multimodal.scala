@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * width/height/pixel statistics — see `q_media_decode`. Audio decoding
   * is REAL too: `decodeWav` runs `javax.sound.sampled` over RIFF/WAVE
   * PCM16 payloads and computes integer-exact sample statistics — see
-  * `q_media_audio`. Video codecs remain stubbed (`decodeStub` — no
-  * video libraries in this container): the deterministic fake keeps
-  * schema, partitioning, batch shape and the partition-local decoder
-  * lifecycle real and testable; swapping in a real codec touches only
-  * the stub, exactly as the image and audio paths demonstrate.
+  * `q_media_audio`. Video decoding is real at the container+frame
+  * level: `decodeVideo` parses the GVF1 frame container (magic +
+  * count + length index + packetized frames) and runs the real
+  * per-partition ImageIO decode over every frame — see
+  * `q_media_video`. Only external compressed codecs (H.264 etc.) stay
+  * out of scope (no codec libraries in this container); `decodeStub`
+  * remains as the generic byte-stat fallback for unknown formats, and
+  * swapping a real codec in touches only that function, exactly as
+  * the image/audio/container paths demonstrate.
   */
 object Multimodal {
 
@@ -191,6 +195,93 @@ object Multimodal {
       }
       ImageFeature(id, targetW, targetH, targetW * targetH, sum)
     }
+  }
+
+  // ---- real video path (length-indexed BMP frame container) -----------
+
+  final case class VideoFeature(
+      media_id: Long, n_frames: Int, total_px: Long, sum_gray: Long)
+
+  /** Minimal video container: magic "GVF1", frame count, a length
+    * index (one 4-byte little-endian length per frame), then the
+    * frames' bytes concatenated — the moving parts of any AV container
+    * (header, index, packetized payloads) without an external codec
+    * dependency. Frames are full images (BMP here), so "decode" is the
+    * container parse plus a REAL per-frame `javax.imageio` decode. */
+  def encodeVideoFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "a video needs at least one frame")
+    val size = 8 + 4 * frames.length + frames.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVF1".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach(f => buf.putInt(f.length))
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** REAL per-partition video decode: parse the container index, run
+    * the partition-scoped ImageIO reader over every frame, and fold
+    * frame pixel statistics into per-video features. Same one-decoder-
+    * per-partition lifecycle as [[decodeImages]]; cost is O(total
+    * pixels) per video, fully distributed — no frame list ever
+    * materializes as a row explosion unless the caller asks. */
+  def decodeVideo(spark: SparkSession, media: DataFrame): Dataset[VideoFeature] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("bmp").next()
+        rows.map { case (id, payload) =>
+          val buf = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4); buf.get(magic)
+          require(new String(magic, "US-ASCII") == "GVF1",
+            s"media_id=$id: not a GVF1 container")
+          val nFrames = buf.getInt
+          val lens = Array.fill(nFrames)(buf.getInt)
+          var totalPx = 0L; var sumGray = 0L
+          lens.foreach { len =>
+            val frame = new Array[Byte](len); buf.get(frame)
+            reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(frame)), true, true)
+            val img = reader.read(0)
+            require(img != null, s"media_id=$id: undecodable frame")
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sumGray += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            totalPx += w.toLong * h
+          }
+          VideoFeature(id, nFrames, totalPx, sumGray)
+        }
+      }
+  }
+
+  /** Mint a real multi-frame video per document: 1 + doc_id mod 4
+    * frames of the [[syntheticImages]] dims, each frame's gray ramp
+    * offset by 7·frame — the decoded statistics are arithmetic over
+    * doc_id, DuckDB-replayable, while the bytes go through a genuine
+    * container encode → parse → per-frame ImageIO decode round trip. */
+  def syntheticVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 7).toInt
+          val nf = (1 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val base = (id * 31 + f * 7) % 256
+            encodeBmpGray(w, h, (x, y) => ((base + y * w + x) % 256).toInt)
+          }
+          (id, encodeVideoFrames(frames))
+        }
+      }.toDF("media_id", "payload")
+      .select(col("media_id"), lit("video/x-gvf").as("mime"), col("payload"))
   }
 
   // ---- real audio path (javax.sound.sampled — VERDICT r5 #5) ----------

@@ -40,4 +40,16 @@ object Sources {
       .option("header", header.toString)
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .csv(path)
+
+  /** ORC — the other columnar interchange format a warehouse hands a
+    * pipeline. Self-describing like parquet; Spark's native reader
+    * prunes columns and pushes predicates the same way (the SourcesSpec
+    * pushdown assert covers it). Declared schema is still accepted so
+    * an unexpected upstream schema fails at analysis, not mid-job. */
+  def orc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.orc(path)
+  }
 }

@@ -91,6 +91,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GVF1 video container round-trips frames through a real per-frame decode") {
+    // 3 frames of 4×2 with distinct ramps: the container index must
+    // split frame boundaries exactly or pixel sums shift
+    def frame(off: Int) = Multimodal.encodeBmpGray(4, 2, (x, y) => off + y * 4 + x)
+    val payload = Multimodal.encodeVideoFrames(Seq(frame(0), frame(10), frame(100)))
+    val media = Seq((9L, payload)).toDF("media_id", "payload")
+    val v = Multimodal.decodeVideo(spark, media).collect().head
+    assert(v.n_frames == 3 && v.total_px == 24)
+    val perFrameRamp = (0 until 8).sum // Σ (y*4+x) over a 4×2 frame
+    assert(v.sum_gray == 3 * perFrameRamp + 8 * (0 + 10 + 100))
+  }
+
+  test("syntheticVideos round-trips the generation arithmetic through the container") {
+    val media = Multimodal.syntheticVideos(
+      Tables.documents(spark, sf).filter($"doc_id" < 30))
+    val feats = Multimodal.decodeVideo(spark, media).collect()
+    assert(feats.length.toLong == media.count())
+    feats.foreach { v =>
+      val id = v.media_id
+      val (w, h, nf) = ((4 + id % 13).toInt, (3 + id % 7).toInt, (1 + id % 4).toInt)
+      assert(v.n_frames == nf && v.total_px == nf.toLong * w * h)
+      val expect = (0 until nf).map { f =>
+        (0 until w * h).map(i => (id * 31 + f * 7 + i) % 256).sum
+      }.sum
+      assert(v.sum_gray == expect, s"media $id gray sum")
+    }
+  }
+
   test("frame sampling chunks payloads at fixed stride") {
     val media = Multimodal.syntheticMedia(
       Tables.documents(spark, sf)).filter($"media_id" < 5)

@@ -55,4 +55,21 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,1)]"),
       s"expected pushed filters in:\n$plan")
   }
+
+  test("orc round-trips, prunes columns, and pushes filters") {
+    val dir = tmpDir("orcsrc")
+    Seq((1L, "alpha", 0.5), (2L, "beta", 1.25), (3L, "gamma", 2.0))
+      .toDF("id", "name", "score")
+      .write.mode("overwrite").orc(dir)
+    val got = Sources.orc(spark, dir, Some(schema))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "alpha", 0.5), (2L, "beta", 1.25), (3L, "gamma", 2.0)))
+    val plan = Sources.orc(spark, dir)
+      .select("id", "score").filter($"id" > 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint,score:double>"),
+      s"expected pruned ReadSchema in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"expected pushed filters in:\n$plan")
+  }
 }
