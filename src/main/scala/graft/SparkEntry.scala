@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.fs.{FeatureCatalog, FeatureDef, FeatureGroup, RecordLog, Serving}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Packing, Profile, Scd2, Sessionize, Similarity}
+import graft.operators.{Dedup, Packing, Profile, Sampling, Scd2, Sessionize, Similarity}
 
 /** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2).
   *
@@ -1210,6 +1210,51 @@ object SparkEntry {
       LEFT JOIN (SELECT * FROM latest WHERE event_type = 'error') e2
         ON c.c_custkey = e2.user_id
       ORDER BY user_id"""))
+
+  /** Edit-distance near-dup pairs ([[Dedup.editNearDups]]): prefix-
+    * blocked Levenshtein over bounded 64-char prefixes — catches
+    * small in-place edits token-set sketches miss. Unit-cost
+    * levenshtein matches between engines, so every surviving pair's
+    * distance is hash-verified. */
+  private val editNearDup = Q("q_edit_neardup",
+    (s, d) => Dedup.editNearDups(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id AS id, substr(lower(text), 1, 64) AS t,
+               substr(lower(text), 1, 16) AS blk
+        FROM documents)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.t, b.t) AS INT) AS dist
+      FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
+      WHERE levenshtein(a.t, b.t) <= 10
+      ORDER BY id_a, id_b"""))
+
+  /** Quality-proportional (weighted) deterministic sampling
+    * ([[Sampling.hashKeepWeighted]]): each document keeps with its own
+    * probability n/(n+100) — longer docs kept more often, the smooth
+    * importance-sampling curve of mixture curation. Membership is a
+    * pure function of the data (md5 threshold per row), replayed
+    * verbatim by DuckDB's printf-rendered per-row cut. */
+  private val weightedSample = Q("q_weighted_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("n"))
+      val frac = col("n").cast("double") / (col("n") + lit(100)).cast("double")
+      docs.where(Sampling.hashKeepWeighted(col("doc_id"), frac, "wsamp"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents)
+      SELECT doc_id, source FROM d
+      WHERE substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 12)
+            < printf('%012x', CAST(floor(CAST(n AS DOUBLE) / CAST(n + 100 AS DOUBLE)
+                * 281474976710656.0) AS BIGINT))
+      ORDER BY doc_id"""))
 
   private val embedNearDup = Q("q_embed_neardup",
     (s, d) => Similarity.embeddingNearDups(
@@ -2758,7 +2803,8 @@ object SparkEntry {
     fitTransform, pageRank, multiprobeAnn, histogramDepth, q5Revenue,
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
-    embedNearDup, ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
+    embedNearDup, editNearDup, weightedSample,
+    ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
     dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)

@@ -255,6 +255,40 @@ object Dedup {
       contamination(corpus, bench, textCol, idCol, n).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Edit-distance near-dup pairs — the record-linkage shape that
+    * catches what token-set methods miss (small in-place edits:
+    * typo variants, template fills, version bumps). Docs are BLOCKED
+    * on a lowercase text prefix; candidates within a block compare by
+    * Levenshtein distance over a bounded `cmpLen` prefix, so the cost
+    * per pair is O(cmpLen²) regardless of document length.
+    *
+    * Scale shape: one exchange on the block key, self-join only within
+    * a block, oversized blocks capped via [[Guards.capBuckets]]
+    * (boilerplate prefixes would otherwise quadratically explode —
+    * same guard as the winnow/minhash joins). Levenshtein is
+    * unit-cost insert/delete/substitute in both Spark and DuckDB, so
+    * the distances replay exactly. */
+  def editNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      blockLen: Int = 16, cmpLen: Int = 64, maxDist: Int = 10,
+      maxBucket: Int = 10000): DataFrame = {
+    require(blockLen > 0 && cmpLen >= blockLen,
+      s"editNearDups: need 0 < blockLen <= cmpLen, got $blockLen/$cmpLen")
+    // one materialization of the blocked frame, read by both join sides
+    // (same diamond-DAG rationale as winnowNearDups)
+    val d = Guards.capBuckets(
+      df.select(col(idCol).as("id"),
+          substring(lower(col(textCol)), 1, cmpLen).as("t"))
+        .withColumn("blk", substring(col("t"), 1, blockLen)),
+      Seq("blk"), maxBucket, observeAs = Some("edit_block_guard"))
+      .localCheckpoint(false)
+    val l = d.as("l"); val r = d.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("dist", levenshtein(col("l.t"), col("r.t")))
+      .filter(col("dist") <= maxDist)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))
+  }
+
   /** Exact token-n-gram Jaccard similarity for given candidate pairs.
     * Shingle sets are computed only for docs that appear in a pair
     * (left-semi restriction) — at corpus scale the candidate set is a

@@ -67,6 +67,29 @@ object Sampling {
     if (cut <= 0L) "" else if (cut >= (1L << 48)) "g" else f"$cut%012x"
   }
 
+  /** Weighted (importance) sampling predicate: each row carries its OWN
+    * keep probability — the quality-proportional curation shape ("keep
+    * good documents more often") with the same data-keyed determinism
+    * as [[hashKeep]]. The per-row cut renders as 12 lowercase hex chars
+    * via integer arithmetic (floor(frac·2⁴⁸) — the ·2⁴⁸ is a power-of-
+    * two exponent shift, exact in IEEE — then a zero-padded hex
+    * format), so the whole predicate replays in SQL
+    * (`printf('%012x', ...)` in DuckDB). Fractions ≥ 1 keep the row
+    * outright; fractions ≤ 0 (and null) drop it. Map-side only. */
+  def hashKeepWeighted(key: Column, fraction: Column,
+      seed: String = ""): Column = {
+    val cut = floor(fraction * lit((1L << 48).toDouble)).cast("long")
+    val cutHex = lpad(lower(hex(cut)), 12, "0")
+    (fraction >= lit(1.0)) ||
+      (fraction > lit(0.0) &&
+        substring(md5(concat(lit(seed), key.cast("string"))), 1, 12) < cutHex)
+  }
+
+  /** Per-row-probability Bernoulli sample over [[hashKeepWeighted]]. */
+  def sampleWeighted(df: DataFrame, key: Column, fraction: Column,
+      seed: String = ""): DataFrame =
+    df.where(hashKeepWeighted(key, fraction, seed))
+
   /** Class-balanced deterministic downsample: every stratum is cut to
     * the size of the SMALLEST stratum, keeping the rows with the
     * lowest md5(seed ‖ key) — the rebalance step before training on a

@@ -472,6 +472,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("editNearDups: blocked Levenshtein finds in-place edits, respects threshold") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"), // 3 edits vs 1
+      (3L, "the quick brown fox leaps over seventeen lazy dogs!!"), // same block, >10 edits
+      (4L, "a completely different document about spark engines"),  // different block
+      (5L, "The Quick Brown fox jumps over the lazy dog tonight")   // case-only = dist 0 vs 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editNearDups(docs, "text", "doc_id",
+        blockLen = 16, cmpLen = 64, maxDist = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3), (1L, 5L, 0), (2L, 5L, 3)),
+      s"got $pairs")
+  }
+
   test("contamination counts shared n-grams; decontaminate drops flagged docs") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"), // contains bench 3-grams

@@ -28,6 +28,29 @@ class SamplingRangeSpec extends SparkSpec {
     assert(Sampling.sampleByHash(df, $"id", 1.0).count() == 100)
   }
 
+  test("weighted sample: per-row rate tracks fraction, degenerate rows handled") {
+    val df = (1L to 10000L).toDF("id")
+      .withColumn("frac", when($"id" % 2 === 0, 0.8).otherwise(0.1))
+    val kept = Sampling.sampleWeighted(df, $"id", $"frac", "w1")
+      .as[(Long, Double)].collect().map(_._1)
+    val evens = kept.count(_ % 2 == 0); val odds = kept.count(_ % 2 == 1)
+    // 5k draws each: 0.8 ±5σ≈141, 0.1 ±5σ≈106
+    assert(math.abs(evens - 4000) < 150, s"evens $evens")
+    assert(math.abs(odds - 500) < 110, s"odds $odds")
+    // per-row fraction agrees with the constant-fraction predicate
+    val viaConst = Sampling.sampleByHash(df.filter($"id" % 2 === 1), $"id", 0.1, "w1")
+      .select("id").as[Long].collect().toSet
+    assert(kept.filter(_ % 2 == 1).toSet == viaConst,
+      "weighted predicate must equal hashKeep at the same fraction")
+    // degenerate rows: >=1 always kept, <=0 and null never
+    val edge = Seq((1L, 1.0), (2L, 1.7), (3L, 0.0), (4L, -0.5))
+      .toDF("id", "frac")
+      .unionByName(Seq(5L).toDF("id").withColumn("frac", lit(null).cast("double")))
+    val got = Sampling.sampleWeighted(edge, $"id", $"frac", "w1")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L), s"degenerate handling: $got")
+  }
+
   test("hash split is disjoint and exhaustive, nested samples agree") {
     val df = (1L to 5000L).toDF("id")
     val (tr, te) = Sampling.splitByHash(df, $"id", 0.8, "split")
