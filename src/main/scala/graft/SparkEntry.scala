@@ -169,6 +169,50 @@ object SparkEntry {
       ASOF LEFT JOIN od ON l.user_id = od.user_id AND l.ts >= od.o_orderdate
       ORDER BY l.event_id"""))
 
+  /** Time-grid resample + forward fill: each user's purchase stream is
+    * regularized onto an hourly grid (per-user min→max span) and the
+    * last value at-or-before each grid point is carried forward via
+    * the union-tag as-of join — the regular-snapshot serving shape
+    * (models want features at fixed cadence, not at event times).
+    * Grid points before a user's first event stay null (no fill from
+    * nothing). The grid is generated from a per-user aggregate —
+    * map-side explode of a sequence, no cross join — and the fill is
+    * one shuffle on user_id. DuckDB replays with generate_series +
+    * ASOF JOIN over a tie-deduped event set. */
+  private val resampleFfill = Q("q_resample_ffill",
+    (s, d) => {
+      val e0 = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 40)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value"), 6).as("v"))
+      val grid = e0.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
+            .as("ts_h"))
+      Serving.asOfJoin(grid, e0, "user_id", "ts_h", "ts",
+          Seq("v"), Seq("ts", "event_id"))
+        .select(col("user_id"), Tables.tsStr(col("ts_h")).as("ts_h"), col("v"))
+        .orderBy(col("user_id"), col("ts_h"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, ts, round(value, 6) AS v
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase' AND user_id < 40) t
+        WHERE rn = 1),
+      g AS (
+        SELECT user_id,
+               unnest(generate_series(date_trunc('hour', t0), t1,
+                 INTERVAL 1 HOUR)) AS ts_h
+        FROM (SELECT user_id, min(ts) AS t0, max(ts) AS t1
+              FROM e GROUP BY user_id) b)
+      SELECT g.user_id, strftime(g.ts_h, '%Y-%m-%d %H:%M:%S') AS ts_h, e.v
+      FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.ts_h >= e.ts
+      ORDER BY g.user_id, ts_h"""))
+
   private val groupStats = Q("q_group_stats",
     (s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))
@@ -2788,7 +2832,8 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
-    pitLatest, pitJoin, asofJoin, pitAsofPerRow, groupStats, storeRoundtrip,
+    pitLatest, pitJoin, asofJoin, pitAsofPerRow, resampleFfill,
+    groupStats, storeRoundtrip,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
     rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg,
     bucketedJoin, outerJoin,
