@@ -77,6 +77,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("editNearDups ≡ naive all-pairs Levenshtein on random near-copies") {
+    // random docs + mutated near-copies; reference = full O(n²) pairs
+    // with the same blocking rule applied
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val base = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" ")))
+    val mutated = base.take(8).map { case (id, t) =>
+      val chars = t.toCharArray
+      chars(5 + rnd.nextInt(chars.length - 5)) = 'x' // keep the block prefix
+      (id + 100, new String(chars))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.editNearDups(docs, "text", "doc_id",
+        blockLen = 5, cmpLen = 40, maxDist = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val all = (base ++ mutated).map { case (id, t) => (id, t.toLowerCase.take(40)) }
+    val ref = (for {
+      (ia, ta) <- all; (ib, tb) <- all
+      if ia < ib && ta.take(5) == tb.take(5)
+      d = lev(ta, tb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    assert(got == ref, s"got ${got.size} pairs, expected ${ref.size}")
+    assert(ref.nonEmpty, "test must plant at least one near-dup pair")
+  }
+
   test("pointInTimeJoin ≡ naive row.update/setdefault fold on random groups") {
     for (trial <- 1 to 2) {
       val nEntities = 30
