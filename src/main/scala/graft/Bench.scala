@@ -185,6 +185,7 @@ object Bench {
     }
     (1 to 3).foreach(_ => canaryMs())
     var canaryFloor = Double.MaxValue
+    var canaryMax = 0.0
 
     var failures = List.empty[(String, String)]
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -241,6 +242,7 @@ object Bench {
       val canaryEnd = canaryMs()
       canaryFloor = math.min(canaryFloor, math.min(canaryStart, canaryEnd))
       val canaryWorst = math.max(canaryStart, canaryEnd)
+      canaryMax = math.max(canaryMax, canaryWorst)
       val dUser = p1.userJf - p0.userJf; val dSys = p1.systemJf - p0.systemJf
       val dSteal = p1.stealJf - p0.stealJf
       val dTotal = dUser + dSys + dSteal +
@@ -276,11 +278,9 @@ object Bench {
     // two rounds running; this puts the machine's verdict in the
     // summary line itself.)
     val anyClean = passQuality.exists(_.contains("\"contaminated\":false"))
-    val worstCanary = {
-      val re = """"canary(?:Start|End)Ms":([0-9.]+)""".r
-      val all = passQuality.flatMap(re.findAllMatchIn(_).map(_.group(1).toDouble))
-      if (all.isEmpty || canaryFloor == 0) 1.0 else all.max / canaryFloor
-    }
+    val worstCanary =
+      if (canaryMax <= 0 || canaryFloor <= 0 || canaryFloor == Double.MaxValue) 1.0
+      else canaryMax / canaryFloor
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","policy":"min-of-$pass",""" +
       s""""cpuTotal":${fmt(cpuTotal)},"queries":$qs,"cpu":$cpuQs,"errors":$errs,""" +
       s""""cleanPass":$anyClean,"worstCanaryRatio":${fmt(worstCanary)},"sf":"$sfDir"}"""
@@ -298,10 +298,17 @@ object Bench {
     val stdoutLine =
       if (line.length <= stdoutBudget) line
       else {
+        // errors must not blow the cap either (they matter most on
+        // failing runs): first 5, messages truncated, count always
+        // present; full messages stay in the evidence sidecar + stderr
+        val errsShort = failures.take(5).map { case (k, v) =>
+          jstr(k) + ":" + jstr(v.take(60))
+        }.mkString("{", ",", "}")
         val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","policy":"min-of-$pass",""" +
           s""""cpuTotal":${fmt(cpuTotal)},"cleanPass":$anyClean,""" +
           s""""worstCanaryRatio":${fmt(worstCanary)},"nQueries":${best.size},""" +
-          s""""fullIn":"BENCH_EVIDENCE.json","errors":$errs,"queries":{"""
+          s""""fullIn":"BENCH_EVIDENCE.json","nErrors":${failures.size},""" +
+          s""""errors":$errsShort,"queries":{"""
         val tailPart = s"""},"sf":"$sfDir"}"""
         val entries = best.toSeq.sortBy(-_._2)
           .map { case (k, v) => jstr(k) + ":" + fmt(v) }

@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(f: Float, org.apache.spark.sql.types.FloatType) => f.toDouble
           case Literal(d: org.apache.spark.sql.types.Decimal,
               _: org.apache.spark.sql.types.DecimalType) => d.toDouble
+          // the boundary fractions are naturally written as 0 / 1
+          case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i.toDouble
+          case Literal(l: Long, org.apache.spark.sql.types.LongType) => l.toDouble
           case other => throw new IllegalArgumentException(
             s"hash_keep: fraction must be a numeric literal, got $other")
         }

@@ -1264,10 +1264,16 @@ object SparkEntry {
     (s, d) => Dedup.editNearDups(Tables.documents(s, d), "text", "doc_id")
       .orderBy(col("id_a"), col("id_b")),
     Some("""
-      WITH d AS (
+      WITH d0 AS (
         SELECT doc_id AS id, substr(lower(text), 1, 64) AS t,
                substr(lower(text), 1, 16) AS blk
-        FROM documents)
+        FROM documents),
+      d AS (
+        -- replicate the engine's bucket cap: blocks larger than 10000
+        -- are dropped on BOTH sides, so the declared equivalence holds
+        -- even on boilerplate-skewed data
+        SELECT id, t, blk FROM d0
+        QUALIFY count(*) OVER (PARTITION BY blk) <= 10000)
       SELECT a.id AS id_a, b.id AS id_b,
              CAST(levenshtein(a.t, b.t) AS INT) AS dist
       FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id

@@ -31,8 +31,12 @@ object Profile {
     case DoubleType | FloatType => c.cast(DecimalType(30, 6)).cast(StringType)
     // decimals re-render at the fixed canonical scale too — a native-
     // scale decimal would print '123.45' where the contract says
-    // '123.450000' (ADVICE r5)
-    case _: DecimalType => c.cast(DecimalType(30, 6)).cast(StringType)
+    // '123.450000' (ADVICE r5). Values that cannot carry 6 fractional
+    // digits in 30 total (>24 integer digits) would overflow the cast
+    // to null and masquerade as missing data — those keep their native
+    // rendering instead (documented deviation, not a silent null).
+    case d: DecimalType if d.precision - d.scale <= 24 =>
+      c.cast(DecimalType(30, 6)).cast(StringType)
     case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
     case DateType => date_format(c, "yyyy-MM-dd")
     case _ => c.cast(StringType)

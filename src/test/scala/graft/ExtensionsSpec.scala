@@ -86,6 +86,13 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT id FROM hk_ids2 WHERE hash_keep(id, 1.5, 'seed')").collect()
     }
     assert(e.getMessage.contains("[0, 1]"), s"wrong message: ${e.getMessage}")
+    // integer literals spell the boundary fractions naturally
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM hk_ids2 WHERE hash_keep(id, 1, 'seed')")
+      .head().getLong(0) == 200L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM hk_ids2 WHERE hash_keep(id, 0, 'seed')")
+      .head().getLong(0) == 0L)
   }
 
   test("non-literal k is rejected with a clear message") {

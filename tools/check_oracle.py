@@ -82,11 +82,13 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         pdir = f"{out_dir}/{name}"
-        files = glob.glob(f"{pdir}/*.parquet")
+        files = sorted(glob.glob(f"{pdir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output");  n_fail += 1; continue
         try:
-            got = pq.read_table(files[0]).to_pylist()
+            # read ALL parts (Verify coalesces to 1 today, but the gate
+            # must not silently halve multi-part output)
+            got = [r for f in files for r in pq.read_table(f).to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: read spark output: {e}"); n_fail += 1; continue
         try:
