@@ -298,7 +298,8 @@ class PipelineOpsSpec extends SparkSpec {
   test("results are AQE-invariant: plans may re-shape, rows may not") {
     // the determinism conventions promise results independent of
     // physical planning; flipping AQE is the cheapest planning shake
-    val names = Seq("q_source_mix", "q_topk", "q_scd2_history")
+    val names = Seq("q_source_mix", "q_topk", "q_scd2_history",
+      "q_pack_sharded", "q_resample_ffill")
     val sfDir = sf
     def run(): Map[String, Array[String]] = names.map { n =>
       n -> SparkEntry.queries(n)(spark, sfDir).collect().map(_.toString)
