@@ -115,12 +115,14 @@ object SparkEntry {
     * R9 with per-entity as-of timestamps — every 'purchase' event is a
     * training example carrying its OWN label time, and TWO feature
     * groups (latest 'error' value; latest order) attach as-of that
-    * per-row time via two [[Serving.asOfJoin]] folds. This is the
-    * training-set-generation shape: one shuffle per group on the entity
-    * key, union-tag windows, no per-row loops, later folds simply
-    * extend the row. The oracle is DuckDB's native ASOF JOIN; right
-    * sides are deduped at equal timestamps (max id wins) so the
-    * engines' tie rules provably coincide. */
+    * per-row time via [[Serving.asOfJoinMulti]]: per-group map-side
+    * dedup, one union, ALL fills over a single window — one
+    * exchange+sort regardless of group count (a chained per-group
+    * as-of join would re-shuffle the label set per group; at 100
+    * feature groups that chain is 100× the shuffle I/O). The oracle is
+    * DuckDB's native ASOF JOIN; right sides are deduped at equal
+    * timestamps (max id wins) so the engines' tie rules provably
+    * coincide. */
   private val pitAsofPerRow = Q("q_pit_asof_perrow",
     (s, d) => {
       val e = Tables.events(s, d)
@@ -133,11 +135,14 @@ object SparkEntry {
       val ords = Tables.orders(s, d)
         .select(col("o_custkey").as("user_id"), col("o_orderdate"),
           col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
-      val withErr = Serving.asOfJoin(labels, errFeats, "user_id", "ts", "fts",
-        Seq("err_value", "err_event_id"), Seq("fts", "err_event_id"))
-      val withOrd = Serving.asOfJoin(withErr, ords, "user_id", "ts", "o_orderdate",
-        Seq("o_orderkey", "o_totalprice"), Seq("o_orderdate", "o_orderkey"))
-      withOrd.select(col("event_id"), col("user_id"),
+      Serving.asOfJoinMulti(labels,
+          Seq(
+            Serving.AsOfGroup(errFeats, "fts",
+              Seq("err_value", "err_event_id"), Seq("err_event_id")),
+            Serving.AsOfGroup(ords, "o_orderdate",
+              Seq("o_orderkey", "o_totalprice"), Seq("o_orderkey"))),
+          "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
           Tables.tsStr(col("ts")).as("ts_s"),
           col("err_value"), col("err_event_id"),
           col("o_orderkey"), col("o_totalprice"))

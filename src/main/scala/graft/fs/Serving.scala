@@ -133,6 +133,85 @@ object Serving {
         payloadCols.map(c => col(s"__latest.$c").as(c))): _*)
   }
 
+  /** One feature group for [[asOfJoinMulti]]: records keyed like the
+    * left frame, its event-time column, the payload columns to attach,
+    * and tie-break columns that order equal-time records (max wins). */
+  final case class AsOfGroup(
+      records: DataFrame, timeCol: String,
+      payloadCols: Seq[String], tieBreak: Seq[String])
+
+  /** Multi-group per-row as-of join — the training-set-generation
+    * shape at its real fan-in: each left row carries its own event
+    * time, and G feature groups attach their latest at-or-before
+    * payload. Chaining [[asOfJoin]] G times re-shuffles the (growing)
+    * left frame per group — G·|left| rows through exchanges. This
+    * operator instead:
+    *
+    *  1. dedupes each group at (key, time) MAP-SIDE via `max_by`
+    *     (partial aggregation — the shuffle carries ≤1 row per
+    *     (key, time) per input partition), which both pins tie
+    *     determinism and shrinks the union;
+    *  2. unions left + all groups once, each group in its own payload
+    *     slot;
+    *  3. computes every group's fill with `last(ignoreNulls)` over the
+    *     SAME window spec — Catalyst plans ONE exchange and ONE sort
+    *     for all G fills.
+    *
+    * Cost: |left| + Σ|group_i| through one exchange, vs
+    * G·|left| + Σ|group_i| for the chain — at 100 feature groups the
+    * chain is two orders of magnitude more shuffle I/O on the labels.
+    * Ties at equal time let the right row win (inclusive as-of), same
+    * contract as [[asOfJoin]]; the per-group dedup makes the winner at
+    * equal (key, time) the max-tieBreak record, matching
+    * [[asOfJoin]]'s rightTieBreak rule. */
+  def asOfJoinMulti(
+      left: DataFrame,
+      groups: Seq[AsOfGroup],
+      key: String,
+      leftTime: String): DataFrame = {
+    require(groups.nonEmpty, "asOfJoinMulti: need at least one group")
+    val leftCols = left.columns.toSeq
+    val restCols = leftCols.filterNot(_ == key)
+    // deduped, struct-packed right sides: one row per (key, time)
+    val packed = groups.zipWithIndex.map { case (g, i) =>
+      val payload = struct(g.payloadCols.map(col): _*)
+      val ord = struct((col(g.timeCol) +: g.tieBreak.map(col)): _*)
+      g.records
+        .groupBy(col(key), col(g.timeCol).as("__t"))
+        .agg(max_by(payload, ord).as(s"__p$i"))
+    }
+    val payloadTypes = packed.zipWithIndex.map { case (p, i) =>
+      i -> p.schema(s"__p$i").dataType
+    }.toMap
+    def slots(have: Int => Boolean): Seq[Column] =
+      groups.indices.map(i =>
+        (if (have(i)) col(s"__p$i")
+         else lit(null).cast(payloadTypes(i))).as(s"__p$i"))
+    val lSide = left.select(
+      (Seq(col(key), col(leftTime).as("__t"), lit(1).as("__isLeft")) ++
+        slots(_ => false) ++ restCols.map(col)): _*)
+    val unioned = packed.zipWithIndex.foldLeft(lSide) { case (acc, (p, i)) =>
+      acc.unionByName(p.select(
+        (Seq(col(key), col("__t"), lit(0).as("__isLeft")) ++
+          slots(_ == i) ++
+          restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
+    }
+    // right rows sort before left at equal time → inclusive as-of; all
+    // G fills ride ONE window (same spec → one exchange + one sort)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__isLeft").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = groups.indices.foldLeft(unioned) { (acc, i) =>
+      acc.withColumn(s"__latest$i", last(col(s"__p$i"), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__isLeft") === 1)
+      .select((leftCols.map(col) ++
+        groups.zipWithIndex.flatMap { case (g, i) =>
+          g.payloadCols.map(c => col(s"__latest$i.$c").as(c))
+        }): _*)
+  }
+
   /** R10 `statistics` (feature_store.py:450-508): one aggregation pass
     * over a group's records producing per-feature `count` (non-null),
     * `null_count`, and — for numeric dtypes, where Python `bool` counts

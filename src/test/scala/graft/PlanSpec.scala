@@ -81,15 +81,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no map-side partial max_by in:\n$plan")
   }
 
-  test("per-row as-of PIT joins via union-tag windows, never a nested loop") {
-    // Two as-of folds = two key-partitioned windows; a theta-join
-    // formulation (r.ts <= l.ts) would plan a BroadcastNestedLoopJoin
-    // that cross-multiplies at scale.
+  test("per-row as-of PIT: one window for all groups, never a nested loop") {
+    // asOfJoinMulti's whole point: BOTH feature groups fill over a
+    // single window spec — Catalyst plans ONE Window node (two last()
+    // expressions), one exchange+sort, however many groups there are.
+    // A theta-join formulation (r.ts <= l.ts) would plan a
+    // BroadcastNestedLoopJoin that cross-multiplies at scale.
     val plan = physical(run("q_pit_asof_perrow"))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"per-row as-of degenerated to a nested loop:\n$plan")
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("Window"), s"expected union-tag windows in:\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected exactly 1 Window node, got $windows:\n$plan")
   }
 
   test("sharded packing exchanges on (group, shard), not group alone") {

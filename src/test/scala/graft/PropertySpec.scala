@@ -77,6 +77,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinMulti ≡ chained asOfJoin on random two-group events") {
+    for (trial <- 1 to 2) {
+      val leftRows = Seq.tabulate(120)(i =>
+        (rnd.nextInt(6).toLong, 1000L + rnd.nextInt(400), i.toLong))
+      def mkRight(n: Int) = Seq.tabulate(n)(i =>
+        (rnd.nextInt(6).toLong, 1000L + rnd.nextInt(400), i.toLong,
+          rnd.nextInt(1000).toDouble))
+      val g1Rows = mkRight(90); val g2Rows = mkRight(70)
+      val left = leftRows.toDF("k", "lt", "lid")
+        .withColumn("lt", timestamp_seconds($"lt"))
+      def rdf(rows: Seq[(Long, Long, Long, Double)], p: String) =
+        rows.toDF("k", "rt", s"${p}_id", s"${p}_v")
+          .withColumn("rt", timestamp_seconds($"rt"))
+      val g1 = rdf(g1Rows, "a"); val g2 = rdf(g2Rows, "b")
+      val multi = Serving.asOfJoinMulti(left,
+          Seq(Serving.AsOfGroup(g1, "rt", Seq("a_id", "a_v"), Seq("a_id")),
+            Serving.AsOfGroup(g2, "rt", Seq("b_id", "b_v"), Seq("b_id"))),
+          "k", "lt")
+        .select($"lid", $"a_id", $"a_v", $"b_id", $"b_v")
+        .as[(Long, Option[Long], Option[Double], Option[Long], Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val chained = {
+        val s1 = Serving.asOfJoin(left, g1, "k", "lt", "rt",
+          Seq("a_id", "a_v"), Seq("rt", "a_id"))
+        Serving.asOfJoin(s1, g2, "k", "lt", "rt",
+          Seq("b_id", "b_v"), Seq("rt", "b_id"))
+      }.select($"lid", $"a_id", $"a_v", $"b_id", $"b_v")
+        .as[(Long, Option[Long], Option[Double], Option[Long], Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(multi.size == chained.size, s"trial $trial sizes")
+      for ((lid, exp) <- chained)
+        assert(multi(lid) == exp, s"trial $trial left row $lid")
+    }
+  }
+
   test("editNearDups ≡ naive all-pairs Levenshtein on random near-copies") {
     // random docs + mutated near-copies; reference = full O(n²) pairs
     // with the same blocking rule applied
