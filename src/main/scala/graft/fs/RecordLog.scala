@@ -56,7 +56,24 @@ final class RecordLog(val spark: SparkSession, val root: String) {
   }
 
   /** Full log for a group (schema-on-read; partition column `p_date`
-    * retained for pruning by callers). */
+    * retained for pruning by callers).
+    *
+    * Uses ONE file's footer for the schema (Spark's default) — the
+    * fast path when every append carried the same columns. Because
+    * [[write]] is lax (undeclared columns are stored with a warning),
+    * a log whose batches evolved — a feature added later — holds
+    * heterogeneous file schemas, and this read can silently miss the
+    * late-added column depending on which footer wins. Use
+    * [[readMerged]] for that case. */
   def read(group: FeatureGroup): DataFrame =
     spark.read.parquet(dir(group))
+
+  /** Schema-evolution-safe read: unions every file's parquet schema
+    * (`mergeSchema`), so a feature column added by a later append
+    * surfaces for the whole log, null-filled for rows written before
+    * it existed — the standard append-only-log evolution contract.
+    * Costs a distributed footer-merge pass over the log's files; take
+    * [[read]] when the schema is known stable. */
+  def readMerged(group: FeatureGroup): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir(group))
 }

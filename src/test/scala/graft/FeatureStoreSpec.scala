@@ -302,6 +302,25 @@ class FeatureStoreSpec extends SparkSpec {
     assert(older == Seq(1.0, 2.5, -3.0))
   }
 
+  test("readMerged surfaces a late-added feature column, null-filled for old rows") {
+    // write() is lax — undeclared columns are stored — so an evolved
+    // log holds heterogeneous file schemas; readMerged must union them
+    val c = registered()
+    val g = c.createGroup(FeatureGroup("evo", 1, Seq("age"), "user"))
+    val log = new RecordLog(spark, tmpDir("evolog"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    log.write(g, Seq((1L, t0, 30)).toDF("user", "ts", "age"))
+    log.write(g, Seq((2L, t0, 40, 9.5)).toDF("user", "ts", "age", "score"))
+    val merged = log.readMerged(g)
+    assert(merged.columns.contains("score"),
+      s"late column missing from ${merged.columns.toSeq}")
+    val rows = merged.select("user", "age", "score")
+      .as[(Long, Int, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((30, None)), "pre-evolution row must null-fill")
+    assert(rows(2L) == ((40, Some(9.5))))
+  }
+
   test("record version column persists; defaults to 1 (feature_store.py:107,357)") {
     val g = FeatureGroup("ver", 1, Seq("age"), "user_id")
     val log = new RecordLog(spark, tmpDir("version"))
