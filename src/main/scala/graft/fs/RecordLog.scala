@@ -76,4 +76,51 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     * [[read]] when the schema is known stable. */
   def readMerged(group: FeatureGroup): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir(group))
+
+  /** Compact the log's files: every append leaves one file per date it
+    * touched, so a daily-written group accumulates O(writes) small
+    * files per partition — the classic streaming-append pathology that
+    * turns a 100 TB scan into a metadata storm. Compaction rewrites
+    * each date as ONE file, rows sorted by (entityKey, ts) inside it,
+    * which also tightens the parquet min/max stats the PIT reads skip
+    * on. Uses the evolution-safe read, so mixed-schema files merge
+    * into the union schema.
+    *
+    * The read must not see its own overwrite: the frame is
+    * localCheckpoint-ed (materialized, lineage truncated) before the
+    * dynamic-partition overwrite rewrites exactly the dates present.
+    * Same single-writer contract as every log mutation. */
+  def compact(group: FeatureGroup): Unit = {
+    val snap = readMerged(group)
+      .repartition(col("p_date"))
+      .sortWithinPartitions(col(group.entityKey), col("ts"))
+      .localCheckpoint(true)
+    snap.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_date")
+      .parquet(dir(group))
+  }
+
+  /** Retention: drop whole date partitions older than `before`
+    * (exclusive). Deletion is a directory unlink per expired date — no
+    * data is read or rewritten, which is what makes retention viable
+    * on a 100 TB log. Returns the number of partitions removed. */
+  def expire(group: FeatureGroup, before: java.sql.Date): Int = {
+    val base = new org.apache.hadoop.fs.Path(dir(group))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    val cutoff = before.toLocalDate
+    val expired = fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("p_date=") &&
+          (try java.time.LocalDate.parse(n.stripPrefix("p_date="))
+             .isBefore(cutoff)
+           catch { case _: java.time.format.DateTimeParseException => false })
+      }
+    expired.foreach(st => fs.delete(st.getPath, true))
+    expired.size
+  }
 }

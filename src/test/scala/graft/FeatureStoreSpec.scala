@@ -321,6 +321,44 @@ class FeatureStoreSpec extends SparkSpec {
     assert(rows(2L) == ((40, Some(9.5))))
   }
 
+  test("compact rewrites each date as one sorted file; rows survive exactly") {
+    val c = registered()
+    val g = c.createGroup(FeatureGroup("cmp", 1, Seq("age"), "user"))
+    val log = new RecordLog(spark, tmpDir("cmplog"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // three appends → 3 files on the shared date
+    log.write(g, Seq((1L, t("2024-01-01 01:00:00"), 30)).toDF("user", "ts", "age"))
+    log.write(g, Seq((2L, t("2024-01-01 02:00:00"), 40)).toDF("user", "ts", "age"))
+    log.write(g, Seq((3L, t("2024-01-02 01:00:00"), 50)).toDF("user", "ts", "age"))
+    def files(date: String) = {
+      val d = new java.io.File(s"${log.dir(g)}/p_date=$date")
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(files("2024-01-01") == 2, "precondition: one file per append")
+    val before = log.read(g).select("user", "age")
+      .as[(Long, Int)].collect().toSet
+    log.compact(g)
+    assert(files("2024-01-01") == 1 && files("2024-01-02") == 1)
+    val after = log.read(g).select("user", "age")
+      .as[(Long, Int)].collect().toSet
+    assert(after == before, "compaction must not change rows")
+  }
+
+  test("expire unlinks only date partitions older than the cutoff") {
+    val c = registered()
+    val g = c.createGroup(FeatureGroup("exp", 1, Seq("age"), "user"))
+    val log = new RecordLog(spark, tmpDir("explog"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    log.write(g, Seq(
+      (1L, t("2024-01-01 01:00:00"), 30),
+      (2L, t("2024-02-01 01:00:00"), 40),
+      (3L, t("2024-03-01 01:00:00"), 50)).toDF("user", "ts", "age"))
+    val n = log.expire(g, java.sql.Date.valueOf("2024-02-01"))
+    assert(n == 1, s"expected exactly the January partition dropped, got $n")
+    val left = log.read(g).select("user").as[Long].collect().toSet
+    assert(left == Set(2L, 3L), "cutoff date itself must survive (exclusive)")
+  }
+
   test("record version column persists; defaults to 1 (feature_store.py:107,357)") {
     val g = FeatureGroup("ver", 1, Seq("age"), "user_id")
     val log = new RecordLog(spark, tmpDir("version"))
