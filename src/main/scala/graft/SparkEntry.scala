@@ -1884,12 +1884,17 @@ object SparkEntry {
         FeatureDef("event_id", "user", "int")))
       val group = catalog.createGroup(FeatureGroup(
         "user_events", 1, Seq("value", "event_type", "event_id"), "user_id"))
-      new RecordLog(s, root).write(group, Tables.events(s, d)
+      val log = new RecordLog(s, root)
+      log.write(group, Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("value"),
           col("event_type"), col("event_id")))
+      // lifecycle op under the hash gate: compaction rewrites every
+      // date partition (sorted, one file) and must be invisible to the
+      // serve — any row lost or altered breaks the oracle hash
+      log.compact(group)
       val served = catalog.getGroup("user_events")
         .getOrElse(sys.error("group vanished from catalog"))
-      val records = new RecordLog(s, root).read(served)
+      val records = log.read(served)
       Serving.latestAsOf(records, "user_id", "ts",
           Some(to_timestamp(lit(AsOf))), Seq(col("event_id")))
         .select(col("user_id"), col("event_id"), col("event_type"),

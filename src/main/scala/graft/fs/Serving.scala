@@ -133,6 +133,26 @@ object Serving {
         payloadCols.map(c => col(s"__latest.$c").as(c))): _*)
   }
 
+  /** Incremental latest-snapshot maintenance — the daily-refresh
+    * serving shape: yesterday's materialized latest table (one row per
+    * entity) + today's record shard → today's latest table. The
+    * refresh touches |latest| + |shard| rows, never the full history —
+    * on a 100 TB log that is the difference between a daily job and an
+    * impossibility. Algebraically sound because `max_by` is
+    * associative over row sets: latest(history) =
+    * latest(latest(prefix) ∪ suffix). Same tie contract as
+    * [[latestAsOf]].
+    *
+    * `prevLatest` must carry the same columns as the records (it is
+    * itself a [[latestAsOf]] output). */
+  def refreshLatest(
+      prevLatest: DataFrame,
+      newRecords: DataFrame,
+      entityKey: String,
+      ts: String = "ts",
+      tieBreak: Seq[Column] = Seq.empty): DataFrame =
+    latestAsOf(prevLatest.unionByName(newRecords), entityKey, ts, None, tieBreak)
+
   /** One feature group for [[asOfJoinMulti]]: records keyed like the
     * left frame, its event-time column, the payload columns to attach,
     * and tie-break columns that order equal-time records (max wins). */

@@ -77,6 +77,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("refreshLatest ≡ full recompute: incremental days fold to the same table") {
+    // random history split into 3 "days"; folding refreshLatest over
+    // the shards must equal latestAsOf over the whole history
+    for (trial <- 1 to 2) {
+      val rows = Seq.tabulate(300)(i =>
+        (rnd.nextInt(25).toLong, 1000L + rnd.nextInt(300), i.toLong,
+          rnd.nextInt(1000).toDouble))
+      val df = rows.toDF("user_id", "t", "rec_id", "v")
+        .withColumn("ts", timestamp_seconds($"t")).drop("t")
+      val shards = Seq(
+        df.filter($"rec_id" % 3 === 0),
+        df.filter($"rec_id" % 3 === 1),
+        df.filter($"rec_id" % 3 === 2))
+      val folded = shards.tail.foldLeft(
+        Serving.latestAsOf(shards.head, "user_id", "ts",
+          tieBreak = Seq($"rec_id"))) { (acc, day) =>
+        Serving.refreshLatest(acc, day, "user_id", "ts", Seq($"rec_id"))
+      }.select($"user_id", $"rec_id").as[(Long, Long)].collect().toMap
+      val full = Serving.latestAsOf(df, "user_id", "ts",
+          tieBreak = Seq($"rec_id"))
+        .select($"user_id", $"rec_id").as[(Long, Long)].collect().toMap
+      assert(folded == full, s"trial $trial: incremental fold drifted")
+    }
+  }
+
   test("asOfJoinMulti ≡ chained asOfJoin on random two-group events") {
     for (trial <- 1 to 2) {
       val leftRows = Seq.tabulate(120)(i =>
