@@ -192,6 +192,54 @@ object StreamingFeatures {
         writeEpoch(batch, epochId, outDir)
       }
 
+  /** Continuously-maintained latest-per-entity serving table — the
+    * streaming materialized view: each micro-batch folds into the
+    * stored table via [[graft.fs.Serving.refreshLatest]], so the
+    * serving read is always one small scan of |entities| rows, never
+    * the stream's history. Per-epoch cost is |latest| + |batch|.
+    *
+    * Replay-safe WITHOUT epoch bookkeeping: refreshLatest is
+    * idempotent over re-delivered rows (max_by of a set unions
+    * duplicates away), so an at-least-once foreachBatch replay
+    * converges to the same table. The overwrite never reads its own
+    * output — the folded frame is localCheckpoint-ed first, same as
+    * [[graft.fs.RecordLog.compact]]. */
+  def maintainLatest(features: DataFrame, outDir: String,
+      checkpoint: String, entityKey: String,
+      tsCol: String = "ts", tieBreak: Seq[String] = Seq.empty)
+      : DataStreamWriter[Row] =
+    features.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        maintainLatestEpoch(batch, outDir, entityKey, tsCol, tieBreak)
+      }
+
+  /** The per-epoch fold of [[maintainLatest]], exposed for direct
+    * testing (same pattern as [[writeEpoch]]). */
+  def maintainLatestEpoch(batch: DataFrame, outDir: String,
+      entityKey: String, tsCol: String = "ts",
+      tieBreak: Seq[String] = Seq.empty): Unit = {
+    val spark = batch.sparkSession
+    // "table exists" = the directory holds parquet data files — a
+    // pre-created empty dir (first epoch) reads as absent
+    val hasData = {
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    val prev =
+      if (hasData) Some(spark.read.parquet(outDir)) else None
+    val folded = prev match {
+      case Some(p) => graft.fs.Serving.refreshLatest(
+        p, batch, entityKey, tsCol, tieBreak.map(col))
+      case None => graft.fs.Serving.latestAsOf(
+        batch, entityKey, tsCol, None, tieBreak.map(col))
+    }
+    folded.localCheckpoint(true)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** The idempotent per-epoch write, exposed for direct testing (a
     * foreachBatch body re-running with the same epochId must leave the
     * table unchanged).

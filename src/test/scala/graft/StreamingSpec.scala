@@ -116,6 +116,33 @@ class StreamingSpec extends SparkSpec {
     assert(after.filter(col("p_epoch") === 1L).count() == 1)
   }
 
+  test("maintainLatest folds each epoch into the serving table; replay converges") {
+    val outDir = tmpDir("latest_view")
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00"), 101L, 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 102L, 2.0))
+      .toDF("user_id", "ts", "rec_id", "value")
+    val b2 = Seq((1L, ts("2024-01-01 12:00:00"), 103L, 9.0),
+      (3L, ts("2024-01-01 09:00:00"), 104L, 3.0))
+      .toDF("user_id", "ts", "rec_id", "value")
+    def latest(): Map[Long, (Long, Double)] =
+      spark.read.parquet(outDir).select("user_id", "rec_id", "value")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    StreamingFeatures.maintainLatestEpoch(b1, outDir, "user_id",
+      tieBreak = Seq("rec_id"))
+    assert(latest() == Map(1L -> ((101L, 1.0)), 2L -> ((102L, 2.0))))
+    StreamingFeatures.maintainLatestEpoch(b2, outDir, "user_id",
+      tieBreak = Seq("rec_id"))
+    // user 1 advanced, user 3 appeared, user 2 untouched
+    val afterB2 = latest()
+    assert(afterB2 == Map(
+      1L -> ((103L, 9.0)), 2L -> ((102L, 2.0)), 3L -> ((104L, 3.0))))
+    // at-least-once replay of epoch 2 converges (max_by unions dups away)
+    StreamingFeatures.maintainLatestEpoch(b2, outDir, "user_id",
+      tieBreak = Seq("rec_id"))
+    assert(latest() == afterB2, "replay must not change the table")
+  }
+
   test("flatMapGroupsWithState running features update across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
