@@ -1467,6 +1467,32 @@ object SparkEntry {
              CAST(ceil((length(text) - 20) / 100.0) AS INT)))) AS t(i)
       ORDER BY doc_id, chunk_idx"""))
 
+  /** Token-budget chunking ([[TextFns.chunkTokens]]): whitespace
+    * tokens packed into consecutive ≤32-token chunks — the
+    * context-window prep step in token units rather than q_chunk_text's
+    * characters. One map-side split + slice per chunk, no shuffle; the
+    * slice arithmetic replays as SQL list slicing. */
+  private val chunkTokensQ = Q("q_chunk_tokens",
+    (s, d) => Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(TextFns.chunkTokens(col("text"), 32)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+      .withColumn("n_tokens", size(split(col("chunk"), "\\s+")).cast("int"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0)
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(
+               toks[CAST(i * 32 + 1 AS INT):CAST(i * 32 + 32 AS INT)],
+               ' ') AS chunk,
+             CAST(least(32, len(toks) - i * 32) AS INT) AS n_tokens
+      FROM t, unnest(range((len(toks) + 31) // 32)) AS r(i)
+      ORDER BY doc_id, chunk_idx"""))
+
   /** Winnow-sketch near-dup pairs: local-overlap dedup (k=24 → shared
     * 27-char runs), ≥5 shared fingerprints. One exchange on fp,
     * capped self-join — the same bucketed-not-all-pairs shape as
@@ -2855,7 +2881,8 @@ object SparkEntry {
     bucketedJoin, outerJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
-    dedupExact, dedupFp, winnowFp, winnowDup, chunkText, langDist, langIdDist,
+    dedupExact, dedupFp, winnowFp, winnowDup, chunkText, chunkTokensQ,
+    langDist, langIdDist,
     quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
     decontaminate, outlierZ, qualityBuckets, packGreedy, packSharded, headMass,
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,

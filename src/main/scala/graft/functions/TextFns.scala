@@ -123,6 +123,21 @@ object TextFns {
       i => text.substr(i * stride + 1, lit(size)))
   }
 
+  /** Token-budget chunking — the context-packing twin of [[chunkText]]:
+    * whitespace tokens grouped into consecutive chunks of at most
+    * `k` tokens (training/context windows are token-, not
+    * char-denominated). Map-side array algebra: split once, slice per
+    * chunk — no shuffle, and the slice arithmetic replays verbatim in
+    * SQL list slicing. Empty/whitespace-only text yields no chunks
+    * (callers filter, matching the SQL side's WHERE). */
+  def chunkTokens(text: Column, k: Int): Column = {
+    require(k > 0, s"chunkTokens: k=$k")
+    val toks = split(trim(text), "\\s+")
+    val nChunks = ceil(size(toks).cast("double") / k).cast("int")
+    transform(sequence(lit(0), greatest(lit(1), nChunks) - 1),
+      i => array_join(slice(toks, i * k + 1, lit(k)), " "))
+  }
+
   /** Repetition quality signals (the Gopher/C4 family): fraction of
     * repeated tokens, mass of the single most frequent token, and mass
     * of the most frequent word bigram. High values mark boilerplate /

@@ -96,6 +96,22 @@ class TextFnsSpec extends SparkSpec {
     assert(short == Seq("abc"), "doc shorter than size is one chunk")
   }
 
+  test("chunkTokens: lossless token partition at the budget") {
+    val text = (1 to 37).map(i => s"w$i").mkString(" ")
+    val chunks = Seq(Tuple1(text)).toDF("t")
+      .select(TextFns.chunkTokens($"t", 8).as("c"))
+      .as[Seq[String]].head()
+    assert(chunks.length == 5) // ceil(37/8)
+    chunks.foreach(c => assert(c.split(" ").length <= 8))
+    // partition, not window: concatenating chunks rebuilds the doc
+    assert(chunks.mkString(" ") == text)
+    assert(chunks.last.split(" ").length == 5) // 37 - 4*8
+
+    val one = Seq(Tuple1("only three tokens")).toDF("t")
+      .select(TextFns.chunkTokens($"t", 8).as("c")).as[Seq[String]].head()
+    assert(one == Seq("only three tokens"))
+  }
+
   test("repetitionCols: known token/bigram repetition structure") {
     // "a b a b a": 5 tokens, 2 distinct → dup ratio 3/5; "a"×3 → top
     // token 3/5; bigrams [a b, b a, a b, b a] → top bigram 2/4.
