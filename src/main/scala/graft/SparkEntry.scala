@@ -1568,6 +1568,57 @@ object SparkEntry {
         WHERE a.neighbor_id <> p.query_id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Persisted-IVF probe ([[Similarity.buildIvfIndex]] →
+    * [[Similarity.ivfTopKFromIndex]]): the build-once/probe-many ANN
+    * lifecycle under the hash gate — cell assignment is written
+    * partitioned by cell, and the probe's scan reads ONLY the probed
+    * cells (partition pruning), ranking identically to q_ivf_topk.
+    * Same oracle as q_ivf_topk: the index roundtrip must be invisible
+    * to results. */
+  private val ivfIndexAnn = Q("q_ivf_index",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val indexDir = s"/tmp/graft_ivf/${tag}_p${ProcessHandle.current().pid()}"
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", indexDir, nCells = 16)
+      Similarity.ivfTopKFromIndex(
+          emb.filter(col("vec_id") < 20), indexDir, "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH cent AS (
+        SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 16),
+      assign AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                 c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM embeddings e CROSS JOIN cent c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
+                 c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM embeddings q CROSS JOIN cent c
+          WHERE q.vec_id < 20)
+        WHERE rn <= 2)
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT p.query_id, a.neighbor_id,
+               round(list_cosine_similarity(p.qv, a.cv), 6) AS sim,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_cosine_similarity(p.qv, a.cv), 6) DESC,
+                 a.neighbor_id) AS rank
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.neighbor_id <> p.query_id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Connected-components dedup clustering, hash-oracled: a
     * deterministic pair graph (each doc links to a successor at an
     * md5-derived offset 1..5 — overlapping chains, so components are
@@ -2892,7 +2943,7 @@ object SparkEntry {
     cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, editNearDup, weightedSample,
-    ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn,
+    ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn, ivfIndexAnn,
     dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)

@@ -129,36 +129,38 @@ object Similarity {
     * k-bounded top-k aggregate. Ranks use round-6 similarity with id
     * tie-breaks, making cell assignment and final order reproducible
     * across engines. */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val centDf = corpus.filter(col(idCol) < nCells)
+  /** Deterministic coarse quantizer frame: (cell_id, cv0). */
+  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    corpus.filter(col(idCol) < nCells)
       .select(col(idCol).cast("long").as("cell_id"),
         col(vecCol).cast("array<double>").as("cv0"))
-    val cent = centDf.collect().sortBy(_.getLong(0))
-    require(cent.nonEmpty, s"no centroids: corpus has no $idCol < $nCells")
+
+  /** Literal centroid array for the zero-shuffle assignment fold.
+    * argmax over it: strictly-greater keeps the FIRST (lowest cell_id)
+    * on round-6 ties — same winner as the oracle's ORDER BY sim DESC,
+    * cell_id ASC. */
+  private def cellOf(cent: Seq[org.apache.spark.sql.Row], vec: Column): Column = {
     val centArr = array(cent.map { r =>
       struct(lit(r.getLong(0)).as("cell_id"),
         typedLit(r.getSeq[Double](1)).as("cv"))
     }.toSeq: _*)
-    // argmax over the literal centroid array: strictly-greater keeps
-    // the FIRST (lowest cell_id) on round-6 ties — same winner as the
-    // oracle's ORDER BY sim DESC, cell_id ASC.
-    def cellOf(vec: Column): Column =
-      aggregate(centArr,
-        struct(lit(-2.0).as("best"), lit(-1L).as("cell")),
-        (acc, c) => {
-          val s = round(VectorFns.cosineFast(vec, c.getField("cv")), 6)
-          when(s > acc.getField("best"),
-            struct(s.as("best"), c.getField("cell_id").as("cell")))
-            .otherwise(acc)
-        }).getField("cell")
-    val assigned = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      cellOf(col(vecCol)).as("cell"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    aggregate(centArr,
+      struct(lit(-2.0).as("best"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val s = round(VectorFns.cosineFast(vec, c.getField("cv")), 6)
+        when(s > acc.getField("best"),
+          struct(s.as("best"), c.getField("cell_id").as("cell")))
+          .otherwise(acc)
+      }).getField("cell")
+  }
+
+  /** Top-nProbe cells per query against the centroid frame. */
+  private def ivfProbes(queries: DataFrame, centDf: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
       .crossJoin(broadcast(centDf))
       .withColumn("s", round(VectorFns.cosineFast(col("qv"), col("cv0")), 6))
       .withColumn("rn", row_number().over(
@@ -166,6 +168,61 @@ object Similarity {
           .orderBy(col("s").desc, col("cell_id"))))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell_id").as("cell"))
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val centDf = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val cent = centDf.collect().sortBy(_.getLong(0))
+    require(cent.nonEmpty, s"no centroids: corpus has no $idCol < $nCells")
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellOf(cent, col(vecCol)).as("cell"))
+    val probes = ivfProbes(queries, centDf, idCol, vecCol, nProbe)
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, k)
+  }
+
+  /** Build and PERSIST the IVF index — the build-once/probe-many split
+    * that is how ANN actually runs at scale: cell assignment (the
+    * expensive full-corpus fold) happens once at ingest, and every
+    * probe afterwards reads only its probed cells. Layout:
+    * `indexDir/centroids` (nCells rows) and `indexDir/assigned`
+    * PARTITIONED BY cell — so a probe's cell restriction becomes
+    * partition PRUNING on the scan: nProbe/nCells of the corpus is
+    * read, the rest never leaves storage. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nCells: Int = 16): Unit = {
+    val centDf = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val cent = centDf.collect().sortBy(_.getLong(0))
+    require(cent.nonEmpty, s"no centroids: corpus has no $idCol < $nCells")
+    centDf.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    corpus.select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"),
+        cellOf(cent, col(vecCol)).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assigned")
+  }
+
+  /** Probe a persisted [[buildIvfIndex]] index. Identical ranking
+    * semantics to [[ivfTopK]]; the difference is the plan — the
+    * assigned scan carries a partition filter over the probed cells
+    * (≤ queries·nProbe distinct values, bounded by nCells, so the
+    * driver-side cell list is broadcast-sized by definition). */
+  def ivfTopKFromIndex(queries: DataFrame, indexDir: String,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val centDf = spark.read.parquet(s"$indexDir/centroids")
+    val probes = ivfProbes(queries, centDf, idCol, vecCol, nProbe)
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+      .filter(col("cell").isin(probeCells: _*))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))

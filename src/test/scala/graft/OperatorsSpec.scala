@@ -472,6 +472,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("persisted IVF index: probe ≡ direct ivfTopK, scan partition-pruned") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val indexDir = tmpDir("ivf_index")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", indexDir, nCells = 16)
+    val fromIndex = Similarity.ivfTopKFromIndex(
+      queries, indexDir, "vec_id", "embedding", k = 5, nProbe = 2)
+    val direct = Similarity.ivfTopK(
+      queries, emb, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(rows(fromIndex) == rows(direct),
+      "index roundtrip must not change rankings")
+    // the probe plan reads only probed cells: the assigned scan carries
+    // a partition filter on cell, so unprobed cells never leave storage
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning in:\n$plan")
+  }
+
   test("editNearDups: blocked Levenshtein finds in-place edits, respects threshold") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
