@@ -152,6 +152,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed record log serves latestAsOf with zero exchanges") {
+    // The serving composition of the same property: records written
+    // bucketed by the entity key give the PIT aggregate its clustering
+    // straight from the scan — the latest-per-entity read of a 100 TB
+    // log costs no shuffle at all.
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val records = graft.sources.Bucketing.ensureBucketed(spark,
+      Tables.events(spark, sf).select(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value")),
+      s"graft_serve_log_$tag",
+      s"/tmp/graft_buckets/$tag/serve_log", "user_id", 8)
+    val served = graft.fs.Serving.latestAsOf(records, "user_id", "ts",
+      None, Seq(org.apache.spark.sql.functions.col("event_id")))
+    served.collect() // AQE: final plan materializes after execution
+    val shuffles = collectWithSubqueries(served.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed PIT serve must not shuffle:\n${physical(served)}")
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE only materializes the final (codegen'd) plan after execution;
     // the short toString renders spans as "*(n)", so check structurally.
