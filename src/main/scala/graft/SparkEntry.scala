@@ -1568,6 +1568,56 @@ object SparkEntry {
         WHERE a.neighbor_id <> p.query_id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Data-quality expectations ([[graft.operators.Checks]]): the gate a
+    * pipeline runs before trusting a drop of upstream data —
+    * completeness, uniqueness, domain range, and a row predicate
+    * compiled into ONE aggregate pass over orders, plus referential
+    * integrity of o_custkey against customer (distinct keys only cross
+    * the join). Every metric is a round-6 rate, so the report replays
+    * engine-exactly. */
+  private val qualityChecks = Q("q_quality_checks",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val metricRows = graft.operators.Checks.run(o, Seq(
+        graft.operators.Checks.complete("custkey_complete", col("o_custkey")),
+        graft.operators.Checks.unique("orderkey_unique", col("o_orderkey")),
+        graft.operators.Checks.inRange("totalprice_range",
+          col("o_totalprice"), 0.0, 600000.0),
+        graft.operators.Checks.satisfies("date_not_future",
+          col("o_orderdate") <= to_timestamp(lit("1999-01-01 00:00:00")))))
+      val ri = graft.operators.Checks.refIntegrity(
+        o, col("o_custkey"), Tables.customer(s, d), col("c_custkey"),
+        "custkey_in_customer")
+      metricRows.unionByName(ri)
+        .withColumnRenamed("check", "check_name")
+        .orderBy(col("ord"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT
+          round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS m0,
+          round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS m1,
+          round(CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                     AND o_totalprice >= 0 AND o_totalprice <= 600000
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(o_totalprice), 6) AS m2,
+          round(CAST(sum(CASE WHEN o_orderdate <= TIMESTAMP '1999-01-01 00:00:00'
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m3
+        FROM orders),
+      ri AS (
+        SELECT round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS ord, 'custkey_complete' AS check_name,
+               m0 AS metric, CAST(1.0 AS DOUBLE) AS threshold, m0 >= 1.0 AS passed FROM m
+        UNION ALL SELECT 1, 'orderkey_unique', m1, CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM m
+        UNION ALL SELECT 2, 'totalprice_range', m2, CAST(1.0 AS DOUBLE), m2 >= 1.0 FROM m
+        UNION ALL SELECT 3, 'date_not_future', m3, CAST(1.0 AS DOUBLE), m3 >= 1.0 FROM m
+        UNION ALL SELECT 9223372036854775807, 'custkey_in_customer', m,
+               CAST(1.0 AS DOUBLE), m >= 1.0 FROM ri)
+      ORDER BY ord"""))
+
   /** Persisted-IVF probe ([[Similarity.buildIvfIndex]] →
     * [[Similarity.ivfTopKFromIndex]]): the build-once/probe-many ANN
     * lifecycle under the hash gate — cell assignment is written
@@ -2944,6 +2994,7 @@ object SparkEntry {
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, editNearDup, weightedSample,
     ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn, ivfIndexAnn,
+    qualityChecks,
     dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)

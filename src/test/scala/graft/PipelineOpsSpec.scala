@@ -79,6 +79,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p("dt") == (("2023-11-30", "2024-03-07")), p)
   }
 
+  test("checks: planted violations surface with exact rates; one scan for all metrics") {
+    import graft.operators.Checks
+    val df = Seq(
+      (Some(1L), 10.0), (Some(2L), 20.0), (Some(2L), -5.0), (None, 999.0))
+      .toDF("k", "v")
+    val report = Checks.run(df, Seq(
+        Checks.complete("k_complete", $"k"),
+        Checks.unique("k_unique", $"k", threshold = 0.9),
+        Checks.inRange("v_range", $"v", 0.0, 100.0)))
+      .select("check", "metric", "passed")
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(report("k_complete") == ((0.75, false)))   // 3 of 4 non-null
+    assert(report("k_unique") == ((0.5, false)))      // 2 distinct of 4 rows
+    assert(report("v_range") == ((0.5, false)))       // 2 of 4 in [0,100]
+    // all metrics ride one aggregate: the input scans exactly once
+    val plan = Checks.run(df, Seq(
+      Checks.complete("a", $"k"), Checks.inRange("b", $"v", 0, 1)))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).length == 1, plan)
+
+    val dim = Seq(1L, 3L).toDF("pk")
+    val ri = Checks.refIntegrity(df, $"k", dim, $"pk", "k_in_dim")
+      .select("metric", "passed").as[(Double, Boolean)].head()
+    assert(ri == ((0.333333, false))) // non-null fks 1,2,2 → only 1 hits
+  }
+
   test("profile is a single job: one aggregate, no per-column scans") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
     val plan = Profile.profile(df).queryExecution.executedPlan.toString
