@@ -847,6 +847,38 @@ object SparkEntry {
         WHERE q.vec_id <> c.vec_id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Incremental top-k refresh ([[Similarity.refreshTopK]]): the corpus
+    * splits into an "existing" shard (even ids) and a "new" shard (odd
+    * ids); the served top-k is built on the existing shard and then
+    * REFRESHED with the new shard only — |prevTopK| + |shard| work.
+    * The oracle is the full-corpus recompute, so the hash gate IS the
+    * incremental ≡ full equivalence (bounded-heap associativity over
+    * disjoint splits). */
+  private val topkIncremental = Q("q_topk_incremental",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val existing = emb.filter(col("vec_id") % 2 === 0)
+      val newShard = emb.filter(col("vec_id") % 2 === 1)
+      val prev = Similarity.bruteForceTopK(
+        queries, existing, "vec_id", "embedding", 5)
+      Similarity.refreshTopK(prev, queries, newShard, "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                 c.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** SQ8-quantized ANN: brute-force top-k over 8-bit-quantized,
     * mid-rise-reconstructed vectors — the 4×-smaller-memory scale path
     * next to exact [[cosineTopK]]. Quantization arithmetic is exact
@@ -2990,7 +3022,8 @@ object SparkEntry {
     knnLabel, classBalance, splitLeakproof, skewReport,
     pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
     fitTransform, pageRank, multiprobeAnn, histogramDepth, q5Revenue,
-    cosineTopK, sq8TopK, embedCentroid, pipelinePrep, sessionize,
+    cosineTopK, topkIncremental, sq8TopK, embedCentroid, pipelinePrep,
+    sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, editNearDup, weightedSample,
     ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn, ivfIndexAnn,

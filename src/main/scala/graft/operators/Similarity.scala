@@ -63,6 +63,25 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Incremental top-k maintenance — the ingest-time shape of a served
+    * similarity index (cf. the incremental top-k session search idea,
+    * EDBT 2020, PAPERS.md): when a new corpus shard lands, the served
+    * top-k refreshes from yesterday's top-k plus the new shard only —
+    * |prevTopK| + |shard| work, never a full-corpus rescan. Sound
+    * because the bounded heap is associative over disjoint corpus
+    * splits: topK(A ∪ B) = topK(topK(A) ∪ topK(B)) — every global
+    * winner is in its own shard's top-k. Ties keep the global rule
+    * (sim desc, neighbor_id asc), so incremental == full recompute
+    * exactly, which is what the oracle checks. */
+  def refreshTopK(prevTopK: DataFrame, queries: DataFrame,
+      newCorpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val newTop = bruteForceTopK(queries, newCorpus, idCol, vecCol, k)
+    topKPerQuery(
+      prevTopK.select(col("query_id"), col("neighbor_id"), col("sim"))
+        .unionByName(newTop.select(col("query_id"), col("neighbor_id"), col("sim"))),
+      k)
+  }
+
   /** LSH-bucketed ANN: candidates limited to the query's sign-projection
     * bucket. Same output shape as [[bruteForceTopK]]; approximate
     * (bucket-local) recall. */

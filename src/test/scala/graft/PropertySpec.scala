@@ -77,6 +77,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("refreshTopK ≡ full recompute over any shard fold") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 4)
+    val shards = Seq(
+      emb.filter($"vec_id" % 3 === 0),
+      emb.filter($"vec_id" % 3 === 1),
+      emb.filter($"vec_id" % 3 === 2))
+    val folded = shards.tail.foldLeft(
+      Similarity.bruteForceTopK(queries, shards.head, "vec_id", "embedding", 5)) {
+      (acc, shard) =>
+        Similarity.refreshTopK(acc, queries, shard, "vec_id", "embedding", 5)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val full = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+    assert(rows(folded) == rows(full), "3-shard incremental fold drifted")
+  }
+
   test("refreshLatest ≡ full recompute: incremental days fold to the same table") {
     // random history split into 3 "days"; folding refreshLatest over
     // the shards must equal latestAsOf over the whole history
