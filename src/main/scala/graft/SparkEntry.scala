@@ -1612,7 +1612,7 @@ object SparkEntry {
       val o = Tables.orders(s, d)
       val metricRows = graft.operators.Checks.run(o, Seq(
         graft.operators.Checks.complete("custkey_complete", col("o_custkey")),
-        graft.operators.Checks.unique("orderkey_unique", col("o_orderkey")),
+        graft.operators.Checks.distinctness("orderkey_distinct", col("o_orderkey")),
         graft.operators.Checks.inRange("totalprice_range",
           col("o_totalprice"), 0.0, 600000.0),
         graft.operators.Checks.satisfies("date_not_future",
@@ -1643,7 +1643,7 @@ object SparkEntry {
       SELECT * FROM (
         SELECT CAST(0 AS BIGINT) AS ord, 'custkey_complete' AS check_name,
                m0 AS metric, CAST(1.0 AS DOUBLE) AS threshold, m0 >= 1.0 AS passed FROM m
-        UNION ALL SELECT 1, 'orderkey_unique', m1, CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM m
+        UNION ALL SELECT 1, 'orderkey_distinct', m1, CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM m
         UNION ALL SELECT 2, 'totalprice_range', m2, CAST(1.0 AS DOUBLE), m2 >= 1.0 FROM m
         UNION ALL SELECT 3, 'date_not_future', m3, CAST(1.0 AS DOUBLE), m3 >= 1.0 FROM m
         UNION ALL SELECT 9223372036854775807, 'custkey_in_customer', m,
@@ -1660,7 +1660,10 @@ object SparkEntry {
   private val ivfIndexAnn = Q("q_ivf_index",
     (s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val indexDir = s"/tmp/graft_ivf/${tag}_p${ProcessHandle.current().pid()}"
+      // stable per-dataset path + overwrite: a per-pid path would leak
+      // a corpus-sized index dir per run (review r6). Single-writer by
+      // harness contract (one Verify/Bench at a time), like Bucketing.
+      val indexDir = s"/tmp/graft_ivf/$tag"
       val emb = Tables.embeddings(s, d)
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", indexDir, nCells = 16)
       Similarity.ivfTopKFromIndex(

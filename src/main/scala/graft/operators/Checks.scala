@@ -28,30 +28,42 @@ object Checks {
 
   /** Fraction of rows with `c` non-null. */
   def complete(name: String, c: Column, threshold: Double = 1.0): Check =
-    Check(name, count(c).cast("double") / count(lit(1)), threshold)
+    Check(name, try_divide(count(c).cast("double"), count(lit(1))), threshold)
 
-  /** Fraction of rows whose key is unique (count-distinct / count).
-    * Exact by default; swap the expression for approx_count_distinct
-    * at the 100 TB end — same output shape, documented error. */
-  def unique(name: String, c: Column, threshold: Double = 1.0): Check =
-    Check(name, countDistinct(c).cast("double") / count(lit(1)), threshold)
+  /** DISTINCTNESS: count-distinct / count — 1.0 iff no value repeats.
+    * (Deequ's Uniqueness — the fraction of values occurring exactly
+    * once — is a different metric that needs a two-level aggregate and
+    * cannot ride this single pass; on [1,1,2] distinctness is 2/3
+    * while uniqueness is 1/3. This check catches ANY duplication via
+    * threshold=1.0, but sub-1.0 thresholds measure distinct RATIO,
+    * not once-only rows.) Exact by default; swap countDistinct for
+    * approx_count_distinct at the 100 TB end — same shape, documented
+    * error. */
+  def distinctness(name: String, c: Column, threshold: Double = 1.0): Check =
+    Check(name, try_divide(countDistinct(c).cast("double"), count(lit(1))), threshold)
 
   /** Fraction of non-null values inside [lo, hi]. */
   def inRange(name: String, c: Column, lo: Double, hi: Double,
       threshold: Double = 1.0): Check =
     Check(name,
-      sum(when(c.isNotNull && c >= lo && c <= hi, 1L).otherwise(0L))
-        .cast("double") / count(c),
+      try_divide(
+        sum(when(c.isNotNull && c >= lo && c <= hi, 1L).otherwise(0L))
+          .cast("double"), count(c)),
       threshold)
 
   /** Fraction of rows satisfying an arbitrary row predicate. */
   def satisfies(name: String, pred: Column, threshold: Double = 1.0): Check =
-    Check(name, sum(pred.cast("long")).cast("double") / count(lit(1)), threshold)
+    Check(name, try_divide(sum(pred.cast("long")).cast("double"), count(lit(1))), threshold)
 
   /** Run all metric checks in ONE aggregate pass over `df`.
     * Output columns: check (string), metric (double, round-6),
     * threshold (double), passed (boolean); rows in declaration order
-    * via an explicit ordinal so the report is deterministic. */
+    * via an explicit ordinal so the report is deterministic.
+    *
+    * VACUOUS INPUTS FAIL: a 0/0 rate (empty table; all-null column
+    * under [[inRange]]) is a null metric, and `passed` coalesces null
+    * to FALSE — the worst possible input must not sail through the
+    * gate because no rows disproved it. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Checks.run: no checks declared")
     val aggs = checks.zipWithIndex.map { case (c, i) =>
@@ -61,28 +73,42 @@ object Checks {
     val rows = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(i).cast("long").as("ord"), lit(c.name).as("check"),
         col(s"__m$i").as("metric"), lit(c.threshold).as("threshold"),
-        (col(s"__m$i") >= c.threshold).as("passed"))
+        coalesce(col(s"__m$i") >= c.threshold, lit(false)).as("passed"))
     }
     wide.select(explode(array(rows: _*)).as("r"))
       .select(col("r.ord"), col("r.check"), col("r.metric"),
         col("r.threshold"), col("r.passed"))
   }
 
-  /** Referential integrity: fraction of non-null `fk` values present
-    * in `dim`'s `pk` column. Joins only the DISTINCT fk keys against
-    * the DISTINCT dimension keys — at 100 TB neither the fact rows nor
-    * the dimension payload ever shuffle, only keys. Returns the same
-    * report row shape as [[run]] (ord = Long.MaxValue sorts it last). */
+  /** Enforced bound on [[refIntegrity]]'s broadcast dimension-key side:
+    * past ~10⁷ distinct keys the broadcast stops fitting executor
+    * memory and the right plan is a plain (shuffled) left join — the
+    * same fail-fast posture as Similarity.MaxBroadcastQueries. */
+  val MaxBroadcastDimKeys: Int = 10000000
+
+  /** Referential integrity: fraction of non-null fk ROWS (row-weighted
+    * — each fact row counts once, so a hot dangling key is weighted by
+    * its row count) whose value is present in `dim`'s `pk` column.
+    * Only key columns move: the fact side projects to its fk, the
+    * dimension to its DISTINCT pk (broadcast, with an enforced
+    * fail-fast bound). Returns the same report row shape as [[run]]
+    * (ord = Long.MaxValue sorts it last); an all-null fk column is the
+    * vacuous case and fails like [[run]]'s. */
   def refIntegrity(df: DataFrame, fk: Column, dim: DataFrame, pk: Column,
-      name: String, threshold: Double = 1.0): DataFrame = {
+      name: String, threshold: Double = 1.0,
+      maxDimKeys: Int = MaxBroadcastDimKeys): DataFrame = {
     val fks = df.select(fk.as("__fk")).filter(col("__fk").isNotNull)
     val keys = dim.select(pk.as("__pk")).distinct()
+    val nKeys = keys.limit(maxDimKeys + 1).count()
+    require(nKeys <= maxDimKeys,
+      s"refIntegrity: dimension exceeds $maxDimKeys distinct keys — a " +
+        "broadcast this size is an executor-memory killer; use a plain join")
     val hit = fks.join(broadcast(keys), col("__fk") === col("__pk"), "left")
-      .agg(round(
-        sum(col("__pk").isNotNull.cast("long")).cast("double") / count(lit(1)),
+      .agg(round(try_divide(
+        sum(col("__pk").isNotNull.cast("long")).cast("double"), count(lit(1))),
         6).as("metric"))
     hit.select(lit(Long.MaxValue).as("ord"), lit(name).as("check"),
       col("metric"), lit(threshold).as("threshold"),
-      (col("metric") >= threshold).as("passed"))
+      coalesce(col("metric") >= threshold, lit(false)).as("passed"))
   }
 }

@@ -76,9 +76,16 @@ object Similarity {
   def refreshTopK(prevTopK: DataFrame, queries: DataFrame,
       newCorpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val newTop = bruteForceTopK(queries, newCorpus, idCol, vecCol, k)
+    // dropDuplicates: an at-least-once redelivery of an already-folded
+    // shard would otherwise seat the same neighbor in two heap slots
+    // and evict a legitimate k-th — dedup makes the refresh IDEMPOTENT
+    // like its sibling refreshLatest (duplicate pairs carry identical
+    // sim, so which copy survives is immaterial). Cost: one extra
+    // exchange over the 2·k·|queries|-bounded union, not over data.
     topKPerQuery(
       prevTopK.select(col("query_id"), col("neighbor_id"), col("sim"))
-        .unionByName(newTop.select(col("query_id"), col("neighbor_id"), col("sim"))),
+        .unionByName(newTop.select(col("query_id"), col("neighbor_id"), col("sim")))
+        .dropDuplicates("query_id", "neighbor_id"),
       k)
   }
 
@@ -237,7 +244,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
     val centDf = spark.read.parquet(s"$indexDir/centroids")
+    // one materialization: the probe subplan (cross + window) would
+    // otherwise execute twice — once for the cell collect, once in the
+    // join (review r6)
     val probes = ivfProbes(queries, centDf, idCol, vecCol, nProbe)
+      .localCheckpoint(false)
     val probeCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val assigned = spark.read.parquet(s"$indexDir/assigned")

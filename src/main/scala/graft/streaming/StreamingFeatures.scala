@@ -216,29 +216,67 @@ object StreamingFeatures {
       }
 
   /** The per-epoch fold of [[maintainLatest]], exposed for direct
-    * testing (same pattern as [[writeEpoch]]). */
+    * testing (same pattern as [[writeEpoch]]).
+    *
+    * CRASH SAFETY: a plain overwrite deletes the old table before the
+    * new write commits — a crash in that window would silently reset
+    * the serving table to just the replayed batch. So versions are
+    * immutable: each epoch writes a fresh `v_<n>` subdirectory and
+    * then atomically swaps the `_CURRENT` pointer file (temp +
+    * ATOMIC_MOVE, the catalog's protocol); readers resolve the pointer
+    * via [[readLatestTable]]. A crash mid-epoch leaves the pointer on
+    * the previous complete version. The predecessor version is kept
+    * for in-flight readers; older ones are pruned. */
   def maintainLatestEpoch(batch: DataFrame, outDir: String,
       entityKey: String, tsCol: String = "ts",
       tieBreak: Seq[String] = Seq.empty): Unit = {
     val spark = batch.sparkSession
-    // "table exists" = the directory holds parquet data files — a
-    // pre-created empty dir (first epoch) reads as absent
-    val hasData = {
-      val p = new org.apache.hadoop.fs.Path(outDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-    }
-    val prev =
-      if (hasData) Some(spark.read.parquet(outDir)) else None
+    val base = new org.apache.hadoop.fs.Path(outDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = currentVersion(spark, outDir).map(v =>
+      spark.read.parquet(s"$outDir/v_$v"))
     val folded = prev match {
       case Some(p) => graft.fs.Serving.refreshLatest(
         p, batch, entityKey, tsCol, tieBreak.map(col))
       case None => graft.fs.Serving.latestAsOf(
         batch, entityKey, tsCol, None, tieBreak.map(col))
     }
+    val next = currentVersion(spark, outDir).getOrElse(-1) + 1
     folded.localCheckpoint(true)
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite").parquet(s"$outDir/v_$next")
+    // atomic pointer swap: readers never see a half-written version
+    val tmp = new org.apache.hadoop.fs.Path(base, s"_CURRENT.tmp$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(base, "_CURRENT")
+    fs.delete(cur, false)
+    fs.rename(tmp, cur)
+    // prune all but the current + predecessor versions
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v_") && n.stripPrefix("v_").toLongOption.exists(_ < next - 1))
+        fs.delete(st.getPath, true)
+    }
   }
+
+  /** The version the `_CURRENT` pointer names, if a complete one exists. */
+  private def currentVersion(spark: SparkSession, outDir: String): Option[Int] = {
+    val cur = new org.apache.hadoop.fs.Path(outDir, "_CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur)) None
+    else {
+      val len = fs.getFileStatus(cur).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(cur)
+      try { in.readFully(buf); new String(buf, "UTF-8").trim.toIntOption }
+      finally in.close()
+    }
+  }
+
+  /** Read the serving table [[maintainLatest]] maintains (resolves the
+    * `_CURRENT` pointer). Empty option = no complete epoch yet. */
+  def readLatestTable(spark: SparkSession, outDir: String): Option[DataFrame] =
+    currentVersion(spark, outDir).map(v => spark.read.parquet(s"$outDir/v_$v"))
 
   /** The idempotent per-epoch write, exposed for direct testing (a
     * foreachBatch body re-running with the same epochId must leave the

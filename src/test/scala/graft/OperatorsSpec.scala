@@ -487,11 +487,15 @@ class OperatorsSpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().toSet
     assert(rows(fromIndex) == rows(direct),
       "index roundtrip must not change rankings")
-    // the probe plan reads only probed cells: the assigned scan carries
-    // a partition filter on cell, so unprobed cells never leave storage
+    // the probe plan reads only probed cells: the assigned scan must
+    // carry a NON-EMPTY partition filter on cell. (A bare
+    // contains("PartitionFilters") is vacuous — every file scan prints
+    // the header even when the bracket is empty.)
     val plan = fromIndex.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"expected cell partition pruning in:\n$plan")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("cell") && f.trim.nonEmpty),
+      s"expected a non-empty cell partition filter, got $partFilters in:\n$plan")
   }
 
   test("editNearDups: blocked Levenshtein finds in-place edits, respects threshold") {

@@ -86,14 +86,19 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("k", "v")
     val report = Checks.run(df, Seq(
         Checks.complete("k_complete", $"k"),
-        Checks.unique("k_unique", $"k", threshold = 0.9),
+        Checks.distinctness("k_distinct", $"k", threshold = 0.9),
         Checks.inRange("v_range", $"v", 0.0, 100.0)))
       .select("check", "metric", "passed")
       .as[(String, Double, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(report("k_complete") == ((0.75, false)))   // 3 of 4 non-null
-    assert(report("k_unique") == ((0.5, false)))      // 2 distinct of 4 rows
+    assert(report("k_distinct") == ((0.5, false)))    // 2 distinct of 4 rows
     assert(report("v_range") == ((0.5, false)))       // 2 of 4 in [0,100]
+    // vacuous inputs FAIL (0/0 → null metric → passed false), never pass
+    val empty = Checks.run(df.filter($"v" > 1e9), Seq(
+        Checks.complete("e_complete", $"k")))
+      .select("passed").as[Boolean].head()
+    assert(!empty, "empty table must fail the gate, not null through it")
     // all metrics ride one aggregate: the input scans exactly once
     val plan = Checks.run(df, Seq(
       Checks.complete("a", $"k"), Checks.inRange("b", $"v", 0, 1)))

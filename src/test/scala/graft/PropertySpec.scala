@@ -95,6 +95,11 @@ class PropertySpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().toSet
     val full = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
     assert(rows(folded) == rows(full), "3-shard incremental fold drifted")
+    // at-least-once redelivery: folding a shard AGAIN must be a no-op
+    // (duplicate pairs deduped before the heap)
+    val replayed = Similarity.refreshTopK(folded, queries, shards(1),
+      "vec_id", "embedding", 5)
+    assert(rows(replayed) == rows(full), "redelivered shard corrupted top-k")
   }
 
   test("refreshLatest ≡ full recompute: incremental days fold to the same table") {

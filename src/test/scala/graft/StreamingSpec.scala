@@ -125,7 +125,9 @@ class StreamingSpec extends SparkSpec {
       (3L, ts("2024-01-01 09:00:00"), 104L, 3.0))
       .toDF("user_id", "ts", "rec_id", "value")
     def latest(): Map[Long, (Long, Double)] =
-      spark.read.parquet(outDir).select("user_id", "rec_id", "value")
+      StreamingFeatures.readLatestTable(spark, outDir)
+        .getOrElse(fail("no complete epoch version"))
+        .select("user_id", "rec_id", "value")
         .as[(Long, Long, Double)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
     StreamingFeatures.maintainLatestEpoch(b1, outDir, "user_id",
