@@ -1617,37 +1617,49 @@ object SparkEntry {
           col("o_totalprice"), 0.0, 600000.0),
         graft.operators.Checks.satisfies("date_not_future",
           col("o_orderdate") <= to_timestamp(lit("1999-01-01 00:00:00")))))
+      val uniq = graft.operators.Checks.uniqueness(
+        o, col("o_orderkey"), "orderkey_unique")
       val ri = graft.operators.Checks.refIntegrity(
         o, col("o_custkey"), Tables.customer(s, d), col("c_custkey"),
         "custkey_in_customer")
-      metricRows.unionByName(ri)
+      metricRows.unionByName(uniq).unionByName(ri)
         .withColumnRenamed("check", "check_name")
         .orderBy(col("ord"))
     },
+    // passed replays the engine's verdict rule: UNROUNDED rate vs
+    // threshold (r0..r3/u/riq below), round-6 only in the report column.
     Some("""
       WITH m AS (
         SELECT
-          round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS m0,
-          round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS m1,
-          round(CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+          CAST(count(o_custkey) AS DOUBLE) / count(*) AS r0,
+          CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(o_orderkey) AS r1,
+          CAST(sum(CASE WHEN o_totalprice IS NOT NULL
                      AND o_totalprice >= 0 AND o_totalprice <= 600000
-                     THEN 1 ELSE 0 END) AS DOUBLE) / count(o_totalprice), 6) AS m2,
-          round(CAST(sum(CASE WHEN o_orderdate <= TIMESTAMP '1999-01-01 00:00:00'
-                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m3
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(o_totalprice) AS r2,
+          CAST(sum(CASE WHEN o_orderdate <= TIMESTAMP '1999-01-01 00:00:00'
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS r3
         FROM orders),
+      u AS (
+        SELECT CAST(sum(CASE WHEN n = 1 THEN n ELSE 0 END) AS DOUBLE)
+                 / sum(n) AS r
+        FROM (SELECT count(*) AS n FROM orders
+              WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)),
       ri AS (
-        SELECT round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
-                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m
+        SELECT CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS r
         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_custkey IS NOT NULL)
       SELECT * FROM (
         SELECT CAST(0 AS BIGINT) AS ord, 'custkey_complete' AS check_name,
-               m0 AS metric, CAST(1.0 AS DOUBLE) AS threshold, m0 >= 1.0 AS passed FROM m
-        UNION ALL SELECT 1, 'orderkey_distinct', m1, CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM m
-        UNION ALL SELECT 2, 'totalprice_range', m2, CAST(1.0 AS DOUBLE), m2 >= 1.0 FROM m
-        UNION ALL SELECT 3, 'date_not_future', m3, CAST(1.0 AS DOUBLE), m3 >= 1.0 FROM m
-        UNION ALL SELECT 9223372036854775807, 'custkey_in_customer', m,
-               CAST(1.0 AS DOUBLE), m >= 1.0 FROM ri)
+               round(r0, 6) AS metric, CAST(1.0 AS DOUBLE) AS threshold,
+               r0 >= 1.0 AS passed FROM m
+        UNION ALL SELECT 1, 'orderkey_distinct', round(r1, 6), CAST(1.0 AS DOUBLE), r1 >= 1.0 FROM m
+        UNION ALL SELECT 2, 'totalprice_range', round(r2, 6), CAST(1.0 AS DOUBLE), r2 >= 1.0 FROM m
+        UNION ALL SELECT 3, 'date_not_future', round(r3, 6), CAST(1.0 AS DOUBLE), r3 >= 1.0 FROM m
+        UNION ALL SELECT 9223372036854775806, 'orderkey_unique', round(r, 6),
+               CAST(1.0 AS DOUBLE), r >= 1.0 FROM u
+        UNION ALL SELECT 9223372036854775807, 'custkey_in_customer', round(r, 6),
+               CAST(1.0 AS DOUBLE), r >= 1.0 FROM ri)
       ORDER BY ord"""))
 
   /** Persisted-IVF probe ([[Similarity.buildIvfIndex]] →

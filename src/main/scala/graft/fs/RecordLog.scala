@@ -86,20 +86,65 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     * on. Uses the evolution-safe read, so mixed-schema files merge
     * into the union schema.
     *
-    * The read must not see its own overwrite: the frame is
-    * localCheckpoint-ed (materialized, lineage truncated) before the
-    * dynamic-partition overwrite rewrites exactly the dates present.
-    * Same single-writer contract as every log mutation. */
+    * CRASH SAFETY (ADVICE r6): an in-place overwrite would hold the
+    * source rows only as non-fault-tolerant localCheckpoint blocks
+    * while the commit deletes existing date dirs — a crash in that
+    * window loses partitions with no durable copy. So compaction is
+    * STAGED: (1) write the full compacted snapshot to a hidden
+    * `_compact_staged` dir under the log (hidden from parquet readers
+    * by the leading underscore), (2) drop a `_STAGED` marker — from
+    * this point the compacted data is durable, (3) swap each date dir
+    * into place (delete old, rename staged), (4) remove the stage. A
+    * crash before (2) discards the stage on the next compact; a crash
+    * after (2) is finished by the next compact's recovery pass — the
+    * swap is idempotent per date. Same single-writer contract as every
+    * log mutation. */
   def compact(group: FeatureGroup): Unit = {
-    val snap = readMerged(group)
+    val base = new org.apache.hadoop.fs.Path(dir(group))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(group)
+    val stage = new org.apache.hadoop.fs.Path(base, "_compact_staged")
+    readMerged(group)
       .repartition(col("p_date"))
       .sortWithinPartitions(col(group.entityKey), col("ts"))
-      .localCheckpoint(true)
-    snap.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("p_date")
-      .parquet(dir(group))
+      .write.mode("overwrite").partitionBy("p_date")
+      .parquet(stage.toString)
+    val marker = new org.apache.hadoop.fs.Path(stage, "_STAGED")
+    fs.create(marker, true).close()
+    swapStaged(group)
+  }
+
+  /** Finish (or discard) a compaction a previous crashed run left
+    * behind: a stage WITH the `_STAGED` marker is complete and gets
+    * swapped in; one without is a partial write and is deleted. Called
+    * automatically by [[compact]]; exposed so an operator can repair a
+    * log without triggering a fresh rewrite. */
+  def recoverCompact(group: FeatureGroup): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir(group))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(base, "_compact_staged")
+    if (!fs.exists(stage)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_STAGED")))
+      swapStaged(group)
+    else fs.delete(stage, true)
+  }
+
+  /** The swap step of [[compact]]: move every staged date dir into
+    * place. Idempotent — a date already swapped by a crashed prior
+    * attempt is simply absent from the stage. */
+  private def swapStaged(group: FeatureGroup): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir(group))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(base, "_compact_staged")
+    fs.listStatus(stage).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("p_date=")) {
+        val dest = new org.apache.hadoop.fs.Path(base, st.getPath.getName)
+        fs.delete(dest, true)
+        require(fs.rename(st.getPath, dest),
+          s"compact: failed to move ${st.getPath} into place")
+      }
+    }
+    fs.delete(stage, true)
   }
 
   /** Retention: drop whole date partitions older than `before`

@@ -128,14 +128,20 @@ object TextFns {
     * `k` tokens (training/context windows are token-, not
     * char-denominated). Map-side array algebra: split once, slice per
     * chunk — no shuffle, and the slice arithmetic replays verbatim in
-    * SQL list slicing. Empty/whitespace-only text yields no chunks
-    * (callers filter, matching the SQL side's WHERE). */
+    * SQL list slicing. Empty/whitespace-only (and null) text yields an
+    * EMPTY array — split(trim(''), ..) is [''] (size 1), so without
+    * the guard the floor of one chunk would emit a phantom
+    * empty-string chunk for blank docs (ADVICE r6). */
   def chunkTokens(text: Column, k: Int): Column = {
     require(k > 0, s"chunkTokens: k=$k")
     val toks = split(trim(text), "\\s+")
     val nChunks = ceil(size(toks).cast("double") / k).cast("int")
-    transform(sequence(lit(0), greatest(lit(1), nChunks) - 1),
-      i => array_join(slice(toks, i * k + 1, lit(k)), " "))
+    // rlike, not trim: Spark's trim strips only ' ' — a tab/newline-only
+    // doc would still sneak one phantom chunk past a trim-length guard
+    when(text.rlike("\\S"),
+      transform(sequence(lit(0), greatest(lit(1), nChunks) - 1),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Repetition quality signals (the Gopher/C4 family): fraction of

@@ -244,18 +244,28 @@ object StreamingFeatures {
     val next = currentVersion(spark, outDir).getOrElse(-1) + 1
     folded.localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$outDir/v_$next")
-    // atomic pointer swap: readers never see a half-written version
+    // atomic pointer swap: readers never see a half-written version,
+    // and the swap itself is ONE overwriting rename — a delete-then-
+    // rename pair would leave a window with no _CURRENT at all, after
+    // which the next epoch would silently reset the table to just its
+    // own batch (ADVICE r6). FileContext.rename(OVERWRITE) throws on
+    // failure instead of returning an ignorable boolean.
     val tmp = new org.apache.hadoop.fs.Path(base, s"_CURRENT.tmp$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     val cur = new org.apache.hadoop.fs.Path(base, "_CURRENT")
-    fs.delete(cur, false)
-    fs.rename(tmp, cur)
-    // prune all but the current + predecessor versions
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      base.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune all but the current + predecessor versions, plus any stale
+    // pointer temp files a crashed epoch left behind
     fs.listStatus(base).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("v_") && n.stripPrefix("v_").toLongOption.exists(_ < next - 1))
         fs.delete(st.getPath, true)
+      else if (n.startsWith("_CURRENT.tmp") &&
+          n.stripPrefix("_CURRENT.tmp").toLongOption.exists(_ < next))
+        fs.delete(st.getPath, false)
     }
   }
 

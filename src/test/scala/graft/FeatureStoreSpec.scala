@@ -344,6 +344,45 @@ class FeatureStoreSpec extends SparkSpec {
     assert(after == before, "compaction must not change rows")
   }
 
+  test("compact recovery: a marked stage is swapped in, an unmarked one discarded") {
+    val c = registered()
+    val g = c.createGroup(FeatureGroup("cmpr", 1, Seq("age"), "user"))
+    val log = new RecordLog(spark, tmpDir("cmprlog"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    log.write(g, Seq(
+      (1L, t("2024-01-01 01:00:00"), 30),
+      (2L, t("2024-01-02 01:00:00"), 40)).toDF("user", "ts", "age"))
+    val before = log.read(g).select("user", "age")
+      .as[(Long, Int)].collect().toSet
+
+    // simulate a crash AFTER staging completed (marker present) but
+    // mid-swap: one date already deleted from the live log — the
+    // staged copy is the only durable one left
+    val base = new java.io.File(log.dir(g))
+    val stage = new java.io.File(base, "_compact_staged")
+    log.readMerged(g).repartition(col("p_date"))
+      .write.mode("overwrite").partitionBy("p_date")
+      .parquet(stage.toString)
+    new java.io.File(stage, "_STAGED").createNewFile()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(base, "p_date=2024-01-01"))
+    log.recoverCompact(g)
+    assert(!stage.exists(), "stage must be cleaned up after recovery")
+    val recovered = log.read(g).select("user", "age")
+      .as[(Long, Int)].collect().toSet
+    assert(recovered == before, "marked stage must restore every row")
+
+    // a crash BEFORE the marker = partial write → discarded, log intact
+    stage.mkdirs()
+    new java.io.File(stage, "part-junk.parquet").createNewFile()
+    log.recoverCompact(g)
+    assert(!stage.exists(), "unmarked stage must be discarded")
+    assert(log.read(g).select("user", "age").as[(Long, Int)]
+      .collect().toSet == before)
+  }
+
   test("expire unlinks only date partitions older than the cutoff") {
     val c = registered()
     val g = c.createGroup(FeatureGroup("exp", 1, Seq("age"), "user"))

@@ -92,7 +92,9 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(String, Double, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(report("k_complete") == ((0.75, false)))   // 3 of 4 non-null
-    assert(report("k_distinct") == ((0.5, false)))    // 2 distinct of 4 rows
+    // nulls are completeness's concern, not distinctness's: 2 distinct
+    // of 3 NON-NULL rows (ADVICE r6)
+    assert(report("k_distinct") == ((0.666667, false)))
     assert(report("v_range") == ((0.5, false)))       // 2 of 4 in [0,100]
     // vacuous inputs FAIL (0/0 → null metric → passed false), never pass
     val empty = Checks.run(df.filter($"v" > 1e9), Seq(
@@ -109,6 +111,29 @@ class PipelineOpsSpec extends SparkSpec {
     val ri = Checks.refIntegrity(df, $"k", dim, $"pk", "k_in_dim")
       .select("metric", "passed").as[(Double, Boolean)].head()
     assert(ri == ((0.333333, false))) // non-null fks 1,2,2 → only 1 hits
+
+    // uniqueness is once-only ROWS, not distinct values: of the 3
+    // non-null k rows [1,2,2] only value 1 occurs once → 1/3
+    val uq = Checks.uniqueness(df, $"k", "k_unique")
+      .select("metric", "passed").as[(Double, Boolean)].head()
+    assert(uq == ((0.333333, false)))
+    // vacuous all-null column fails, never null-passes the gate
+    val uqEmpty = Checks.uniqueness(df.filter($"k".isNull), $"k", "u")
+      .select("passed").as[Boolean].head()
+    assert(!uqEmpty)
+  }
+
+  test("checks verdict uses the unrounded rate: 0.9999995 != 1.0") {
+    import graft.operators.Checks
+    // 1999999/2000000 = 0.9999995 rounds to 1.000000 at 6 dp — the
+    // REPORT metric shows 1.0 but the strict gate must still fail
+    // (ADVICE r6: up to ~5e-8 violating rows must not sail through)
+    val df = spark.range(2000000).toDF("id")
+    val row = Checks.run(df, Seq(
+        Checks.satisfies("all_positive", $"id" > 0, threshold = 1.0)))
+      .select("metric", "passed").as[(Double, Boolean)].head()
+    assert(row._1 == 1.0, "round-6 report metric")
+    assert(!row._2, "verdict must come from the unrounded rate")
   }
 
   test("profile is a single job: one aggregate, no per-column scans") {

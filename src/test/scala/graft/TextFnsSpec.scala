@@ -110,6 +110,11 @@ class TextFnsSpec extends SparkSpec {
     val one = Seq(Tuple1("only three tokens")).toDF("t")
       .select(TextFns.chunkTokens($"t", 8).as("c")).as[Seq[String]].head()
     assert(one == Seq("only three tokens"))
+
+    // blank docs yield NO chunks, not one phantom empty chunk (ADVICE r6)
+    val blanks = Seq("", "   ", "\t\n").map(Tuple1(_)).toDF("t")
+      .select(TextFns.chunkTokens($"t", 8).as("c")).as[Seq[String]].collect()
+    assert(blanks.forall(_.isEmpty), blanks.toSeq)
   }
 
   test("repetitionCols: known token/bigram repetition structure") {
