@@ -1397,20 +1397,100 @@ object SparkEntry {
   // Approximate / seeded-hash operators: no SQL oracle (contract allows
   // omission → driver records a rows-only check).
 
+  /** MinHash LSH under the FULL hash oracle (r7): every hash in the
+    * pipeline is md5-derived ([[graft.plans.MinHashBands]] — 48-bit md5
+    * prefix → affine maps mod 2³¹−1 with closed-form Knuth constants),
+    * so DuckDB replays sketch → banding → candidate join → exact
+    * Jaccard verify end to end with md5 + integer arithmetic. */
   private val minhashDup = Q("q_minhash_neardup",
     (s, d) => Dedup.minhashNearDups(
         Tables.documents(s, d).filter(col("doc_id") < 2000),
         "text", "doc_id", shingleN = 3, bands = 4, rows = 4,
         threshold = 0.4)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE doc_id < 2000),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+        FROM docs),
+      sx AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(12),
+                 c -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(c+1 AS INT), 1)) - 1 AS BIGINT)
+                      * (CAST(1 AS BIGINT) << CAST(4*(11-c) AS INT)))) AS BIGINT) AS x
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+      hmin AS (
+        SELECT doc_id, j,
+               min(((((j+1)*2654435761) % 2147483647) * (x % 2147483647)
+                    + (j*2654435769) % 2147483647) % 2147483647) AS h
+        FROM sx CROSS JOIN (SELECT unnest(range(16)) AS j)
+        GROUP BY doc_id, j),
+      bkt AS (
+        SELECT doc_id, j // 4 AS band,
+               substr(md5(string_agg(lpad(CAST(h AS VARCHAR), 10, '0'), '' ORDER BY j)), 1, 12) AS bucket
+        FROM hmin GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bkt l JOIN bkt r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      jac AS (
+        SELECT c.id_a, c.id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+      SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4
+      ORDER BY id_a, id_b"""))
 
+  /** SimHash under the FULL hash oracle (r7): the 64 fingerprint bits
+    * are md5-hex-digit arithmetic ([[graft.plans.SimHash64]] — bit p =
+    * bit (p mod 4) of hex digit (15 − p div 4)), so DuckDB replays
+    * votes → fingerprint → pigeonhole banding → hamming verify. Band
+    * sizes mirror [[Dedup.simhashNearDups]]: maxHamming+1 = 9 bands,
+    * 64 = 8 + 7×8 (first band one bit wider). */
   private val simhashDup = Q("q_simhash_neardup",
     (s, d) => Dedup.simhashNearDups(
         Tables.documents(s, d).filter(col("doc_id") < 2000),
         "text", "doc_id", maxHamming = 8)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents WHERE doc_id < 2000),
+      tb AS (
+        SELECT doc_id, p,
+               CASE WHEN ((strpos('0123456789abcdef',
+                             substr(md5(t), CAST(16 - p // 4 AS INT), 1)) - 1)
+                          // (1 << CAST(p % 4 AS INT))) % 2 = 1
+                    THEN 1 ELSE -1 END AS v
+        FROM tok CROSS JOIN (SELECT unnest(range(64)) AS p)),
+      bits AS (
+        SELECT doc_id, p, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+        FROM tb GROUP BY doc_id, p),
+      bkt AS (
+        SELECT doc_id,
+               CASE WHEN p < 8 THEN 0 ELSE 1 + (p - 8) // 7 END AS band,
+               sum(CAST(bit AS BIGINT)
+                   << CAST(CASE WHEN p < 8 THEN p ELSE (p - 8) % 7 END AS INT)) AS bucket
+        FROM bits GROUP BY doc_id, band),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bkt l JOIN bkt r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      ham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+        FROM cand c
+        JOIN bits a ON a.doc_id = c.id_a
+        JOIN bits b ON b.doc_id = c.id_b AND b.p = a.p
+        GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+      ORDER BY id_a, id_b"""))
 
   /** LSH-bucketed ANN, hash-oracled (r3): the sign-projection bucket is
     * pure arithmetic, so DuckDB replays bucketing + within-bucket

@@ -10,12 +10,20 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over an `array<string>` token column.
   *
-  * Classic Charikar scheme: each token hashes to 64 bits (xxHash64-style
-  * mix of the token bytes via Spark's XXH64, here Murmur-free inline
-  * FNV-1a 64 for self-containment); bit b of the fingerprint is 1 iff
-  * the signed sum of (+1 for set / -1 for clear) across tokens is
-  * positive. Near-duplicate docs differ in a few bits → candidate
-  * pairing by hamming distance on bucketed prefixes.
+  * Classic Charikar scheme: each token hashes to 64 bits; bit b of the
+  * fingerprint is 1 iff the signed sum of (+1 for set / -1 for clear)
+  * across token OCCURRENCES is positive (a tied vote is 0).
+  *
+  * ENGINE-REPLAYABLE token hash (the [[WinnowFps]] trick): the 64 bits
+  * are the first 16 hex chars of md5(token) read as a big-endian
+  * integer — bit p of the hash is bit (p mod 4) of hex digit
+  * (15 − p div 4), so an external SQL engine replays the whole
+  * fingerprint with md5 + per-digit integer arithmetic, no
+  * engine-private hash function. (The earlier FNV-1a hash was cheaper
+  * per token but unreplayable, which kept the simhash queries outside
+  * the hash-compare oracle; one MD5 per token occurrence is the price
+  * of a real correctness row, and it is the same digest the winnowing
+  * sketch already pays per k-gram.)
   *
   * A 64-counter inner loop is imperative by nature — exactly the case
   * where a native expression (with codegen) beats both HOF chains and
@@ -31,14 +39,39 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val counts = new Array[Int](64)
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"${SimHash64.getClass.getName.stripSuffix("$")}$$.MODULE$$.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** md5(s)'s first 8 digest bytes as a big-endian 64-bit value — the
+    * integer behind the first 16 hex chars of the md5 hex string. */
+  def md5Hash64(md: java.security.MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    md.update(s.getBytes)
+    val d = md.digest()
+    var h = 0L
     var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** The fingerprint for one token array; shared by eval and codegen. */
+  def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val n = arr.numElements()
+    var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = SimHash64.fnv1a64(arr.getUTF8String(i))
+        val h = md5Hash64(md, arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -51,50 +84,6 @@ case class SimHash64(child: Expression)
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val counts = ctx.freshName("counts"); val i = ctx.freshName("i")
-      val b = ctx.freshName("b"); val h = ctx.freshName("h")
-      val out = ctx.freshName("out"); val n = ctx.freshName("n")
-      val cls = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"""
-         |int[] $counts = new int[64];
-         |int $n = $a.numElements();
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    long $h = $cls.fnv1a64($a.getUTF8String($i));
-         |    for (int $b = 0; $b < 64; $b++) {
-         |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
-         |    }
-         |  }
-         |}
-         |long $out = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if ($counts[$b] > 0) $out |= (1L << $b);
-         |}
-         |${ev.value} = $out;
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SimHash64 {
-  /** FNV-1a 64-bit over the UTF-8 bytes — deterministic, seed-free,
-    * cheap; adequate bit diffusion for simhash voting. */
-  def fnv1a64(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
   }
 
   def column(tokens: Column): Column =

@@ -80,16 +80,16 @@ class OperatorsSpec extends SparkSpec {
     val sh = Dedup.shingles(lower($"text"), 3)
     val viaExpr = docs
       .select($"doc_id", graft.plans.MinHashBands.column(sh, 4, 4).as("bb"))
-      .as[(Long, Seq[Long])].collect().toMap
+      .as[(Long, Seq[String])].collect().toMap
     // interpreted eval over the same shingle arrays
     val shingled = docs.select($"doc_id", sh.as("sh"))
       .as[(Long, Seq[String])].collect()
     val viaEval = shingled.map { case (id, ss) =>
       val e = graft.plans.MinHashBands(
         Literal.create(ss, ArrayType(StringType)), 4, 4)
-      id -> e.eval(null)
+      val ad = e.eval(null)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        .toLongArray().toSeq
+      id -> (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
     }.toMap
     assert(viaExpr == viaEval)
     assert(viaExpr(0L) == viaExpr(3L)) // identical docs, identical bands
