@@ -1639,37 +1639,59 @@ object SparkEntry {
     * probed cells per query — the inverted-file scale dial next to
     * q_ann_bucketed's LSH buckets. DuckDB replays assignment, probing
     * and ranking exactly (round-6 sims, id tie-breaks throughout). */
-  private val ivfAnn = Q("q_ivf_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(
-          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 2)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""
-      WITH cent AS (
-        SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings WHERE vec_id < 16),
+  /** Shared oracle for the two IVF queries: replays
+    * [[Similarity.kmeansFit]]'s 2 Lloyd iterations (assign by round-6
+    * cosine rank, fixed-point round-6 mean update, empty cells keep
+    * their centroid) as unrolled CTEs — the q_pagerank fixed-point
+    * pattern — then probes/assigns/ranks against the trained cent2. */
+  private val ivfTrainedSql = """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+      a1 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM e CROSS JOIN cent0 c) WHERE rn = 1),
+      u1 AS (
+        SELECT cell AS cell_id, list(comp ORDER BY i) AS cv FROM (
+          SELECT cell, i,
+                 round(CAST(sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1048576, 6) AS comp
+          FROM a1 CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY cell, i) GROUP BY cell),
+      cent1 AS (
+        SELECT c0.cell_id, coalesce(u1.cv, c0.cv) AS cv
+        FROM cent0 c0 LEFT JOIN u1 USING (cell_id)),
+      a2 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM e CROSS JOIN cent1 c) WHERE rn = 1),
+      u2 AS (
+        SELECT cell AS cell_id, list(comp ORDER BY i) AS cv FROM (
+          SELECT cell, i,
+                 round(CAST(sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1048576, 6) AS comp
+          FROM a2 CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY cell, i) GROUP BY cell),
+      cent2 AS (
+        SELECT c1.cell_id, coalesce(u2.cv, c1.cv) AS cv
+        FROM cent1 c1 LEFT JOIN u2 USING (cell_id)),
       assign AS (
         SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
-          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-                 c.cell_id AS cell,
+          SELECT e.vec_id, e.v, c.cell_id AS cell,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
-                   c.cell_id) AS rn
-          FROM embeddings e CROSS JOIN cent c)
-        WHERE rn = 1),
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM e CROSS JOIN cent2 c) WHERE rn = 1),
       probes AS (
         SELECT query_id, qv, cell FROM (
-          SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
-                 c.cell_id AS cell,
+          SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id AS cell,
                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cv), 6) DESC,
-                   c.cell_id) AS rn
-          FROM embeddings q CROSS JOIN cent c
-          WHERE q.vec_id < 20)
-        WHERE rn <= 2)
+                   round(list_cosine_similarity(q.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM e q CROSS JOIN cent2 c
+          WHERE q.vec_id < 20) WHERE rn <= 2)
       SELECT query_id, neighbor_id, sim, rank FROM (
         SELECT p.query_id, a.neighbor_id,
                round(list_cosine_similarity(p.qv, a.cv), 6) AS sim,
@@ -1678,7 +1700,17 @@ object SparkEntry {
                  a.neighbor_id) AS rank
         FROM probes p JOIN assign a ON p.cell = a.cell
         WHERE a.neighbor_id <> p.query_id)
-      WHERE rank <= 5 ORDER BY query_id, rank"""))
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val ivfAnn = Q("q_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 2, trainIters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfTrainedSql))
 
   /** Data-quality expectations ([[graft.operators.Checks]]): the gate a
     * pipeline runs before trusting a drop of upstream data —
@@ -1757,44 +1789,14 @@ object SparkEntry {
       // harness contract (one Verify/Bench at a time), like Bucketing.
       val indexDir = s"/tmp/graft_ivf/$tag"
       val emb = Tables.embeddings(s, d)
-      Similarity.buildIvfIndex(emb, "vec_id", "embedding", indexDir, nCells = 16)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", indexDir,
+        nCells = 16, trainIters = 2)
       Similarity.ivfTopKFromIndex(
           emb.filter(col("vec_id") < 20), indexDir, "vec_id", "embedding",
           k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some("""
-      WITH cent AS (
-        SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings WHERE vec_id < 16),
-      assign AS (
-        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
-          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
-                 c.cell_id AS cell,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
-                   c.cell_id) AS rn
-          FROM embeddings e CROSS JOIN cent c)
-        WHERE rn = 1),
-      probes AS (
-        SELECT query_id, qv, cell FROM (
-          SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv,
-                 c.cell_id AS cell,
-                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cv), 6) DESC,
-                   c.cell_id) AS rn
-          FROM embeddings q CROSS JOIN cent c
-          WHERE q.vec_id < 20)
-        WHERE rn <= 2)
-      SELECT query_id, neighbor_id, sim, rank FROM (
-        SELECT p.query_id, a.neighbor_id,
-               round(list_cosine_similarity(p.qv, a.cv), 6) AS sim,
-               row_number() OVER (PARTITION BY p.query_id ORDER BY
-                 round(list_cosine_similarity(p.qv, a.cv), 6) DESC,
-                 a.neighbor_id) AS rank
-        FROM probes p JOIN assign a ON p.cell = a.cell
-        WHERE a.neighbor_id <> p.query_id)
-      WHERE rank <= 5 ORDER BY query_id, rank"""))
+    Some(ivfTrainedSql))
 
   /** Connected-components dedup clustering, hash-oracled: a
     * deterministic pair graph (each doc links to a successor at an
@@ -2656,27 +2658,71 @@ object SparkEntry {
              count(*) AS n_keys, min(n) AS min_n, max(n) AS max_n
       FROM c GROUP BY bucket ORDER BY bucket"""))
 
-  /** PQ-quantized ANN ([[Similarity.pqTopK]]): 4×16-dim subspaces,
-    * 16-centroid deterministic codebook, asymmetric-distance scoring
-    * through a broadcast LUT. Completes the quantization ladder next
-    * to exact (q_cosine_topk), SQ8, LSH, and IVF. */
+  /** PQ-quantized ANN ([[Similarity.pqTopK]]): 16×4-dim subspaces,
+    * 16-centroid TRAINED codebooks ([[Similarity.kmeansFitSub]], 2
+    * Lloyd iterations), asymmetric-distance scoring through a
+    * broadcast LUT. Completes the quantization ladder next to exact
+    * (q_cosine_topk), SQ8, LSH, and IVF. */
   private val pqAnn = Q("q_pq_ann",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
-          "vec_id", "embedding", k = 10)
+          "vec_id", "embedding", k = 10, m = 16, trainIters = 2)
         .orderBy(col("query_id"), col("rank"))
     },
+    // m=16 (4-dim subspaces): 16 TRAINED centroids per subspace keep
+    // within-cluster discrimination (16^16 distinct reconstructions) —
+    // at m=4 a trained codebook collapses each label cluster onto one
+    // code per subspace and ADC ranking inside a cluster turns to
+    // noise (measured r7: recall@10 fell 2,5,3 -> 0,2,2; m=16 trained
+    // measures 6,6,3). cb0->cb2 replays kmeansFitSub's 2 Lloyd
+    // iterations per subspace (argmin round-6 L2 assign, fixed-point
+    // round-6 mean update, empty cells carry over) before the
+    // encode/LUT/ADC pipeline.
     Some("""
-      WITH js AS (SELECT unnest(range(4)) AS j),
-      cent AS (
+      WITH js AS (SELECT unnest(range(16)) AS j),
+      cb0 AS (
         SELECT j, vec_id AS cid,
-               CAST(embedding[(j*16+1):(j*16+16)] AS DOUBLE[]) AS cv
+               CAST(embedding[(j*4+1):(j*4+4)] AS DOUBLE[]) AS cv
         FROM embeddings, js WHERE vec_id < 16),
       sub AS (
         SELECT vec_id, j,
-               CAST(embedding[(j*16+1):(j*16+16)] AS DOUBLE[]) AS sv
+               CAST(embedding[(j*4+1):(j*4+4)] AS DOUBLE[]) AS sv
         FROM embeddings, js),
+      s1 AS (
+        SELECT j, sv, cid FROM (
+          SELECT s.j, s.sv, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                   round(list_inner_product(c.cv, c.cv)
+                         - 2.0 * list_inner_product(s.sv, c.cv), 6), c.cid) AS r
+          FROM sub s JOIN cb0 c USING (j)) WHERE r = 1),
+      w1 AS (
+        SELECT j, cid, list(comp ORDER BY i) AS cv FROM (
+          SELECT j, cid, i,
+                 round(CAST(sum(CAST(floor(sv[i] * 1048576) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1048576, 6) AS comp
+          FROM s1 CROSS JOIN generate_series(1, 4) AS g(i)
+          GROUP BY j, cid, i) GROUP BY j, cid),
+      cb1 AS (
+        SELECT c0.j, c0.cid, coalesce(w1.cv, c0.cv) AS cv
+        FROM cb0 c0 LEFT JOIN w1 ON w1.j = c0.j AND w1.cid = c0.cid),
+      s2 AS (
+        SELECT j, sv, cid FROM (
+          SELECT s.j, s.sv, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                   round(list_inner_product(c.cv, c.cv)
+                         - 2.0 * list_inner_product(s.sv, c.cv), 6), c.cid) AS r
+          FROM sub s JOIN cb1 c USING (j)) WHERE r = 1),
+      w2 AS (
+        SELECT j, cid, list(comp ORDER BY i) AS cv FROM (
+          SELECT j, cid, i,
+                 round(CAST(sum(CAST(floor(sv[i] * 1048576) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1048576, 6) AS comp
+          FROM s2 CROSS JOIN generate_series(1, 4) AS g(i)
+          GROUP BY j, cid, i) GROUP BY j, cid),
+      cent AS (
+        SELECT c1.j, c1.cid, coalesce(w2.cv, c1.cv) AS cv
+        FROM cb1 c1 LEFT JOIN w2 ON w2.j = c1.j AND w2.cid = c1.cid),
       dist AS (
         SELECT s.vec_id, s.j, c.cid,
                row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
@@ -2688,21 +2734,33 @@ object SparkEntry {
             FROM embeddings WHERE vec_id < 5),
       lut AS (
         SELECT q.query_id, c.j, c.cid,
-               list_inner_product(q.qv[(c.j*16+1):(c.j*16+16)], c.cv) AS ip
+               list_inner_product(q.qv[(c.j*4+1):(c.j*4+4)], c.cv) AS ip
         FROM q, cent c),
       parts AS (
         SELECT l.query_id, cd.neighbor_id,
                max(CASE WHEN cd.j = 0 THEN l.ip END) AS p0,
                max(CASE WHEN cd.j = 1 THEN l.ip END) AS p1,
                max(CASE WHEN cd.j = 2 THEN l.ip END) AS p2,
-               max(CASE WHEN cd.j = 3 THEN l.ip END) AS p3
+               max(CASE WHEN cd.j = 3 THEN l.ip END) AS p3,
+               max(CASE WHEN cd.j = 4 THEN l.ip END) AS p4,
+               max(CASE WHEN cd.j = 5 THEN l.ip END) AS p5,
+               max(CASE WHEN cd.j = 6 THEN l.ip END) AS p6,
+               max(CASE WHEN cd.j = 7 THEN l.ip END) AS p7,
+               max(CASE WHEN cd.j = 8 THEN l.ip END) AS p8,
+               max(CASE WHEN cd.j = 9 THEN l.ip END) AS p9,
+               max(CASE WHEN cd.j = 10 THEN l.ip END) AS p10,
+               max(CASE WHEN cd.j = 11 THEN l.ip END) AS p11,
+               max(CASE WHEN cd.j = 12 THEN l.ip END) AS p12,
+               max(CASE WHEN cd.j = 13 THEN l.ip END) AS p13,
+               max(CASE WHEN cd.j = 14 THEN l.ip END) AS p14,
+               max(CASE WHEN cd.j = 15 THEN l.ip END) AS p15
         FROM codes cd JOIN lut l ON l.j = cd.j AND l.cid = cd.cid
         WHERE l.query_id <> cd.neighbor_id
         GROUP BY l.query_id, cd.neighbor_id),
       scored AS (
-        SELECT query_id, neighbor_id, round(((p0+p1)+p2)+p3, 6) AS sim,
+        SELECT query_id, neighbor_id, round((((((((((((((((p0+p1)+p2)+p3)+p4)+p5)+p6)+p7)+p8)+p9)+p10)+p11)+p12)+p13)+p14)+p15), 6) AS sim,
                row_number() OVER (PARTITION BY query_id ORDER BY
-                 round(((p0+p1)+p2)+p3, 6) DESC, neighbor_id) AS rank
+                 round((((((((((((((((p0+p1)+p2)+p3)+p4)+p5)+p6)+p7)+p8)+p9)+p10)+p11)+p12)+p13)+p14)+p15), 6) DESC, neighbor_id) AS rank
         FROM parts)
       SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
       FROM scored WHERE rank <= 10 ORDER BY query_id, rank"""))

@@ -144,33 +144,27 @@ object Similarity {
     * members — candidate fraction ≈ nProbe/nCells, the classic
     * recall/cost dial next to [[bucketedTopK]]'s LSH variant.
     *
-    * A production IVF trains centroids with k-means; here the quantizer
-    * is deterministic — the corpus vectors with id < nCells — which
-    * keeps the inverted-file mechanics identical and the whole operator
-    * DuckDB-replayable. Scale shape: centroids are collected once
-    * (nCells rows — IVF centroids are by definition broadcast-sized)
-    * and embedded as a literal array, so corpus cell assignment is a
-    * ZERO-SHUFFLE map-side fold inside codegen — no per-row join, no
-    * |corpus|×K row expansion; the only exchange in the plan is the
-    * k-bounded top-k aggregate. Ranks use round-6 similarity with id
-    * tie-breaks, making cell assignment and final order reproducible
-    * across engines. */
-  /** Deterministic coarse quantizer frame: (cell_id, cv0). */
-  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): DataFrame =
-    corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("long").as("cell_id"),
-        col(vecCol).cast("array<double>").as("cv0"))
-
+    * The quantizer is TRAINED: [[kmeansFit]] runs `trainIters` Lloyd
+    * iterations from the deterministic seed (corpus vectors with
+    * id < nCells), so cells track the data's real cluster structure
+    * instead of whatever the first nCells vectors happened to be (the
+    * r6 under-recall note). Scale shape: centroids are collected once
+    * per iteration (nCells·dim doubles — IVF centroids are by
+    * definition broadcast-sized) and embedded as a literal array, so
+    * corpus cell assignment is a ZERO-SHUFFLE map-side fold inside
+    * codegen — no per-row join, no |corpus|×K row expansion; the only
+    * exchanges are the tiny centroid-update aggregates and the
+    * k-bounded top-k. Ranks use round-6 similarity with id tie-breaks,
+    * making cell assignment and final order reproducible across
+    * engines. */
   /** Literal centroid array for the zero-shuffle assignment fold.
     * argmax over it: strictly-greater keeps the FIRST (lowest cell_id)
     * on round-6 ties — same winner as the oracle's ORDER BY sim DESC,
     * cell_id ASC. */
-  private def cellOf(cent: Seq[org.apache.spark.sql.Row], vec: Column): Column = {
-    val centArr = array(cent.map { r =>
-      struct(lit(r.getLong(0)).as("cell_id"),
-        typedLit(r.getSeq[Double](1)).as("cv"))
-    }.toSeq: _*)
+  private def cellOf(cent: Seq[(Long, Seq[Double])], vec: Column): Column = {
+    val centArr = array(cent.map { case (id, v) =>
+      struct(lit(id).as("cell_id"), typedLit(v).as("cv"))
+    }: _*)
     aggregate(centArr,
       struct(lit(-2.0).as("best"), lit(-1L).as("cell")),
       (acc, c) => {
@@ -179,6 +173,46 @@ object Similarity {
           struct(s.as("best"), c.getField("cell_id").as("cell")))
           .otherwise(acc)
       }).getField("cell")
+  }
+
+  /** Fixed-point Lloyd k-means for the IVF coarse quantizer: seed =
+    * corpus vectors with id < nCells, then `iters` rounds of
+    * (assign by max round-6 cosine, lowest-cell ties) → (per-cell
+    * fixed-point mean via the [[labelCentroids]] update — exact integer
+    * sums, round-6 components). Every quantity is engine-replayable,
+    * so an external SQL engine can reproduce the trained centroids by
+    * unrolling the iterations (the q_pagerank fixed-point pattern);
+    * determinism also means build and probe sides train to IDENTICAL
+    * centroids without coordination. Cells that win no vectors keep
+    * their previous centroid (never collapse to empty).
+    *
+    * Scale shape per iteration: one corpus scan folding against a
+    * literal centroid array (zero shuffle) + one (nCells·dim)-row
+    * aggregate; the driver holds only nCells·dim doubles. iters is
+    * FIXED (no convergence test) — the 100 TB posture, where an extra
+    * scan costs more than a slightly-unconverged quantizer. */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 2, shift: Int = 20): Seq[(Long, Seq[Double])] = {
+    var cent: Seq[(Long, Seq[Double])] = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    require(cent.nonEmpty, s"kmeansFit: corpus has no $idCol < $nCells")
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.select(
+        col(vecCol).cast("array<double>").as("v"),
+        cellOf(cent, col(vecCol)).as("label"))
+      val upd = labelCentroids(assigned, "label", "v", shift)
+        .select(col("label"), col("pos"), col("centroid"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      cent = cent.map { case (id, old) => (id, upd.getOrElse(id, old)) }
+      it += 1
+    }
+    cent
   }
 
   /** Top-nProbe cells per query against the centroid frame. */
@@ -198,10 +232,11 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val centDf = ivfCentroids(corpus, idCol, vecCol, nCells)
-    val cent = centDf.collect().sortBy(_.getLong(0))
-    require(cent.nonEmpty, s"no centroids: corpus has no $idCol < $nCells")
+      nCells: Int = 16, nProbe: Int = 2, trainIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters)
+    val centDf = cent.toDF("cell_id", "cv0")
     val assigned = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       cellOf(cent, col(vecCol)).as("cell"))
@@ -221,10 +256,15 @@ object Similarity {
     * partition PRUNING on the scan: nProbe/nCells of the corpus is
     * read, the rest never leaves storage. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, nCells: Int = 16): Unit = {
-    val centDf = ivfCentroids(corpus, idCol, vecCol, nCells)
-    val cent = centDf.collect().sortBy(_.getLong(0))
-    require(cent.nonEmpty, s"no centroids: corpus has no $idCol < $nCells")
+      indexDir: String, nCells: Int = 16, trainIters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // deterministic training: the probe side replaying kmeansFit with
+    // the same params reproduces these centroids exactly — but the
+    // index persists them anyway, because probe-time retraining would
+    // rescan the corpus `iters` times per probe
+    val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters)
+    val centDf = cent.toDF("cell_id", "cv0")
     centDf.write.mode("overwrite").parquet(s"$indexDir/centroids")
     corpus.select(
         col(idCol).as("neighbor_id"),
@@ -285,6 +325,90 @@ object Similarity {
         round(col("sum_fx").cast("double") / col("n") / scale, 6))
   }
 
+  /** The argmin-L2 code fold shared by PQ encoding and subspace
+    * k-means training: strictly-less keeps the FIRST (lowest cid) on
+    * round-6 ties — same winner as an ORDER BY d, cid. `cbArr` is a
+    * literal array of (cid, cv, cc=|c|²) structs; d = |c|² − 2⟨x,c⟩
+    * (L2² minus the per-row constant |x|², which cannot change the
+    * argmin). Returns −1 when nothing beats the MaxValue seed (NaN
+    * vector) — callers decide whether that raises. */
+  private def subCodeOf(cbArr: Column, subV: Column): Column =
+    aggregate(cbArr,
+      struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val d = round(
+          c.getField("cc") - lit(2.0) * VectorFns.dot(subV, c.getField("cv")), 6)
+        when(d < acc.getField("best"),
+          struct(d.as("best"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+
+  /** |c|² via the same sequential left-fold the engines use for dot
+    * products, so the precomputed constant is bit-identical to what an
+    * in-plan fold would produce. */
+  private def sqNorm(v: Seq[Double]): Double = {
+    var cc = 0.0
+    v.foreach(x => cc += x * x)
+    cc
+  }
+
+  /** Literal codebook array for subspace `j`: (cid, cv, cc) structs in
+    * cid order. */
+  private def cbArrFor(cb: Seq[(Int, Long, Seq[Double])], j: Int): Column =
+    array(cb.filter(_._1 == j).sortBy(_._2).map { case (_, cid, cv) =>
+      struct(lit(cid).as("cid"), typedLit(cv).as("cv"),
+        lit(sqNorm(cv)).as("cc"))
+    }: _*)
+
+  /** Fixed-point Lloyd k-means for the PQ codebooks — [[kmeansFit]]'s
+    * subspace twin: each of the `m` subspaces trains its own nCents
+    * centroids (seed = subvectors of corpus vectors with id < nCents)
+    * by argmin round-6 L2 assign + fixed-point mean update. All m
+    * subspaces train in ONE corpus scan per iteration: the row explodes
+    * ×m map-side, each subvector folds against its own literal codebook
+    * (element_at on a nested literal — zero shuffle), and the update
+    * aggregate carries m·nCents·subDim tiny rows. Deterministic and
+    * engine-replayable like [[kmeansFit]]; empty cells keep their
+    * previous centroid. Returns (j, cid, cv) rows. */
+  def kmeansFitSub(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, nCents: Int, iters: Int = 2, shift: Int = 20)
+      : Seq[(Int, Long, Seq[Double])] = {
+    val scale = (1L << shift).toDouble
+    val seeds = corpus.filter(col(idCol) < nCents)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    require(seeds.nonEmpty, s"kmeansFitSub: corpus has no $idCol < $nCents")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    var cb: Seq[(Int, Long, Seq[Double])] = for {
+      (cid, v) <- seeds; j <- 0 until m
+    } yield (j, cid, v.slice(j * subDim, (j + 1) * subDim))
+    var it = 0
+    while (it < iters) {
+      val nested = array((0 until m).map(j => cbArrFor(cb, j)): _*)
+      val subs = corpus.select(
+        posexplode(array((0 until m).map(j =>
+          slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)): _*))
+          .as(Seq("j", "sv")))
+        .withColumn("label", subCodeOf(element_at(nested, col("j") + 1), col("sv")))
+      val upd = subs
+        .select(col("j"), col("label"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("j", "label", "pos")
+        .agg(sum(floor(col("v") * scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("j"), col("label"), col("pos"),
+          round(col("s").cast("double") / col("n") / scale, 6).as("comp"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      cb = cb.map { case (j, cid, old) => (j, cid, upd.getOrElse((j, cid), old)) }
+      it += 1
+    }
+    cb
+  }
+
   /** Product-quantization ANN (PQ with asymmetric distance): vectors
     * are chopped into `m` subspaces, each subvector replaced by the id
     * of its nearest codebook centroid (argmin round-6 L2, lowest-id
@@ -292,11 +416,13 @@ object Similarity {
     * lookup table — the memory-side complement of [[ivfTopK]]'s
     * candidate pruning (m bytes per vector instead of 4·dim).
     *
-    * As with IVF, a production codebook comes from k-means; here it is
-    * deterministic (subvectors of the corpus vectors with id < nCents)
-    * so the whole operator — codes, LUT, ADC scores — replays in the
-    * DuckDB oracle bit-for-bit (`list_inner_product` matches the
-    * sequential left-fold of [[graft.functions.VectorFns.dot]]).
+    * The codebooks are TRAINED per subspace ([[kmeansFitSub]], seeded
+    * from subvectors of the corpus vectors with id < nCents), and every
+    * training/encode/score quantity is deterministic round-6
+    * arithmetic, so the whole operator — training, codes, LUT, ADC
+    * scores — replays in the DuckDB oracle bit-for-bit
+    * (`list_inner_product` matches the sequential left-fold of
+    * [[graft.functions.VectorFns.dot]]).
     *
     * Scale shape: encoding is a map-side fold over a literal codebook
     * (zero shuffle, the classic PQ property that codes are computed
@@ -312,7 +438,7 @@ object Similarity {
   def pqTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      m: Int = 4, nCents: Int = 16): DataFrame = {
+      m: Int = 4, nCents: Int = 16, trainIters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // enforced LUT bound: the broadcast is |queries|·m·nCents rows
@@ -320,29 +446,11 @@ object Similarity {
     require(nq <= MaxBroadcastQueries / (m * nCents),
       s"pqTopK: query side × ${m * nCents} LUT rows exceeds " +
         s"$MaxBroadcastQueries broadcast rows; shard the query set")
-    val centRows = corpus.filter(col(idCol) < nCents)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().sortBy(_.getLong(0))
-    require(centRows.nonEmpty, s"no codebook: corpus has no $idCol < $nCents")
-    val dim = centRows.head.getSeq[Double](1).length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val subDim = dim / m
-    // codebook in two shapes: a DataFrame for the LUT cross, and a
-    // per-subspace literal array for the encode fold
-    val centDf = broadcast(centRows.flatMap { r =>
-      val cid = r.getLong(0); val v = r.getSeq[Double](1)
-      (0 until m).map(j => (j, cid, v.slice(j * subDim, (j + 1) * subDim)))
-    }.toSeq.toDF("j", "cid", "cv"))
-    // |c|² is precomputed into the literal codebook with the SAME
-    // sequential left-fold the engines use, so the argmin quantity stays
-    // bit-identical while the per-row fold drops half its dot products
-    def centArr(j: Int): Column = array(centRows.map { r =>
-      val cv = r.getSeq[Double](1).slice(j * subDim, (j + 1) * subDim)
-      var cc = 0.0
-      cv.foreach(x => cc += x * x)
-      struct(lit(r.getLong(0)).as("cid"),
-        typedLit(cv).as("cv"), lit(cc).as("cc"))
-    }.toSeq: _*)
+    val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters)
+    val subDim = cb.head._3.length
+    // codebook in two shapes: a DataFrame for the LUT cross, and
+    // per-subspace literal arrays (via cbArrFor) for the encode fold
+    val centDf = broadcast(cb.toDF("j", "cid", "cv"))
     def sub(v: Column, j: Int): Column =
       slice(v.cast("array<double>"), j * subDim + 1, subDim)
     // encode: per subspace, argmin_c round6(|c|² − 2⟨x,c⟩), ties → lowest
@@ -352,14 +460,7 @@ object Similarity {
     // sentinel -1 silently drop the row from the LUT join downstream —
     // so a failed encode raises instead of vanishing (ADVICE r5).
     def codeOf(subV: Column, j: Int): Column = {
-      val cid = aggregate(centArr(j),
-        struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
-        (acc, c) => {
-          val d = round(
-            c.getField("cc") - lit(2.0) * VectorFns.dot(subV, c.getField("cv")), 6)
-          when(d < acc.getField("best"),
-            struct(d.as("best"), c.getField("cid").as("cid"))).otherwise(acc)
-        }).getField("cid")
+      val cid = subCodeOf(cbArrFor(cb, j), subV)
       when(cid >= 0, cid).otherwise(raise_error(concat(
         lit(s"pqTopK: subspace $j encode failed (NaN/corrupt vector): "),
         col("neighbor_id").cast("string"))))

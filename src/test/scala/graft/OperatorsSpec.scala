@@ -344,6 +344,50 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.collect().toSeq == brute.collect().toSeq)
   }
 
+  test("kmeansFit migrates cells off a degenerate seed; trained IVF recall beats untrained") {
+    // 3 tight clusters on axes e0/e1/e2; the nCells=3 seed (ids 0..2)
+    // sits ENTIRELY in cluster A — the degenerate case the r6 verdict
+    // flagged for the untrained id<nCells quantizer. The e3 jitter is
+    // what decides assignment against the three near-identical A seeds
+    // (±0.0001·t·s cosine differences), so each of B and C SPLITS
+    // across cells by the sign of t; but true neighbor RANKING is
+    // dominated by the larger independent e4 jitter — so a 1-probe
+    // search loses the true neighbors stranded in the other half.
+    // Lloyd iterations wash out the e3 components (means of ±0.01 → 0),
+    // letting the cluster axis decide and pulling each cluster whole
+    // into one cell.
+    def vec(base: Seq[Double], t: Int, u: Int): Seq[Double] =
+      base.zipWithIndex.map { case (v, d) =>
+        v + (if (d == 3) 0.01 * t else 0.0) + (if (d == 4) 0.02 * u else 0.0) }
+    val e = (0 until 3).map(a => Seq.tabulate(5)(d => if (d == a) 1.0 else 0.0))
+    val rows = (0 until 30).map { i =>
+      if (i < 3) (i.toLong, vec(e(0), i - 1, 0)) // seeds: s = -1, 0, +1
+      else {
+        val base = if (i < 16) e(1) else e(2)
+        (i.toLong, vec(base, if (i % 2 == 0) 1 else -1, i % 5 - 2))
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansFit(emb, "vec_id", "embedding", nCells = 3, iters = 3)
+    // trained centroids cover at least two clusters beyond the seed's
+    val dirs = cent.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(dirs.size >= 2, s"centroids still degenerate: $cent")
+
+    val q = emb.filter($"vec_id" >= 3)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3))
+    val trained = pairs(Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 3, nCells = 3, nProbe = 1, trainIters = 3))
+    val untrained = pairs(Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 3, nCells = 3, nProbe = 1, trainIters = 0))
+    val rTrained = (trained & brute).size.toDouble / brute.size
+    val rUntrained = (untrained & brute).size.toDouble / brute.size
+    assert(rTrained > rUntrained,
+      s"training must lift 1-probe recall: trained=$rTrained untrained=$rUntrained")
+    assert(rTrained >= 0.9, s"trained recall $rTrained too low")
+  }
+
   test("ivfTopK restricts candidates to probed cells (recall/cost dial)") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 8)

@@ -213,8 +213,11 @@ class PipelineOpsSpec extends SparkSpec {
     import graft.operators.Similarity
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the declared config: m=16 trained — at m=4 a trained codebook
+    // collapses each label cluster onto one code per subspace and
+    // within-cluster ADC ranking turns to noise (measured r7)
     val pq = Similarity.pqTopK(emb.filter(col("vec_id") < 3), emb,
-      "vec_id", "embedding", k = 10)
+      "vec_id", "embedding", k = 10, m = 16, trainIters = 2)
     val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb,
       "vec_id", "embedding", k = 10)
     // quantized recall@10 vs exact: a 16-centroid codebook is coarse,
@@ -229,6 +232,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
     // self never appears as its own neighbor
     assert(pq.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("kmeansFitSub training monotonically shrinks quantization error") {
+    import graft.operators.Similarity
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    val m = 16; val subDim = vecs.head.length / m
+    // total squared reconstruction error of the whole corpus under a
+    // codebook: per subvector, distance to its NEAREST centroid (the
+    // encode rule); Lloyd must not increase this on the train set
+    def mse(cb: Seq[(Int, Long, Seq[Double])]): Double = {
+      val byJ = cb.groupBy(_._1)
+      vecs.map { v =>
+        (0 until m).map { j =>
+          val sv = v.slice(j * subDim, (j + 1) * subDim)
+          byJ(j).map { case (_, _, cv) =>
+            sv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val e0 = mse(Similarity.kmeansFitSub(emb, "vec_id", "embedding", m, 16, 0))
+    val e1 = mse(Similarity.kmeansFitSub(emb, "vec_id", "embedding", m, 16, 1))
+    val e2 = mse(Similarity.kmeansFitSub(emb, "vec_id", "embedding", m, 16, 2))
+    assert(e1 < e0, s"iteration 1 must shrink error: $e1 vs $e0")
+    assert(e2 <= e1, s"iteration 2 must not increase error: $e2 vs $e1")
   }
 
   test("knnLabel plan broadcasts the small frames — corpus side never sort-merges") {
