@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.fs.{FeatureCatalog, FeatureDef, FeatureGroup, RecordLog, Serving}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Packing, Profile, Sampling, Scd2, Sessionize, Similarity}
+import graft.operators.{Dedup, Packing, Profile, Sampling, Scd2, Sessionize, Similarity, StableIds}
 
 /** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2).
   *
@@ -123,6 +123,47 @@ object SparkEntry {
     * DuckDB's native ASOF JOIN; right sides are deduped at equal
     * timestamps (max id wins) so the engines' tie rules provably
     * coincide. */
+  /** Composite-entity-key PIT ([[Serving.asOfJoin]] Seq form): real
+    * stores key on (tenant, entity)-style tuples — here
+    * (user_id, event_type) — and the plan is unchanged: ONE exchange
+    * on the key tuple, one window. Oracle = DuckDB ASOF JOIN on both
+    * key columns, right side tie-deduped to the max event_id per
+    * (keys, ts) to match rightTieBreak (the r6 ASOF determinism
+    * rule). */
+  private val pitComposite = Q("q_pit_composite",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val left = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val feats = e.select(col("user_id"), col("event_type"),
+        col("ts").as("fts"), col("event_id").as("f_event_id"),
+        round(col("value"), 6).as("f_value"))
+      Serving.asOfJoin(left, feats, Seq("user_id", "event_type"),
+          "ts", "fts", Seq("f_value", "f_event_id"), Seq("f_event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          Tables.tsStr(col("ts")).as("ts_s"),
+          col("f_value"), col("f_event_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type, ts AS fts, round(value, 6) AS f_value,
+               event_id AS f_event_id
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type, ts ORDER BY event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1)
+      SELECT l.event_id, l.user_id, l.event_type,
+             strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             r.f_value, r.f_event_id
+      FROM (SELECT event_id, user_id, event_type, ts FROM events
+            WHERE event_id % 97 = 0) l
+      ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.event_type = r.event_type
+           AND r.fts <= l.ts
+      ORDER BY l.event_id"""))
+
   private val pitAsofPerRow = Q("q_pit_asof_perrow",
     (s, d) => {
       val e = Tables.events(s, d)
@@ -543,6 +584,19 @@ object SparkEntry {
 
   private val dedupExact = Q("q_dedup_exact",
     (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id")),
+    Some("""
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  /** Two-phase exact dedup ([[Dedup.exactVerified]]): digest-keyed
+    * exchange + min==max exactness certificate, answer-equivalent to
+    * the text-group — which is exactly what the oracle computes, so
+    * the hash gate IS the equivalence proof (including that the
+    * collision-residual path contributes nothing on real data). */
+  private val dedupExact2 = Q("q_dedup_exact2",
+    (s, d) => Dedup.exactVerified(Tables.documents(s, d), "text", "doc_id")
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id")),
     Some("""
@@ -2167,6 +2221,136 @@ object SparkEntry {
         FROM events WHERE ts <= TIMESTAMP '$AsOf')
       WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Incremental latest-view maintenance under the hash gate
+    * ([[Serving.refreshLatest]]): the daily-refresh fold — latest(shard
+    * 0) folded with shards 1 and 2 — must equal a full recompute over
+    * all events, which is exactly what the oracle computes. Each fold
+    * touches |latest| + |shard| rows, never history (the
+    * q_topk_incremental pattern; the PropertySpec differential is now
+    * also a hard oracle row). */
+  private val latestIncremental = Q("q_latest_incremental",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), round(col("value"), 6).as("value"))
+      val shards = (0 until 3).map(i =>
+        e.filter(pmod(col("event_id"), lit(3)) === i))
+      val init = Serving.latestAsOf(
+        shards.head, "user_id", "ts", None, Seq(col("event_id")))
+      val folded = shards.tail.foldLeft(init)((acc, sh) =>
+        Serving.refreshLatest(acc, sh, "user_id", "ts", Seq(col("event_id"))))
+      folded.select(col("user_id"), Tables.tsStr(col("ts")).as("ts_s"),
+          col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id,
+             round(value, 6) AS value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Retention under the hash gate ([[graft.fs.RecordLog.expire]]):
+    * unlink every date partition before the cutoff, then serve latest
+    * per entity from the survivor set. The oracle recomputes from a
+    * date-filtered scan of the raw events, so an over- OR
+    * under-deletion breaks the hash — retention is proven
+    * answer-equivalent, not just file-count-asserted (r6 verdict item
+    * 5). */
+  private val storeExpire = Q("q_store_expire",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/tmp/graft_expire/${tag}_p${ProcessHandle.current().pid()}"
+      val hPath = new org.apache.hadoop.fs.Path(root)
+      hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hPath, true)
+      val catalog = new FeatureCatalog(s, root)
+      catalog.registerFeatures(Seq(
+        FeatureDef("value", "user", "float"),
+        FeatureDef("event_id", "user", "int")))
+      val group = catalog.createGroup(FeatureGroup(
+        "user_events_exp", 1, Seq("value", "event_id"), "user_id"))
+      val log = new RecordLog(s, root)
+      log.write(group, Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id")))
+      log.expire(group, java.sql.Date.valueOf("2024-01-15"))
+      Serving.latestAsOf(log.read(group), "user_id", "ts", None,
+          Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          Tables.tsStr(col("ts")).as("ts_s"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, round(value, 6) AS value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15')
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Right-to-be-forgotten under the hash gate
+    * ([[graft.fs.RecordLog.forget]]): erase three users from the log —
+    * rewriting only the date partitions they appear in — then serve
+    * latest per surviving entity. The oracle recomputes from the raw
+    * events minus those users, so an over-deletion (lost neighbor
+    * rows), under-deletion (a surviving record of a forgotten user), or
+    * a botched staged swap all break the hash. */
+  private val storeForget = Q("q_store_forget",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/tmp/graft_forget/${tag}_p${ProcessHandle.current().pid()}"
+      val hPath = new org.apache.hadoop.fs.Path(root)
+      hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hPath, true)
+      val catalog = new FeatureCatalog(s, root)
+      catalog.registerFeatures(Seq(
+        FeatureDef("value", "user", "float"),
+        FeatureDef("event_id", "user", "int")))
+      val group = catalog.createGroup(FeatureGroup(
+        "user_events_rtbf", 1, Seq("value", "event_id"), "user_id"))
+      val log = new RecordLog(s, root)
+      log.write(group, Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id")))
+      log.forget(group, Seq(7L, 11L, 42L))
+      Serving.latestAsOf(log.read(group), "user_id", "ts", None,
+          Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          Tables.tsStr(col("ts")).as("ts_s"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, round(value, 6) AS value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id NOT IN (7, 11, 42))
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Scalable global row numbering ([[StableIds.assign]]): ids are
+    * dealt per-date-bucket with broadcast offsets instead of the naive
+    * single-partition global sort, and the oracle IS that naive plan —
+    * `row_number() OVER (ORDER BY ...)` — so the hash gate proves the
+    * two-phase scheme deals the identical sequence. Sort key is
+    * (second-truncated ts, event_id): second truncation floors
+    * identically in both engines (the sub-second ns-vs-µs tail does
+    * not), and event_id makes the order total. */
+  private val stableIds = Q("q_stable_ids",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      StableIds.assign(e, to_date(col("ts")),
+          Seq(date_trunc("second", col("ts")), col("event_id")))
+        .select(col("event_id"), col("stable_id"))
+        .orderBy(col("stable_id")).limit(5000)
+    },
+    Some("""
+      SELECT event_id,
+             row_number() OVER (ORDER BY date_trunc('second', ts), event_id)
+               AS stable_id
+      FROM events ORDER BY stable_id LIMIT 5000"""))
+
   /** Full outer join with USING-key coalescing: two sparse per-customer
     * aggregates (high-value orders, recent orders) stitched so that
     * customers present on either side survive — the one join type the
@@ -3160,14 +3344,15 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
-    pitLatest, pitJoin, asofJoin, pitAsofPerRow, resampleFfill,
-    groupStats, storeRoundtrip,
+    pitLatest, pitJoin, asofJoin, pitAsofPerRow, pitComposite, resampleFfill,
+    groupStats, storeRoundtrip, latestIncremental, storeExpire, storeForget,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
-    rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg,
+    rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg, stableIds,
     bucketedJoin, outerJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
-    dedupExact, dedupFp, winnowFp, winnowDup, chunkText, chunkTokensQ,
+    dedupExact, dedupExact2, dedupFp, winnowFp, winnowDup, chunkText,
+    chunkTokensQ,
     langDist, langIdDist,
     quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
     decontaminate, outlierZ, qualityBuckets, packGreedy, packSharded, headMass,

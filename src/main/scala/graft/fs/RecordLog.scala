@@ -103,7 +103,7 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     val base = new org.apache.hadoop.fs.Path(dir(group))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(group)
-    val stage = new org.apache.hadoop.fs.Path(base, "_compact_staged")
+    val stage = new org.apache.hadoop.fs.Path(base, CompactStage)
     readMerged(group)
       .repartition(col("p_date"))
       .sortWithinPartitions(col(group.entityKey), col("ts"))
@@ -111,7 +111,53 @@ final class RecordLog(val spark: SparkSession, val root: String) {
       .parquet(stage.toString)
     val marker = new org.apache.hadoop.fs.Path(stage, "_STAGED")
     fs.create(marker, true).close()
-    swapStaged(group)
+    swapStaged(group, CompactStage)
+  }
+
+  /** Right-to-be-forgotten: remove every record whose entity key is in
+    * `ids`, rewriting ONLY the date partitions that actually contain
+    * one — on a 100 TB log a deletion batch touches the handful of
+    * dates the entity was active, and the other partitions' files are
+    * not read, rewritten, or even listed. Two phases: (1) a pruned scan
+    * (the `isin` pushes to parquet row-group stats) finds the affected
+    * dates and doomed row count; (2) survivors of just those dates are
+    * staged and swapped under the same crash-safe `_STAGED` protocol as
+    * [[compact]]. A date whose every row is forgotten stages an
+    * `_EMPTY` tombstone dir (a dynamic-partition write emits nothing
+    * for an empty partition), so the swap stays idempotent: a staged
+    * date missing after a crash means "already swapped", never "delete
+    * the destination again". Single-writer, like every log mutation.
+    * Returns the number of records removed. */
+  def forget(group: FeatureGroup, ids: Seq[Any]): Long = {
+    require(ids.nonEmpty, "forget: need at least one entity id")
+    val base = new org.apache.hadoop.fs.Path(dir(group))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverForget(group)
+    val key = col(group.entityKey)
+    val log = readMerged(group)
+    val affected = log.filter(key.isin(ids: _*))
+      .groupBy(col("p_date")).agg(count(lit(1)).as("n"))
+      .collect() // bounded by the entity's active dates, not the log
+    if (affected.isEmpty) return 0L
+    val dates = affected.map(_.getAs[java.sql.Date]("p_date"))
+    val removed = affected.map(_.getAs[Long]("n")).sum
+    val stage = new org.apache.hadoop.fs.Path(base, ForgetStage)
+    log.filter(col("p_date").isin(dates: _*))
+      .filter(!key.isin(ids: _*))
+      .repartition(col("p_date"))
+      .write.mode("overwrite").partitionBy("p_date")
+      .parquet(stage.toString)
+    dates.foreach { d =>
+      val staged = new org.apache.hadoop.fs.Path(stage, s"p_date=$d")
+      if (!fs.exists(staged)) {
+        fs.mkdirs(staged)
+        fs.create(new org.apache.hadoop.fs.Path(staged, "_EMPTY"), true).close()
+      }
+    }
+    val marker = new org.apache.hadoop.fs.Path(stage, "_STAGED")
+    fs.create(marker, true).close()
+    swapStaged(group, ForgetStage)
+    removed
   }
 
   /** Finish (or discard) a compaction a previous crashed run left
@@ -119,29 +165,43 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     * swapped in; one without is a partial write and is deleted. Called
     * automatically by [[compact]]; exposed so an operator can repair a
     * log without triggering a fresh rewrite. */
-  def recoverCompact(group: FeatureGroup): Unit = {
+  def recoverCompact(group: FeatureGroup): Unit =
+    recoverStage(group, CompactStage)
+
+  /** [[recoverCompact]]'s twin for a crashed [[forget]]. */
+  def recoverForget(group: FeatureGroup): Unit =
+    recoverStage(group, ForgetStage)
+
+  private val CompactStage = "_compact_staged"
+  private val ForgetStage = "_forget_staged"
+
+  private def recoverStage(group: FeatureGroup, stageName: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(dir(group))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stage = new org.apache.hadoop.fs.Path(base, "_compact_staged")
+    val stage = new org.apache.hadoop.fs.Path(base, stageName)
     if (!fs.exists(stage)) return
     if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_STAGED")))
-      swapStaged(group)
+      swapStaged(group, stageName)
     else fs.delete(stage, true)
   }
 
-  /** The swap step of [[compact]]: move every staged date dir into
-    * place. Idempotent — a date already swapped by a crashed prior
-    * attempt is simply absent from the stage. */
-  private def swapStaged(group: FeatureGroup): Unit = {
+  /** The swap step of [[compact]]/[[forget]]: move every staged date
+    * dir into place; an `_EMPTY`-tombstoned date deletes its
+    * destination outright. Idempotent — a date already swapped by a
+    * crashed prior attempt is simply absent from the stage. */
+  private def swapStaged(group: FeatureGroup, stageName: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(dir(group))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stage = new org.apache.hadoop.fs.Path(base, "_compact_staged")
+    val stage = new org.apache.hadoop.fs.Path(base, stageName)
     fs.listStatus(stage).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith("p_date=")) {
         val dest = new org.apache.hadoop.fs.Path(base, st.getPath.getName)
         fs.delete(dest, true)
-        require(fs.rename(st.getPath, dest),
-          s"compact: failed to move ${st.getPath} into place")
+        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_EMPTY")))
+          fs.delete(st.getPath, true)
+        else
+          require(fs.rename(st.getPath, dest),
+            s"staged swap: failed to move ${st.getPath} into place")
       }
     }
     fs.delete(stage, true)

@@ -36,12 +36,24 @@ object Serving {
       entityKey: String,
       ts: String = "ts",
       asOf: Option[Column] = None,
-      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+      tieBreak: Seq[Column] = Seq.empty): DataFrame =
+    latestAsOf(records, Seq(entityKey), ts, asOf, tieBreak)
+
+  /** Composite-key form of [[latestAsOf]]: real stores key entities on
+    * (tenant, entity)-style tuples, and a multi-column groupBy costs
+    * exactly the same one exchange (Spark hashes the tuple). */
+  def latestAsOf(
+      records: DataFrame,
+      entityKeys: Seq[String],
+      ts: String,
+      asOf: Option[Column],
+      tieBreak: Seq[Column]): DataFrame = {
+    require(entityKeys.nonEmpty, "latestAsOf: need at least one key column")
     val inWindow = asOf.fold(records)(a => records.filter(col(ts) <= a))
     val ordKey = struct(col(ts) +: tieBreak: _*)
     val payload = struct(records.columns.map(col): _*)
     inWindow
-      .groupBy(col(entityKey))
+      .groupBy(entityKeys.map(col): _*)
       .agg(max_by(payload, ordKey).as("__row"))
       .select("__row.*")
   }
@@ -104,26 +116,42 @@ object Serving {
       leftTime: String,
       rightTime: String,
       payloadCols: Seq[String],
-      rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
+      rightTieBreak: Seq[String] = Seq.empty): DataFrame =
+    asOfJoin(left, right, Seq(key), leftTime, rightTime, payloadCols,
+      rightTieBreak)
+
+  /** Composite-key form of [[asOfJoin]] — same union-tag plan, the
+    * window just partitions on the key tuple (one exchange either
+    * way). */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      rightTieBreak: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin: need at least one key column")
+    val keyCols = keys.map(col)
     val leftCols = left.columns.toSeq
-    val restCols = leftCols.filterNot(_ == key)
+    val restCols = leftCols.filterNot(keys.contains)
     val packCols = (payloadCols ++ rightTieBreak).distinct
     val rSide = right.select(
-      col(key), col(rightTime).as("__t"), lit(0).as("__isLeft"),
-      struct(packCols.map(col): _*).as("__payload"))
+      (keyCols :+ col(rightTime).as("__t") :+ lit(0).as("__isLeft") :+
+        struct(packCols.map(col): _*).as("__payload")): _*)
     val payloadType = rSide.schema("__payload").dataType
     val lSide = left.select(
-      (Seq(col(key), col(leftTime).as("__t"), lit(1).as("__isLeft"),
+      (keyCols ++ Seq(col(leftTime).as("__t"), lit(1).as("__isLeft"),
         lit(null).cast(payloadType).as("__payload")) ++ restCols.map(col)): _*)
     val unioned = lSide.unionByName(rSide.select(
-      (Seq(col(key), col("__t"), col("__isLeft"), col("__payload")) ++
+      (keyCols ++ Seq(col("__t"), col("__isLeft"), col("__payload")) ++
         restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
     // right rows (__isLeft=0) sort before left rows at equal time →
     // inclusive as-of; rightTieBreak makes the winner among equal-time
     // right rows deterministic (last() picks the max tie value).
     val order = Seq(col("__t").asc, col("__isLeft").asc) ++
       rightTieBreak.map(c => col(s"__payload.$c").asc)
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(keyCols: _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
@@ -151,7 +179,18 @@ object Serving {
       entityKey: String,
       ts: String = "ts",
       tieBreak: Seq[Column] = Seq.empty): DataFrame =
-    latestAsOf(prevLatest.unionByName(newRecords), entityKey, ts, None, tieBreak)
+    latestAsOf(prevLatest.unionByName(newRecords), Seq(entityKey), ts, None,
+      tieBreak)
+
+  /** Composite-key form of [[refreshLatest]]. */
+  def refreshLatest(
+      prevLatest: DataFrame,
+      newRecords: DataFrame,
+      entityKeys: Seq[String],
+      ts: String,
+      tieBreak: Seq[Column]): DataFrame =
+    latestAsOf(prevLatest.unionByName(newRecords), entityKeys, ts, None,
+      tieBreak)
 
   /** One feature group for [[asOfJoinMulti]]: records keyed like the
     * left frame, its event-time column, the payload columns to attach,
@@ -188,16 +227,27 @@ object Serving {
       left: DataFrame,
       groups: Seq[AsOfGroup],
       key: String,
+      leftTime: String): DataFrame =
+    asOfJoinMulti(left, groups, Seq(key), leftTime)
+
+  /** Composite-key form of [[asOfJoinMulti]] — same one-window plan
+    * over the key tuple. */
+  def asOfJoinMulti(
+      left: DataFrame,
+      groups: Seq[AsOfGroup],
+      keys: Seq[String],
       leftTime: String): DataFrame = {
     require(groups.nonEmpty, "asOfJoinMulti: need at least one group")
+    require(keys.nonEmpty, "asOfJoinMulti: need at least one key column")
+    val keyCols = keys.map(col)
     val leftCols = left.columns.toSeq
-    val restCols = leftCols.filterNot(_ == key)
-    // deduped, struct-packed right sides: one row per (key, time)
+    val restCols = leftCols.filterNot(keys.contains)
+    // deduped, struct-packed right sides: one row per (keys, time)
     val packed = groups.zipWithIndex.map { case (g, i) =>
       val payload = struct(g.payloadCols.map(col): _*)
       val ord = struct((col(g.timeCol) +: g.tieBreak.map(col)): _*)
       g.records
-        .groupBy(col(key), col(g.timeCol).as("__t"))
+        .groupBy((keyCols :+ col(g.timeCol).as("__t")): _*)
         .agg(max_by(payload, ord).as(s"__p$i"))
     }
     val payloadTypes = packed.zipWithIndex.map { case (p, i) =>
@@ -208,17 +258,17 @@ object Serving {
         (if (have(i)) col(s"__p$i")
          else lit(null).cast(payloadTypes(i))).as(s"__p$i"))
     val lSide = left.select(
-      (Seq(col(key), col(leftTime).as("__t"), lit(1).as("__isLeft")) ++
+      (keyCols ++ Seq(col(leftTime).as("__t"), lit(1).as("__isLeft")) ++
         slots(_ => false) ++ restCols.map(col)): _*)
     val unioned = packed.zipWithIndex.foldLeft(lSide) { case (acc, (p, i)) =>
       acc.unionByName(p.select(
-        (Seq(col(key), col("__t"), lit(0).as("__isLeft")) ++
+        (keyCols ++ Seq(col("__t"), lit(0).as("__isLeft")) ++
           slots(_ == i) ++
           restCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*))
     }
     // right rows sort before left at equal time → inclusive as-of; all
     // G fills ride ONE window (same spec → one exchange + one sort)
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__t").asc, col("__isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = groups.indices.foldLeft(unioned) { (acc, i) =>

@@ -24,6 +24,34 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup, two-phase scale shape: phase 1 groups on the 32-byte
+    * md5 of the RAW text — map-side partial aggregation collapses local
+    * duplicates, so the exchange carries one digest-keyed row per
+    * distinct text per partition instead of hashing multi-MB documents
+    * into the shuffle hash table. Phase 2 certifies exactness without a
+    * pairwise compare: within a digest bucket, min(text) == max(text)
+    * iff every text in the bucket is identical (equal lexicographic
+    * extremes bound everything between). Buckets that fail the
+    * certificate — an md5 collision, ~2⁻⁶⁴ but we refuse to be
+    * probabilistic — are re-grouped by full text; that residual is
+    * collision-sized, i.e. empty in practice. Answer-equivalent to
+    * [[exact]] plus the text column. */
+  def exactVerified(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.select(col(textCol), col(idCol))
+      .withColumn("__d", md5(col(textCol).cast("binary")))
+    val agg = keyed.groupBy(col("__d"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col(textCol)).as("__lo"), max(col(textCol)).as("__hi"))
+    val clean = agg.filter(col("__lo") <=> col("__hi"))
+      .select(col("__lo").as(textCol), col("keep_id"), col("n_copies"))
+    val dirty = keyed
+      .join(agg.filter(!(col("__lo") <=> col("__hi"))).select("__d"),
+        Seq("__d"), "left_semi")
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    clean.unionByName(dirty)
+  }
+
   /** Near-exact dedup on the md5 fingerprint of whitespace-normalized,
     * lowercased text — the key is 32 bytes regardless of doc size, so
     * the exchange stays small. */

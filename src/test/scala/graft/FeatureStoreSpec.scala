@@ -164,6 +164,31 @@ class FeatureStoreSpec extends SparkSpec {
     assert(latest.select("age").as[Long].head() == 26L)
   }
 
+  test("latestAsOf / refreshLatest on a composite (tenant, user) key") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val recs = Seq(
+      ("t1", 1L, t("2024-01-01 00:00:00"), 10),
+      ("t1", 1L, t("2024-01-02 00:00:00"), 20),
+      ("t2", 1L, t("2024-01-03 00:00:00"), 30),
+      ("t1", 2L, t("2024-01-01 00:00:00"), 40))
+      .toDF("tenant", "user", "ts", "v")
+    val latest = Serving.latestAsOf(recs, Seq("tenant", "user"), "ts", None, Seq.empty)
+      .select("tenant", "user", "v").as[(String, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // one row per (tenant, user) TUPLE — a single-key groupBy on either
+    // column alone would collapse t1/t2 or user 1/2 together
+    assert(latest == Map(("t1", 1L) -> 20, ("t2", 1L) -> 30, ("t1", 2L) -> 40))
+    // incremental fold respects the tuple too
+    val shard = Seq(("t2", 1L, t("2024-02-01 00:00:00"), 99))
+      .toDF("tenant", "user", "ts", "v")
+    val refreshed = Serving.refreshLatest(
+      Serving.latestAsOf(recs, Seq("tenant", "user"), "ts", None, Seq.empty),
+      shard, Seq("tenant", "user"), "ts", Seq.empty)
+      .select("tenant", "user", "v").as[(String, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(refreshed == Map(("t1", 1L) -> 20, ("t2", 1L) -> 99, ("t1", 2L) -> 40))
+  }
+
   test("PIT join: row count, input order, null-fill (:120-133)") {
     val log = new RecordLog(spark, tmpDir("records"))
     writeDemo(log, Seq(
@@ -396,6 +421,37 @@ class FeatureStoreSpec extends SparkSpec {
     assert(n == 1, s"expected exactly the January partition dropped, got $n")
     val left = log.read(g).select("user").as[Long].collect().toSet
     assert(left == Set(2L, 3L), "cutoff date itself must survive (exclusive)")
+  }
+
+  test("forget erases an entity, rewriting only the dates it touches") {
+    val c = registered()
+    val g = c.createGroup(FeatureGroup("rtbf", 1, Seq("age"), "user"))
+    val log = new RecordLog(spark, tmpDir("rtbflog"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    log.write(g, Seq(
+      (1L, t("2024-01-01 01:00:00"), 30),
+      (2L, t("2024-01-01 02:00:00"), 40),
+      (1L, t("2024-01-02 01:00:00"), 31),
+      (3L, t("2024-01-03 01:00:00"), 50)).toDF("user", "ts", "age"))
+    val base = new java.io.File(log.dir(g))
+    def partFile(date: String) = new java.io.File(base, s"p_date=$date")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val untouchedBefore = partFile("2024-01-03")
+    val removed = log.forget(g, Seq(1L))
+    assert(removed == 2L, s"user 1 had 2 records, forget reported $removed")
+    val left = log.read(g).select("user", "age").as[(Long, Int)].collect().toSet
+    assert(left == Set((2L, 40), (3L, 50)))
+    // the date user 1 never touched keeps its exact file (no rewrite)
+    val untouchedAfter = partFile("2024-01-03")
+    assert(untouchedAfter.getName == untouchedBefore.getName &&
+      untouchedAfter.lastModified() == untouchedBefore.lastModified(),
+      "untouched partition must not be rewritten")
+    // 2024-01-02 held ONLY user 1 → whole partition dir must be gone
+    assert(!new java.io.File(base, "p_date=2024-01-02").exists(),
+      "fully-forgotten date must drop its partition dir")
+    // forgetting an absent id is a no-op that touches nothing
+    assert(log.forget(g, Seq(99L)) == 0L)
+    assert(log.read(g).count() == 2)
   }
 
   test("record version column persists; defaults to 1 (feature_store.py:107,357)") {

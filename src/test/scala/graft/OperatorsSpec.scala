@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.operators.{Dedup, Guards, Sessionize, Similarity, SkewJoin}
+import graft.operators.{Dedup, Guards, Sessionize, Similarity, SkewJoin, StableIds}
 import graft.plans.SimHash64
 
 class OperatorsSpec extends SparkSpec {
@@ -22,6 +22,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length == 3)
     assert(out.head.getAs[Long]("keep_id") == 0L)
     assert(out.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("two-phase exact dedup matches the text-group, nulls included") {
+    val withNulls = docs.unionByName(Seq(
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val naive = Dedup.exact(withNulls, "text", "doc_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    val twoPhase = Dedup.exactVerified(withNulls, "text", "doc_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(twoPhase == naive,
+      s"digest-keyed dedup must equal the text-group: $twoPhase vs $naive")
+    // null texts collapse to one group in both shapes
+    assert(naive.contains((4L, 2L)))
+    // text column survives for clean buckets (min==max certificate)
+    val keptTexts = Dedup.exactVerified(docs, "text", "doc_id")
+      .select("text").as[String].collect().toSet
+    assert(keptTexts == docs.select("text").distinct()
+      .as[String].collect().toSet)
+  }
+
+  test("stable ids equal the naive global row_number, buckets skewed") {
+    import org.apache.spark.sql.expressions.Window
+    // bucket 0 holds 1 row, bucket 1 holds 7, bucket 2 holds 2 — the
+    // offsets must chain across wildly uneven buckets
+    val rows = Seq(
+      (0, 10L), (1, 3L), (1, 7L), (1, 1L), (1, 9L), (1, 2L), (1, 8L),
+      (1, 4L), (2, 6L), (2, 5L)).toDF("b", "k")
+    val got = StableIds.assign(rows, col("b"), Seq(col("k")))
+      .select("k", "stable_id").as[(Long, Long)].collect().toMap
+    val naive = rows.withColumn("stable_id",
+        row_number().over(Window.orderBy(col("b"), col("k"))).cast("long"))
+      .select("k", "stable_id").as[(Long, Long)].collect().toMap
+    assert(got == naive, s"two-phase ids drifted: $got vs $naive")
+    assert(got.values.toSeq.sorted == (1L to 10L),
+      "ids must be consecutive 1..N with no gaps or dups")
   }
 
   test("minhash LSH finds the planted near-dup pair") {
