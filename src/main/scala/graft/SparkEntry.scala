@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.fs.{FeatureCatalog, FeatureDef, FeatureGroup, RecordLog, Serving}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Packing, Profile, Sampling, Scd2, Sessionize, Similarity, StableIds}
+import graft.operators.{Bpe, Dedup, Packing, Profile, Sampling, Scd2, Sessionize, Similarity, StableIds, ZOrder}
 
 /** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2).
   *
@@ -1980,6 +1980,77 @@ object SparkEntry {
   /** Corpus tf-idf with rational (integer-exact) idf — see
     * [[graft.operators.CorpusStats]] for why not ln. Two aggs, one
     * term-clustered join, one broadcast scalar, doc-local top-k. */
+  /** Ranked keyword retrieval ([[graft.operators.Retrieval.tfidfSearch]]):
+    * top-20 docs for a 4-term query under the rational tf-idf score.
+    * The oracle recomputes document frequencies from the query-filtered
+    * (doc, term) frame exactly as the operator does — dropping
+    * non-query terms changes no query term's df, and the hash gate
+    * proves it. */
+  private val retrieveTfidf = Q("q_retrieve_tfidf",
+    (s, d) => graft.operators.Retrieval.tfidfSearch(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "hash", "window", "stream"), k = 20)
+      .select(col("doc_id"), col("score")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE length(term) > 0
+          AND term IN ('vector', 'hash', 'window', 'stream')
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id,
+             CAST(sum(tf * ((n.n_docs + 1) * 1000000 // (df + 1))) AS BIGINT)
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""))
+
+  /** Unrolled DuckDB replay of [[graft.operators.Bpe.train]]: one CTE
+    * trio per merge round (pair explode+count, argmax with the same
+    * (cnt DESC, find) tie order, vocab rewrite via the same
+    * left-to-right `replace`). Generated, not hand-written, so the
+    * iteration count stays in one place. */
+  private def bpeOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""      s$i AS (SELECT c, string_split(substr(seq, 2, length(seq) - 2), '><') AS s FROM v${i - 1}),
+      p$i AS (SELECT find, CAST(sum(c) AS BIGINT) AS cnt FROM (
+          SELECT c, unnest(list_transform(range(1, len(s)),
+            j -> '<' || s[j] || '><' || s[j + 1] || '>')) AS find FROM s$i)
+        GROUP BY find),
+      t$i AS (SELECT find, '<' || regexp_replace(find, '[<>]', '', 'g') || '>' AS repl, cnt
+        FROM p$i ORDER BY cnt DESC, find LIMIT 1),
+      v$i AS (SELECT word, c, replace(seq, t$i.find, t$i.repl) AS seq FROM v${i - 1}, t$i)"""
+    }.mkString(",\n")
+    val union = (1 to iters)
+      .map(i => s"SELECT $i AS step, find, repl, cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH words AS (
+        SELECT term AS word, count(*) AS c FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents)
+        WHERE regexp_full_match(term, '[a-z0-9]+') GROUP BY term),
+      v0 AS (SELECT word, c,
+               regexp_replace(word, '(.)', '<\\1>', 'g') AS seq FROM words),
+$rounds
+      SELECT step, find, repl, cnt FROM ($union) ORDER BY step"""
+  }
+
+  /** Distributed BPE vocabulary training ([[graft.operators.Bpe]]):
+    * 6 merge rounds over the corpus word vocabulary. The oracle
+    * replays every round exactly — pair counts, argmax tie order, and
+    * the greedy left-to-right merge — so the hash gate proves the
+    * whole training trajectory, not just the final table. */
+  private val bpeTrain = Q("q_bpe_train",
+    (s, d) => Bpe.train(
+        Bpe.wordVocab(Tables.documents(s, d), "text"), iters = 6)
+      .orderBy(col("step")),
+    Some(bpeOracle(6)))
+
   private val tfidfTerms = Q("q_tfidf_terms",
     (s, d) => graft.operators.CorpusStats.topTerms(
         Tables.documents(s, d), "doc_id", "text", k = 5)
@@ -2350,6 +2421,47 @@ object SparkEntry {
              row_number() OVER (ORDER BY date_trunc('second', ts), event_id)
                AS stable_id
       FROM events ORDER BY stable_id LIMIT 5000"""))
+
+  /** Z-order clustering key ([[ZOrder]]): the Morton interleave of
+    * (user_id, value) normalized to a 16-bit grid — the sort key a
+    * `ZORDER BY` write clusters on so parquet min/max stats prune
+    * selective predicates on EITHER dimension. Pure integer shift/mask
+    * arithmetic plus one IEEE-exact fixed-point normalization, so the
+    * oracle replays it literally; ordering by z here IS the clustered
+    * write order of [[ZOrder.cluster]]. */
+  private val zorderKey = Q("q_zorder",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      ZOrder.withKey(e, Seq("user_id", "value"))
+        .select(col("event_id"), col("z"))
+        .orderBy(col("z"), col("event_id")).limit(5000)
+    },
+    Some("""
+      WITH b AS (
+        SELECT min(CAST(user_id AS DOUBLE)) AS min0,
+               max(CAST(user_id AS DOUBLE)) AS max0,
+               min(value) AS min1, max(value) AS max1 FROM events),
+      c AS (
+        SELECT event_id,
+          CASE WHEN b.max0 = b.min0 THEN 0
+               ELSE CAST(floor((CAST(user_id AS DOUBLE) - b.min0)
+                               / (b.max0 - b.min0) * 65535) AS BIGINT)
+          END AS x,
+          CASE WHEN b.max1 = b.min1 THEN 0
+               ELSE CAST(floor((value - b.min1)
+                               / (b.max1 - b.min1) * 65535) AS BIGINT)
+          END AS y
+        FROM events, b),
+      s1 AS (SELECT event_id, ((x | (x << 8)) & 16711935) AS x,
+                    ((y | (y << 8)) & 16711935) AS y FROM c),
+      s2 AS (SELECT event_id, ((x | (x << 4)) & 252645135) AS x,
+                    ((y | (y << 4)) & 252645135) AS y FROM s1),
+      s3 AS (SELECT event_id, ((x | (x << 2)) & 858993459) AS x,
+                    ((y | (y << 2)) & 858993459) AS y FROM s2),
+      s4 AS (SELECT event_id, ((x | (x << 1)) & 1431655765) AS x,
+                    ((y | (y << 1)) & 1431655765) AS y FROM s3)
+      SELECT event_id, (x | (y << 1)) AS z FROM s4
+      ORDER BY z, event_id LIMIT 5000"""))
 
   /** Full outer join with USING-key coalescing: two sparse per-customer
     * aggregates (high-value orders, recent orders) stitched so that
@@ -3348,6 +3460,7 @@ object SparkEntry {
     groupStats, storeRoundtrip, latestIncremental, storeExpire, storeForget,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
     rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg, stableIds,
+    zorderKey,
     bucketedJoin, outerJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
@@ -3367,6 +3480,7 @@ object SparkEntry {
     ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn, ivfIndexAnn,
     qualityChecks,
     dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,
+    retrieveTfidf, bpeTrain,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

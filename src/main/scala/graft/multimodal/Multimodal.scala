@@ -324,9 +324,36 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // Resolve the AudioFileReader providers ONCE per partition and
+        // try WAV readers FIRST: AudioSystem.getAudioInputStream not
+        // only consults the JDK's provider registry behind a static
+        // synchronized lookup on every call, its registration order
+        // offers every payload to AiffFileReader, AuFileReader and
+        // SoftMidiAudioFileReader before WaveFileReader — and the MIDI
+        // reader's rejection path takes the globally-locked MIDI
+        // provider registry, serializing all 32 decode tasks on one
+        // lock (measured at the sf1 calibration: wall ≈ cpu, ~1.1×
+        // effective concurrency). Same per-partition codec lifecycle
+        // as the image/video paths.
+        import scala.jdk.CollectionConverters._
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator.asScala.toList
+          .sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1)
+        def open(payload: Array[Byte]) = readers.iterator
+          .flatMap { r =>
+            try Iterator.single(r.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload)))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                Iterator.empty
+            }
+          }
+          .nextOption()
+          .getOrElse(throw new javax.sound.sampled.UnsupportedAudioFileException(
+            "no AudioFileReader provider accepted the payload"))
         rows.map { case (id, payload) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
+          val ais = open(payload)
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
             s"media_id=$id: expected PCM16 mono, got $fmt")

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding vocabulary training — the classic
+  * word-level BPE (Sennrich et al., ACL'16): start from characters,
+  * repeatedly merge the most frequent adjacent symbol pair.
+  *
+  * Scale shape: the ONLY corpus-sized stage is the word-count
+  * aggregation (one tokenize-explode + one shuffle on the word). Every
+  * training iteration then runs over the DISTINCT-WORD vocabulary —
+  * bounded by vocabulary size, not corpus size, which is what makes
+  * BPE trainable on a 100 TB corpus: a trillion tokens still collapse
+  * to a few million distinct words, and the per-iteration pair count
+  * is an explode over that small frame. The chosen pair is never
+  * collected to the driver — each round's argmax row is broadcast back
+  * and applied declaratively, and per-round `localCheckpoint`
+  * truncates the growing lineage (the PageRank fixed-point pattern).
+  *
+  * Determinism: symbol sequences are represented as `<a><b><c>`
+  * strings. Delimiters cannot occur inside symbols (words are
+  * restricted to `[a-z0-9]+`), so a plain left-to-right
+  * all-occurrences `replace` of `<a><b>` with `<ab>` is exactly the
+  * greedy merge order reference BPE uses, with identical semantics in
+  * any engine's `replace`. Argmax ties break on the lexicographically
+  * smallest pair string.
+  */
+object Bpe {
+
+  /** Corpus → (word, c, seq): whitespace-tokenized lowercase words
+    * restricted to `[a-z0-9]+`, their corpus counts, and the initial
+    * per-character symbol sequence (`"ab1"` → `"<a><b><1>"`). */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(graft.functions.TextFns.tokens(lower(col(textCol))))
+        .as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("seq", regexp_replace(col("word"), "(.)", "<$1>"))
+
+  /** Adjacent symbol pairs of a `<..><..>` sequence, each formatted as
+    * the search string its merge would use (`"<a><b>"`). */
+  private def pairsOf(seq: Column): Column = {
+    val syms = split(expr("substring(seq, 2, length(seq) - 2)"), "><")
+    when(size(syms) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        i => concat(lit("<"), element_at(syms, i),
+          lit("><"), element_at(syms, i + 1), lit(">"))))
+  }
+
+  /** Train `iters` merges over a [[wordVocab]] frame. Returns one row
+    * per merge: (step, find, repl, cnt) — e.g. step 1 merging `t`+`h`
+    * is (`1`, `"<t><h>"`, `"<th>"`, total weighted count). */
+  def train(vocab0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "train: need at least one merge step")
+    var vocab = vocab0
+    val merges = (1 to iters).map { step =>
+      val counts = vocab
+        .select(col("c"), explode(pairsOf(col("seq"))).as("find"))
+        .groupBy(col("find")).agg(sum(col("c")).as("cnt"))
+      val top1 = counts.orderBy(col("cnt").desc, col("find")).limit(1)
+        .withColumn("repl",
+          concat(lit("<"), translate(col("find"), "<>", ""), lit(">")))
+        .localCheckpoint(false)
+      vocab = vocab
+        .crossJoin(broadcast(top1.select(col("find"), col("repl"))))
+        .withColumn("seq", expr("replace(seq, find, repl)"))
+        .drop("find", "repl")
+        .localCheckpoint(false)
+      top1.select(lit(step).as("step"), col("find"), col("repl"), col("cnt"))
+    }
+    merges.reduce(_.unionByName(_))
+  }
+
+  /** Segment the vocab with the trained merges: the final (word, seq)
+    * after all `iters` rounds — what a tokenizer would persist. */
+  def segmented(vocab0: DataFrame, merges: DataFrame): DataFrame = {
+    val rules = merges.orderBy(col("step"))
+      .select(col("find"), col("repl")).collect()
+    rules.foldLeft(vocab0) { (v, r) =>
+      v.withColumn("seq",
+        expr(s"replace(seq, '${r.getString(0)}', '${r.getString(1)}')"))
+    }
+  }
+}

@@ -311,9 +311,19 @@ object Dedup {
       Seq("blk"), maxBucket, observeAs = Some("edit_block_guard"))
       .localCheckpoint(false)
     val l = d.as("l"); val r = d.as("r")
+    // Per-pair cost control, answer-equivalent (sf1 calibration, r7):
+    // (1) the length-difference lower bound prunes pairs that cannot
+    // pass maxDist without touching the DP at all; (2) identical
+    // prefixes (the common case in a near-dup-heavy corpus — every
+    // true duplicate pair) short-circuit to 0 via an O(n) equality
+    // check; (3) the remaining pairs run the BANDED Levenshtein
+    // (threshold arg → O(maxDist·cmpLen) per pair, -1 above the band)
+    // instead of the full O(cmpLen²) DP.
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .withColumn("dist", levenshtein(col("l.t"), col("r.t")))
-      .filter(col("dist") <= maxDist)
+      .filter(abs(length(col("l.t")) - length(col("r.t"))) <= maxDist)
+      .withColumn("dist", when(col("l.t") === col("r.t"), lit(0))
+        .otherwise(levenshtein(col("l.t"), col("r.t"), maxDist)))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))
   }
 

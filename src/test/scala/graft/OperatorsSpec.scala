@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.operators.{Dedup, Guards, Sessionize, Similarity, SkewJoin, StableIds}
+import graft.operators.{Bpe, Dedup, Guards, Sessionize, Similarity, SkewJoin, StableIds, ZOrder}
 import graft.plans.SimHash64
 
 class OperatorsSpec extends SparkSpec {
@@ -58,6 +58,72 @@ class OperatorsSpec extends SparkSpec {
     assert(got == naive, s"two-phase ids drifted: $got vs $naive")
     assert(got.values.toSeq.sorted == (1L to 10L),
       "ids must be consecutive 1..N with no gaps or dups")
+  }
+
+  test("BPE training merges the hand-computed pairs in order") {
+    // corpus: "ab"×3, "abc"×1 → round 1 merges <a><b> (count 4),
+    // round 2 merges <ab><c> (count 1)
+    val corpus = Seq("ab ab ab", "abc").toDF("text")
+    val vocab = Bpe.wordVocab(corpus, "text")
+    assert(vocab.select("word", "c", "seq").as[(String, Long, String)]
+      .collect().toSet ==
+      Set(("ab", 3L, "<a><b>"), ("abc", 1L, "<a><b><c>")))
+    val merges = Bpe.train(vocab, iters = 2)
+    assert(merges.orderBy("step")
+      .select("step", "find", "repl", "cnt")
+      .as[(Int, String, String, Long)].collect().toSeq == Seq(
+        (1, "<a><b>", "<ab>", 4L),
+        (2, "<ab><c>", "<abc>", 1L)))
+    // applying the trained merges segments the vocab fully here
+    val seg = Bpe.segmented(vocab, merges)
+      .select("word", "seq").as[(String, String)].collect().toMap
+    assert(seg == Map("ab" -> "<ab>", "abc" -> "<abc>"))
+    // non-[a-z0-9] tokens never enter the vocab (delimiter safety)
+    val dirty = Bpe.wordVocab(Seq("a<b> c,d e").toDF("text"), "text")
+    assert(dirty.select("word").as[String].collect().toSet == Set("e"))
+  }
+
+  test("BPE greedy merge is left-to-right on overlapping pairs") {
+    // "aaa": pair <a><a> counts twice but merges once greedily → <aa><a>
+    val vocab = Bpe.wordVocab(Seq("aaa").toDF("text"), "text")
+    val merges = Bpe.train(vocab, iters = 1)
+    assert(merges.select("find", "cnt").as[(String, Long)].head() ==
+      (("<a><a>", 2L)))
+    val seg = Bpe.segmented(vocab, merges)
+      .select("seq").as[String].head()
+    assert(seg == "<aa><a>")
+  }
+
+  test("morton key matches a per-bit reference interleave, 2-d and 3-d") {
+    // reference: place bit `bit` of dimension `d` at position bit*D + d
+    def ref(cells: Seq[Long]): Long = {
+      var z = 0L
+      for (bit <- 0 until 16; d <- cells.indices)
+        if (((cells(d) >> bit) & 1L) == 1L) z |= 1L << (bit * cells.length + d)
+      z
+    }
+    val v2 = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (40000L, 12345L))
+    val got2 = v2.toDF("a", "b")
+      .select(ZOrder.mortonKey(Seq(col("a"), col("b"))).as("z"))
+      .as[Long].collect().toSeq
+    assert(got2 == v2.map(v => ref(Seq(v._1, v._2))))
+    val v3 = Seq((1L, 1L, 1L), (2L, 3L, 1L), (65535L, 0L, 65535L),
+      (12345L, 54321L, 999L))
+    val got3 = v3.toDF("a", "b", "c")
+      .select(ZOrder.mortonKey(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .as[Long].collect().toSeq
+    assert(got3 == v3.map(v => ref(Seq(v._1, v._2, v._3))))
+  }
+
+  test("z-order cell normalization hits the grid endpoints") {
+    val df = Seq(10.0, 20.0, 30.0).toDF("v")
+      .withColumn("c", ZOrder.cell(col("v"), lit(10.0), lit(30.0)))
+    assert(df.select("c").as[Long].collect().toSeq == Seq(0L, 32767L, 65535L))
+    // a constant dimension degrades to cell 0, not a division by zero
+    val const = Seq(5.0, 5.0).toDF("v")
+      .withColumn("c", ZOrder.cell(col("v"), lit(5.0), lit(5.0)))
+    assert(const.select("c").as[Long].collect().toSeq == Seq(0L, 0L))
   }
 
   test("minhash LSH finds the planted near-dup pair") {
