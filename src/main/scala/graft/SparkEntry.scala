@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.fs.{FeatureCatalog, FeatureDef, FeatureGroup, RecordLog, Serving}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Bpe, Dedup, Packing, Profile, Sampling, Scd2, Sessionize, Similarity, StableIds, ZOrder}
+import graft.operators.{Bpe, Dedup, IncrementalAgg, Packing, Profile, Sampling, Scd2, Sessionize, Similarity, StableIds, ZOrder}
 
 /** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2).
   *
@@ -2014,7 +2014,7 @@ object SparkEntry {
     * (cnt DESC, find) tie order, vocab rewrite via the same
     * left-to-right `replace`). Generated, not hand-written, so the
     * iteration count stays in one place. */
-  private def bpeOracle(iters: Int): String = {
+  private def bpeCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""      s$i AS (SELECT c, string_split(substr(seq, 2, length(seq) - 2), '><') AS s FROM v${i - 1}),
       p$i AS (SELECT find, CAST(sum(c) AS BIGINT) AS cnt FROM (
@@ -2025,18 +2025,22 @@ object SparkEntry {
         FROM p$i ORDER BY cnt DESC, find LIMIT 1),
       v$i AS (SELECT word, c, replace(seq, t$i.find, t$i.repl) AS seq FROM v${i - 1}, t$i)"""
     }.mkString(",\n")
-    val union = (1 to iters)
-      .map(i => s"SELECT $i AS step, find, repl, cnt FROM t$i")
-      .mkString(" UNION ALL ")
-    s"""
-      WITH words AS (
+    s"""WITH words AS (
         SELECT term AS word, count(*) AS c FROM (
           SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
           FROM documents)
         WHERE regexp_full_match(term, '[a-z0-9]+') GROUP BY term),
       v0 AS (SELECT word, c,
                regexp_replace(word, '(.)', '<\\1>', 'g') AS seq FROM words),
-$rounds
+$rounds"""
+  }
+
+  private def bpeOracle(iters: Int): String = {
+    val union = (1 to iters)
+      .map(i => s"SELECT $i AS step, find, repl, cnt FROM t$i")
+      .mkString(" UNION ALL ")
+    s"""
+      ${bpeCtes(iters)}
       SELECT step, find, repl, cnt FROM ($union) ORDER BY step"""
   }
 
@@ -2050,6 +2054,47 @@ $rounds
         Bpe.wordVocab(Tables.documents(s, d), "text"), iters = 6)
       .orderBy(col("step")),
     Some(bpeOracle(6)))
+
+  /** BPE applied back to the corpus ([[Bpe.segmented]]): the trained
+    * merges segment the word vocabulary into a broadcast lookup table,
+    * and per-doc token counts come from one explode + broadcast join —
+    * how a trained tokenizer actually meters a corpus (token budgets,
+    * context packing, billing). Training runs on the FULL corpus; the
+    * per-doc output is limited for the dump. */
+  private val bpeTokens = Q("q_bpe_tokens",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = Bpe.wordVocab(docs, "text")
+      val merges = Bpe.train(vocab, iters = 6)
+      val seg = Bpe.segmented(vocab, merges)
+        .withColumn("n_sym",
+          size(split(expr("substring(seq, 2, length(seq) - 2)"), "><")))
+        .select(col("word"), col("n_sym"))
+      docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          explode(TextFns.tokens(lower(col("text")))).as("word"))
+        .filter(col("word").rlike("^[a-z0-9]+$"))
+        .join(broadcast(seg), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      ${bpeCtes(6)},
+      seg AS (SELECT word,
+                len(string_split(substr(seq, 2, length(seq) - 2), '><')) AS n_sym
+              FROM v6),
+      toksd AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents WHERE doc_id < 300)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+      FROM (SELECT doc_id, word FROM toksd
+            WHERE regexp_full_match(word, '[a-z0-9]+')) t
+      JOIN seg USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   private val tfidfTerms = Q("q_tfidf_terms",
     (s, d) => graft.operators.CorpusStats.topTerms(
@@ -2462,6 +2507,102 @@ $rounds
                     ((y | (y << 1)) & 1431655765) AS y FROM s3)
       SELECT event_id, (x | (y << 1)) AS z FROM s4
       ORDER BY z, event_id LIMIT 5000"""))
+
+  /** Deterministic k-fold assignment ([[Sampling.foldId]]): every event
+    * lands in one of 5 folds by its USER's hash — leak-proof cross
+    * validation (no user straddles folds), map-side CASE chain over
+    * the same 48-bit hex cuts the samplers use. */
+  private val kfold = Q("q_kfold",
+    (s, d) => Tables.events(s, d)
+      .withColumn("fold", Sampling.foldId(col("user_id"), 5, seed = "cv"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("fold")),
+    Some {
+      val cases = Sampling.foldCuts(5).zipWithIndex
+        .map { case (cut, i) =>
+          s"WHEN substr(md5('cv' || CAST(user_id AS VARCHAR)), 1, 12) < '$cut' THEN $i" }
+        .mkString(" ")
+      s"""
+      WITH f AS (SELECT user_id, CASE $cases ELSE 4 END AS fold FROM events)
+      SELECT fold, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM f GROUP BY fold ORDER BY fold"""
+    })
+
+  /** Incrementally-maintained aggregate table ([[IncrementalAgg]]): a
+    * per-type stats table folds in 3 shards one at a time — each merge
+    * touches |stats| + |shard| keyed rows, never history — and must
+    * equal the full recompute the oracle runs, exactly: decimal sums
+    * make the fold associative down to the bit. */
+  private val countsIncremental = Q("q_counts_incremental",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val parts = (0 until 3).map(i =>
+        IncrementalAgg.partial(
+          e.filter(pmod(col("event_id"), lit(3)) === i),
+          Seq("event_type"), "value"))
+      parts.tail.foldLeft(parts.head)(
+          (acc, p) => IncrementalAgg.merge(acc, p, Seq("event_type")))
+        .select(col("event_type"), col("n"),
+          col("s").cast(DoubleType).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Canonical representative per duplicate cluster: the curation step
+    * after [[graft.operators.ConnectedComponents]] — each cluster
+    * keeps its best doc (max n_chars, ties to the smallest id) via one
+    * `max_by` aggregate over the labeled frame; same synthetic edge
+    * set as q_dedup_cc, closure replayed by the oracle's recursive
+    * CTE. */
+  private val dedupCanonical = Q("q_dedup_canonical",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ids = docs.select(col("doc_id"))
+      val edges = ids.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") + 1 +
+            ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 5)
+            .as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      graft.operators.ConnectedComponents
+        .connectedComponents(edges, "a", "b")
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .groupBy(col("component"))
+        .agg(max_by(col("id"), struct(col("n_chars"), -col("id")))
+            .as("rep_id"),
+          count(lit(1)).as("cluster_size"))
+        .orderBy(col("component"))
+    },
+    Some("""
+      WITH RECURSIVE
+      e0 AS (
+        SELECT doc_id AS a,
+               doc_id + 1 + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5) AS b
+        FROM documents WHERE doc_id < 300),
+      e AS (SELECT a, b FROM e0 WHERE b IN (SELECT doc_id FROM documents)),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      v AS (SELECT DISTINCT a AS id FROM sym),
+      walk(id, reach) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT w.id, s.b FROM walk w JOIN sym s ON w.reach = s.a),
+      comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+      j AS (SELECT c.component, c.id, d.n_chars
+            FROM comp c JOIN documents d ON c.id = d.doc_id),
+      r AS (SELECT component, id,
+              row_number() OVER (PARTITION BY component
+                ORDER BY n_chars DESC, id ASC) AS rn,
+              count(*) OVER (PARTITION BY component) AS cluster_size
+            FROM j)
+      SELECT component, id AS rep_id, cluster_size FROM r
+      WHERE rn = 1 ORDER BY component"""))
 
   /** Full outer join with USING-key coalescing: two sparse per-customer
     * aggregates (high-value orders, recent orders) stitched so that
@@ -2959,6 +3100,24 @@ $rounds
     * Lloyd iterations), asymmetric-distance scoring through a
     * broadcast LUT. Completes the quantization ladder next to exact
     * (q_cosine_topk), SQ8, LSH, and IVF. */
+  /** Build-once/probe-many PQ ([[Similarity.buildPqIndex]] /
+    * [[Similarity.pqTopKFromIndex]]): codebooks + m-byte codes persist,
+    * the probe reloads them and must give the identical answer —
+    * q_pq_ann's oracle verbatim, so any loss in the store/reload
+    * (codebook order, code dtype, LUT assembly) breaks the hash. */
+  private lazy val pqIndex = Q("q_pq_index",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = s"/tmp/graft_pq_index/${tag}_p${ProcessHandle.current().pid()}"
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", dir,
+        m = 16, trainIters = 2)
+      Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5), dir,
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    pqAnn.oracle)
+
   private val pqAnn = Q("q_pq_ann",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3471,7 +3630,8 @@ $rounds
     decontaminate, outlierZ, qualityBuckets, packGreedy, packSharded, headMass,
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,
-    pqAnn, interleave, oovRate, rrfFusion, incrementalDedup, histogram,
+    pqAnn, pqIndex, interleave, oovRate, rrfFusion, incrementalDedup,
+    histogram,
     fitTransform, pageRank, multiprobeAnn, histogramDepth, q5Revenue,
     cosineTopK, topkIncremental, sq8TopK, embedCentroid, pipelinePrep,
     sessionize,
@@ -3479,8 +3639,9 @@ $rounds
     embedNearDup, editNearDup, weightedSample,
     ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn, ivfIndexAnn,
     qualityChecks,
-    dedupCc, hashSample, stratifiedSample, rangeJoin, tfidfTerms,
-    retrieveTfidf, bpeTrain,
+    dedupCc, dedupCanonical, hashSample, stratifiedSample, rangeJoin,
+    tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, kfold,
+    countsIncremental,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

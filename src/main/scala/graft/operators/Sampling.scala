@@ -85,6 +85,29 @@ object Sampling {
         substring(md5(concat(lit(seed), key.cast("string"))), 1, 12) < cutHex)
   }
 
+  /** Deterministic k-fold assignment: fold(row) ∈ [0, k) by which of k
+    * equal slices of the 48-bit hash space md5(seed ‖ key) lands in —
+    * the cross-validation / sharded-eval shape. Same CASE-over-hex-cuts
+    * construction as [[sampleStratified]], so the whole assignment is a
+    * map-side predicate chain that replays in SQL, and — like every
+    * hash-keyed op here — membership is a pure function of the data:
+    * key on the USER and no entity straddles a fold boundary. Folds
+    * compose with [[hashKeep]]'s thresholds (same space, same order):
+    * fold 0 at k=5 is exactly the 20 % sample hashKeep(0.2) admits. */
+  def foldId(key: Column, k: Int, seed: String = ""): Column = {
+    require(k >= 2 && k <= 4096, s"foldId: need 2 <= k <= 4096, got $k")
+    val h = substring(md5(concat(lit(seed), key.cast("string"))), 1, 12)
+    val cuts = (1 until k).map(i => thresholdHexClamped(i.toDouble / k))
+    cuts.zipWithIndex.reverse.foldLeft(lit(k - 1): Column) {
+      case (acc, (cut, i)) => when(h < lit(cut), lit(i)).otherwise(acc)
+    }
+  }
+
+  /** The fold-boundary hex cuts, exposed so oracles/SQL render the
+    * exact same CASE chain. */
+  private[graft] def foldCuts(k: Int): Seq[String] =
+    (1 until k).map(i => thresholdHexClamped(i.toDouble / k))
+
   /** Per-row-probability Bernoulli sample over [[hashKeepWeighted]]. */
   def sampleWeighted(df: DataFrame, key: Column, fraction: Column,
       seed: String = ""): DataFrame =

@@ -447,22 +447,28 @@ object Similarity {
       s"pqTopK: query side × ${m * nCents} LUT rows exceeds " +
         s"$MaxBroadcastQueries broadcast rows; shard the query set")
     val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters)
+    pqScore(queries, pqEncode(corpus, cb, m, idCol, vecCol), cb,
+      idCol, vecCol, k, m)
+  }
+
+  /** The PQ encode pass: per subspace, argmin_c round6(|c|² − 2⟨x,c⟩),
+    * ties → lowest cid; the subvector is hoisted to its own column so
+    * the slice runs once per row, not once per centroid inside the
+    * fold. A NaN vector would make every distance NaN, the `d < best`
+    * never fire, and the sentinel -1 silently drop the row from the
+    * LUT join downstream — so a failed encode raises instead of
+    * vanishing (ADVICE r5). Output is the long-form m-byte PQ code:
+    * (neighbor_id, j, cid). */
+  private def pqEncode(corpus: DataFrame,
+      cb: Seq[(Int, Long, Seq[Double])], m: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val subDim = cb.head._3.length
-    // codebook in two shapes: a DataFrame for the LUT cross, and
-    // per-subspace literal arrays (via cbArrFor) for the encode fold
-    val centDf = broadcast(cb.toDF("j", "cid", "cv"))
     def sub(v: Column, j: Int): Column =
       slice(v.cast("array<double>"), j * subDim + 1, subDim)
-    // encode: per subspace, argmin_c round6(|c|² − 2⟨x,c⟩), ties → lowest
-    // cid; the subvector is hoisted to its own column so the slice runs
-    // once per row, not once per centroid inside the fold. A NaN vector
-    // would make every distance NaN, the `d < best` never fire, and the
-    // sentinel -1 silently drop the row from the LUT join downstream —
-    // so a failed encode raises instead of vanishing (ADVICE r5).
     def codeOf(subV: Column, j: Int): Column = {
       val cid = subCodeOf(cbArrFor(cb, j), subV)
       when(cid >= 0, cid).otherwise(raise_error(concat(
-        lit(s"pqTopK: subspace $j encode failed (NaN/corrupt vector): "),
+        lit(s"pqEncode: subspace $j encode failed (NaN/corrupt vector): "),
         col("neighbor_id").cast("string"))))
     }
     val enc0 = corpus.select(col(idCol).as("neighbor_id"),
@@ -471,11 +477,27 @@ object Similarity {
       df.withColumn(s"sub$j", sub(col("v"), j))
         .withColumn(s"code$j", codeOf(col(s"sub$j"), j))
     }
-    // long form (neighbor, subspace, code) — the m-byte PQ code itself
-    val codes = encoded.select(col("neighbor_id"),
+    encoded.select(col("neighbor_id"),
       posexplode(array((0 until m).map(j => col(s"code$j")): _*))
         .as(Seq("j", "cid")))
-    // LUT: ⟨q_j, centroid⟩ for every (query, subspace, centroid)
+  }
+
+  /** The PQ probe: ADC scoring of stored codes against a per-query LUT
+    * (⟨q_j, centroid⟩ for every (query, subspace, centroid) — broadcast,
+    * with the same enforced query-side bound as [[pqTopK]]); the ADC
+    * sum is assembled in fixed subspace order so no agg-order drift. */
+  private def pqScore(queries: DataFrame, codes: DataFrame,
+      cb: Seq[(Int, Long, Seq[Double])],
+      idCol: String, vecCol: String, k: Int, m: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val nCents = cb.map(_._2).distinct.length
+    val nq = queries.limit(MaxBroadcastQueries / (m * nCents) + 1).count()
+    require(nq <= MaxBroadcastQueries / (m * nCents),
+      s"pqScore: query side × ${m * nCents} LUT rows exceeds " +
+        s"$MaxBroadcastQueries broadcast rows; shard the query set")
+    val subDim = cb.head._3.length
+    val centDf = broadcast(cb.toDF("j", "cid", "cv"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val lut = q.crossJoin(centDf)
@@ -491,6 +513,45 @@ object Similarity {
           max(when(col("j") === j, col("ip"))).as(s"p$j")): _*)
     val adc = (1 until m).foldLeft(col("p0")) { (acc, j) => acc + col(s"p$j") }
     topKPerQuery(parts.withColumn("sim", round(adc, 6)), k)
+  }
+
+  /** Build-once/probe-many PQ index — the PQ twin of [[buildIvfIndex]]:
+    * train the codebooks, encode the corpus ONCE, persist both. Probes
+    * then pay one broadcast LUT + one join over the stored m-byte
+    * codes and never touch the float vectors again — at scale the
+    * codes table is ~m small ints per vector (a 32× storage cut at
+    * m=4 over 128-d floats) and re-encoding on every query batch is
+    * the cost this lifecycle split removes. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, m: Int = 4, nCents: Int = 16,
+      trainIters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters)
+    cb.toDF("j", "cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    pqEncode(corpus, cb, m, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** Probe a [[buildPqIndex]] index: codebooks reload as the (bounded,
+    * m·nCents-row) driver-side seed the LUT needs; codes stream from
+    * storage. Same answer as [[pqTopK]] with the same parameters — the
+    * roundtrip must be invisible, which is exactly what the declared
+    * query's shared oracle checks. */
+  def pqTopKFromIndex(queries: DataFrame, indexDir: String,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+      .select(col("j").cast("int"), col("cid").cast("long"),
+        col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    require(cb.nonEmpty, s"pqTopKFromIndex: no codebooks at $indexDir")
+    val m = cb.map(_._1).distinct.length
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    pqScore(queries, codes, cb, idCol, vecCol, k, m)
   }
 
   /** KNN label vote: classify each query vector by majority label of

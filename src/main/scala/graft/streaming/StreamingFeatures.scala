@@ -204,6 +204,32 @@ object StreamingFeatures {
     * converges to the same table. The overwrite never reads its own
     * output — the folded frame is localCheckpoint-ed first, same as
     * [[graft.fs.RecordLog.compact]]. */
+  /** At-ingest streaming dedup on the content fingerprint: each
+    * distinct document passes once; re-deliveries and content
+    * duplicates arriving within the watermark horizon are dropped —
+    * the dedup gate a streaming corpus feed needs in FRONT of the
+    * record log, where the batch `Dedup.incrementalNew` handles the
+    * shard-vs-corpus case.
+    *
+    * State discipline: `dropDuplicatesWithinWatermark` keeps one state
+    * row per distinct fingerprint seen inside the horizon and EVICTS
+    * it when the watermark passes — a plain `dropDuplicates` on an
+    * unbounded stream grows state with every distinct doc forever,
+    * which is the streaming scale-killer. Content duplicates farther
+    * apart than `lateness` are by-design out of scope here (that is
+    * the batch dedup's job over the log). The fingerprint (32-byte
+    * md5, null for null text) is computed BEFORE the watermark tag so
+    * the projection can't drop it. */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFns.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   def maintainLatest(features: DataFrame, outDir: String,
       checkpoint: String, entityKey: String,
       tsCol: String = "ts", tieBreak: Seq[String] = Seq.empty)

@@ -239,6 +239,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("persisted PQ index probes equal the direct pqTopK answer") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmpDir("pqindex")
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", dir,
+      m = 4, nCents = 8, trainIters = 1)
+    val direct = Similarity.pqTopK(
+        emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", k = 5,
+        m = 4, nCents = 8, trainIters = 1)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaIndex = Similarity.pqTopKFromIndex(
+        emb.filter($"vec_id" < 3), dir, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaIndex == direct, "index roundtrip must be invisible")
+  }
+
   test("bounded top-k agrees with the window row_number reference form") {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sf)

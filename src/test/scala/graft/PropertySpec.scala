@@ -127,6 +127,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IncrementalAgg fold ≡ one-shot partial over any shard split") {
+    import graft.operators.IncrementalAgg
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map { i =>
+      (s"t${rnd.nextInt(6)}", math.round(rnd.nextDouble() * 1e6) / 1e4, i) }
+      .toDF("k", "v", "i")
+    val whole = IncrementalAgg.partial(rows, Seq("k"), "v")
+    for (nShards <- Seq(2, 3, 7)) {
+      val parts = (0 until nShards).map(s =>
+        IncrementalAgg.partial(rows.filter(pmod(col("i"), lit(nShards)) === s),
+          Seq("k"), "v"))
+      val folded = parts.tail.foldLeft(parts.head)(
+        (acc, p) => IncrementalAgg.merge(acc, p, Seq("k")))
+      // exact equality — decimal sums make the fold associative; a
+      // double-summed version would drift in the last ulp here
+      assert(folded.select("k", "n", "s").as[(String, Long, BigDecimal)]
+        .collect().toSet ==
+        whole.select("k", "n", "s").as[(String, Long, BigDecimal)]
+          .collect().toSet, s"drift at nShards=$nShards")
+    }
+  }
+
   test("asOfJoinMulti ≡ chained asOfJoin on random two-group events") {
     for (trial <- 1 to 2) {
       val leftRows = Seq.tabulate(120)(i =>

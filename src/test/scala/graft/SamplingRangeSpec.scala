@@ -82,6 +82,29 @@ class SamplingRangeSpec extends SparkSpec {
     assert(strat == flat)
   }
 
+  test("k-fold: partition of the key space, leak-proof, nests with hashKeep") {
+    val keys = (0L until 4000L).toDF("k")
+    val folded = keys.withColumn("fold", Sampling.foldId(col("k"), 5, "s"))
+    val byFold = folded.groupBy("fold").count()
+      .as[(Int, Long)].collect().toMap
+    // every fold populated, all rows assigned exactly once (fold is a
+    // single deterministic CASE — one fold per row by construction)
+    assert(byFold.keySet == Set(0, 1, 2, 3, 4))
+    assert(byFold.values.sum == 4000L)
+    // roughly balanced (hash uniformity; generous 4-sigma-ish bound)
+    assert(byFold.values.forall(n => n > 600 && n < 1000), s"skewed: $byFold")
+    // same key → same fold on a re-derived frame (pure function of data)
+    val again = keys.withColumn("fold", Sampling.foldId(col("k"), 5, "s"))
+      .as[(Long, Int)].collect().toMap
+    assert(folded.as[(Long, Int)].collect().toMap == again)
+    // fold 0 at k=5 IS the 20% hashKeep sample (same cuts, same space)
+    val viaKeep = keys.where(Sampling.hashKeep(col("k"), 0.2, "s"))
+      .as[Long].collect().toSet
+    val fold0 = folded.filter(col("fold") === 0).select("k")
+      .as[Long].collect().toSet
+    assert(fold0 == viaKeep)
+  }
+
   test("range join: differential vs naive range predicate") {
     // Pseudo-random points and intervals across 3 users; intervals span
     // 0-3 bins at binWidth=10 so multi-bin explode paths are exercised.

@@ -11,6 +11,7 @@ class StreamingSpec extends SparkSpec {
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class En(user_id: Long, e_ts: java.sql.Timestamp, label: String)
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("windowed user features emit closed windows in append mode") {
@@ -34,6 +35,30 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSet
       assert(rows.contains((1L, 2L, 30.0)))
       assert(rows.contains((2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup passes each content fingerprint once, replays included") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = StreamingFeatures.dedupStream(mem.toDF(), lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), "alpha beta"),
+        Doc(2L, ts("2024-01-01 10:01:00"), "gamma delta"),
+        Doc(3L, ts("2024-01-01 10:02:00"), "alpha  beta")) // fp-dup of 1
+      q.processAllAvailable()
+      mem.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), "alpha beta"), // re-delivery
+        Doc(4L, ts("2024-01-01 10:30:00"), "epsilon"))     // genuinely new
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      // exactly one doc per distinct fingerprint; 3 (normalized dup of
+      // 1) and the replayed 1 are dropped
+      assert(ids == Set(1L, 2L, 4L), s"got $ids")
     } finally q.stop()
   }
 
