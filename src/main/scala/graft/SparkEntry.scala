@@ -2023,7 +2023,10 @@ object SparkEntry {
         GROUP BY find),
       t$i AS (SELECT find, '<' || regexp_replace(find, '[<>]', '', 'g') || '>' AS repl, cnt
         FROM p$i ORDER BY cnt DESC, find LIMIT 1),
-      v$i AS (SELECT word, c, replace(seq, t$i.find, t$i.repl) AS seq FROM v${i - 1}, t$i)"""
+      v$i AS (SELECT word, c,
+        CASE WHEN t.find IS NOT NULL THEN replace(seq, t.find, t.repl)
+             ELSE seq END AS seq
+        FROM v${i - 1} LEFT JOIN t$i t ON TRUE)"""
     }.mkString(",\n")
     s"""WITH words AS (
         SELECT term AS word, count(*) AS c FROM (

@@ -31,6 +31,12 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     * version (feature_store.py:107,357), defaulting to 1 when the
     * batch doesn't declare one. */
   def write(group: FeatureGroup, snapshots: DataFrame): Unit = {
+    // finish any crashed staged swap BEFORE appending (review r7): a
+    // marked stage recovered only at the NEXT compact/forget would
+    // swap its stale pre-crash copy over every record appended in
+    // between — recovery must run ahead of any new write so appends
+    // always land on a fully-swapped log
+    recoverCompact(group); recoverForget(group)
     require(snapshots.columns.contains(group.entityKey),
       s"snapshot batch must carry entity key '${group.entityKey}'")
     require(snapshots.columns.contains("ts"),
@@ -65,8 +71,16 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     * heterogeneous file schemas, and this read can silently miss the
     * late-added column depending on which footer wins. Use
     * [[readMerged]] for that case. */
-  def read(group: FeatureGroup): DataFrame =
+  def read(group: FeatureGroup): DataFrame = {
+    // a crash mid-swap leaves some dates deleted and their replacement
+    // still in the stage — reading that state silently serves partial
+    // data, so reads finish a marked recovery too (two fs.exists
+    // metadata checks on the no-crash path; same single-writer
+    // contract — a concurrent reader during a crashed writer's window
+    // was never safe)
+    recoverCompact(group); recoverForget(group)
     spark.read.parquet(dir(group))
+  }
 
   /** Schema-evolution-safe read: unions every file's parquet schema
     * (`mergeSchema`), so a feature column added by a later append
@@ -74,8 +88,10 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     * it existed — the standard append-only-log evolution contract.
     * Costs a distributed footer-merge pass over the log's files; take
     * [[read]] when the schema is known stable. */
-  def readMerged(group: FeatureGroup): DataFrame =
+  def readMerged(group: FeatureGroup): DataFrame = {
+    recoverCompact(group); recoverForget(group) // see read()
     spark.read.option("mergeSchema", "true").parquet(dir(group))
+  }
 
   /** Compact the log's files: every append leaves one file per date it
     * touched, so a daily-written group accumulates O(writes) small
@@ -143,7 +159,11 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     val removed = affected.map(_.getAs[Long]("n")).sum
     val stage = new org.apache.hadoop.fs.Path(base, ForgetStage)
     log.filter(col("p_date").isin(dates: _*))
-      .filter(!key.isin(ids: _*))
+      // null-key rows must SURVIVE: `!isin` evaluates to NULL (dropped)
+      // for them, and write() never forbids null entity keys — without
+      // the carve-out a forget batch would silently erase every
+      // null-key row sharing a date with a forgotten entity (review r7)
+      .filter(key.isNull || !key.isin(ids: _*))
       .repartition(col("p_date"))
       .write.mode("overwrite").partitionBy("p_date")
       .parquet(stage.toString)
@@ -215,6 +235,9 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     val base = new org.apache.hadoop.fs.Path(dir(group))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return 0
+    // finish any crashed swap first — a marked stage swapped AFTER this
+    // unlink would resurrect the very dates being expired (review r7)
+    recoverCompact(group); recoverForget(group)
     val cutoff = before.toLocalDate
     val expired = fs.listStatus(base).toSeq
       .filter(_.isDirectory)

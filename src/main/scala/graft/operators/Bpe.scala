@@ -62,9 +62,15 @@ object Bpe {
         .withColumn("repl",
           concat(lit("<"), translate(col("find"), "<>", ""), lit(">")))
         .localCheckpoint(false)
+      // LEFT join on true, not a cross join: when a corpus runs out of
+      // pairs before `iters`, top1 is EMPTY and a cross join would wipe
+      // the vocab (and every later round) to zero rows — the left join
+      // carries the vocab through exhausted rounds unchanged, and the
+      // exhausted rounds simply contribute no merge row (review r7)
       vocab = vocab
-        .crossJoin(broadcast(top1.select(col("find"), col("repl"))))
-        .withColumn("seq", expr("replace(seq, find, repl)"))
+        .join(broadcast(top1.select(col("find"), col("repl"))), lit(true), "left")
+        .withColumn("seq", when(col("find").isNotNull,
+          expr("replace(seq, find, repl)")).otherwise(col("seq")))
         .drop("find", "repl")
         .localCheckpoint(false)
       top1.select(lit(step).as("step"), col("find"), col("repl"), col("cnt"))

@@ -369,6 +369,13 @@ object Similarity {
     * aggregate carries m·nCents·subDim tiny rows. Deterministic and
     * engine-replayable like [[kmeansFit]]; empty cells keep their
     * previous centroid. Returns (j, cid, cv) rows. */
+  /** Scale note (r7 bench): in-plan training costs ~2 corpus scans of
+    * higher-order-function argmin arithmetic — the dominant cost of
+    * q_pq_ann at sf0.1. The production dials, in order: (1) train once
+    * into a persisted index ([[buildPqIndex]]) and amortize across
+    * probes; (2) train the UPDATE step on a deterministic
+    * `Sampling.hashKeep` corpus sample (standard k-means practice —
+    * the sample replays in SQL, so an oracle can still follow). */
   def kmeansFitSub(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, nCents: Int, iters: Int = 2, shift: Int = 20)
       : Seq[(Int, Long, Seq[Double])] = {
@@ -439,13 +446,9 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 4, nCents: Int = 16, trainIters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // enforced LUT bound: the broadcast is |queries|·m·nCents rows
-    val nq = queries.limit(MaxBroadcastQueries / (m * nCents) + 1).count()
-    require(nq <= MaxBroadcastQueries / (m * nCents),
-      s"pqTopK: query side × ${m * nCents} LUT rows exceeds " +
-        s"$MaxBroadcastQueries broadcast rows; shard the query set")
+    // the LUT broadcast bound is enforced once, inside pqScore — a
+    // second check here would cost an extra count job over the query
+    // frame per call (review r7)
     val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters)
     pqScore(queries, pqEncode(corpus, cb, m, idCol, vecCol), cb,
       idCol, vecCol, k, m)

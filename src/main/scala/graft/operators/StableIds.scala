@@ -52,10 +52,17 @@ object StableIds {
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("__bucket"), col("__off"))
-    withB.join(broadcast(offsets), Seq("__bucket"))
+    // null-SAFE equality on the bucket: a null bucket value (null ts
+    // under to_date, say) groups and windows fine, but a plain equi
+    // join would never match its offsets row and silently drop every
+    // such input row — ids must cover ALL N rows (review r7). Nulls
+    // sort first under Spark's ascending order, so the null bucket is
+    // simply the first id block.
+    withB.join(broadcast(offsets.withColumnRenamed("__bucket", "__rb")),
+        col("__bucket") <=> col("__rb"))
       .withColumn(idName,
         col("__off") + row_number().over(
           Window.partitionBy(col("__bucket")).orderBy(sortCols: _*)))
-      .drop("__bucket", "__off")
+      .drop("__bucket", "__rb", "__off")
   }
 }

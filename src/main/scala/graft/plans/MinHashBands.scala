@@ -74,6 +74,26 @@ object MinHashBands {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  /** One digest per thread, not one per row — getInstance runs a
+    * provider lookup + allocation, pure overhead inside a corpus-sized
+    * scan (review r7). */
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Per-k affine coefficient tables (a_j, b_j) — loop-invariant across
+    * every shingle of every row, so computing them per (shingle, j)
+    * was two multiplies + two mods of pure waste in the innermost loop
+    * (review r7). One entry per distinct k ever used in the session. */
+  private val CoefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefs(k: Int): (Array[Long], Array[Long]) =
+    CoefCache.computeIfAbsent(k, k2 => {
+      val a = new Array[Long](k2); val b = new Array[Long](k2)
+      var j = 0
+      while (j < k2) { a(j) = ((j + 1) * MulA) % P; b(j) = (j * MulB) % P; j += 1 }
+      (a, b)
+    })
+
   /** 48-bit integer behind md5(s)'s first 12 hex chars (= first 6
     * digest bytes, big-endian). */
   def md5Prefix48(md: java.security.MessageDigest, s: UTF8String): Long = {
@@ -89,7 +109,8 @@ object MinHashBands {
     val k = bands * rows
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
+    val (ca, cbArr) = coefs(k)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -97,9 +118,7 @@ object MinHashBands {
         val xm = md5Prefix48(md, arr.getUTF8String(i)) % P
         var j = 0
         while (j < k) {
-          val a = ((j + 1) * MulA) % P
-          val b = (j * MulB) % P
-          val h = (a * xm + b) % P
+          val h = (ca(j) * xm + cbArr(j)) % P
           if (h < mins(j)) mins(j) = h
           j += 1
         }

@@ -63,10 +63,15 @@ object SimHash64 {
     h
   }
 
+  /** One digest per thread, not one per row (review r7 — same fix as
+    * MinHashBands). */
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** The fingerprint for one token array; shared by eval and codegen. */
   def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val n = arr.numElements()
     var i = 0
     while (i < n) {

@@ -53,6 +53,11 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 object WinnowFps {
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  /** One digest per thread, not one per row (review r7 — same fix as
+    * MinHashBands). */
+  private[plans] val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** The whole winnow for one document; shared by eval and codegen. */
   def winnow(s0: UTF8String, k: Int, w: Int): ArrayData = {
     val s = s0.toLowerCase // same ASCII-fast lowercase as Spark's lower()
@@ -71,7 +76,7 @@ object WinnowFps {
     starts(n) = bytes.length
 
     val m = n - k + 1 // k-gram count
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = WinnowFps.Md5.get()
     val hex = new Array[String](m)
     var g = 0
     while (g < m) {

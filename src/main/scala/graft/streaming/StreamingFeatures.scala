@@ -224,9 +224,17 @@ object StreamingFeatures {
       docs: DataFrame,
       tsCol: String = "ts",
       textCol: String = "text",
+      idCol: String = "doc_id",
       lateness: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("fp", graft.functions.TextFns.fingerprint(col(textCol)))
+      // null text has no content to be a duplicate OF — fall back to an
+      // id-derived key so distinct null-text records all pass (null fp
+      // would make dropDuplicates treat them as ONE key and silently
+      // drop all but the first; review r7). Re-deliveries of the same
+      // id still dedup.
+      .withColumn("fp", coalesce(
+        graft.functions.TextFns.fingerprint(col(textCol)),
+        concat(lit("null-text:"), col(idCol).cast("string"))))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 

@@ -454,6 +454,20 @@ class FeatureStoreSpec extends SparkSpec {
     assert(log.read(g).count() == 2)
   }
 
+  test("forget keeps null-key rows sharing a date with a forgotten entity (review r7)") {
+    val c = registered()
+    val g = c.createGroup(FeatureGroup("rtbfnull", 1, Seq("age"), "user"))
+    val log = new RecordLog(spark, tmpDir("rtbfnulllog"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    log.write(g, Seq(
+      (Some(1L), t("2024-01-01 01:00:00"), 30),
+      (None, t("2024-01-01 02:00:00"), 77), // null entity, same date
+      (Some(2L), t("2024-01-01 03:00:00"), 40)).toDF("user", "ts", "age"))
+    assert(log.forget(g, Seq(1L)) == 1L)
+    val left = log.read(g).select("age").as[Int].collect().toSet
+    assert(left == Set(77, 40), "the null-key row must survive the rewrite")
+  }
+
   test("record version column persists; defaults to 1 (feature_store.py:107,357)") {
     val g = FeatureGroup("ver", 1, Seq("age"), "user_id")
     val log = new RecordLog(spark, tmpDir("version"))

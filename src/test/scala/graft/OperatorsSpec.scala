@@ -43,6 +43,27 @@ class OperatorsSpec extends SparkSpec {
       .as[String].collect().toSet)
   }
 
+  test("stable ids keep null-bucket rows (review r7)") {
+    val rows = Seq((Some(1), 10L), (None, 7L), (Some(2), 5L), (None, 3L))
+      .toDF("b", "k")
+    val got = StableIds.assign(rows, col("b"), Seq(col("k")))
+      .select("k", "stable_id").as[(Long, Long)].collect().toMap
+    // all 4 rows numbered; nulls sort first under Spark asc
+    assert(got.values.toSeq.sorted == (1L to 4L), s"lost rows: $got")
+    assert(got(3L) == 1L && got(7L) == 2L && got(10L) == 3L && got(5L) == 4L)
+  }
+
+  test("BPE training survives pair exhaustion before iters (review r7)") {
+    // "ab ab" exhausts after ONE merge; later rounds must not wipe the
+    // vocab (the old cross join with an empty argmax did exactly that)
+    val vocab = Bpe.wordVocab(Seq("ab ab").toDF("text"), "text")
+    val merges = Bpe.train(vocab, iters = 4)
+    assert(merges.select("step", "find").as[(Int, String)].collect().toSeq ==
+      Seq((1, "<a><b>")), "exhausted rounds must contribute no merge row")
+    val seg = Bpe.segmented(vocab, merges).select("seq").as[String].head()
+    assert(seg == "<ab>")
+  }
+
   test("stable ids equal the naive global row_number, buckets skewed") {
     import org.apache.spark.sql.expressions.Window
     // bucket 0 holds 1 row, bucket 1 holds 7, bucket 2 holds 2 — the

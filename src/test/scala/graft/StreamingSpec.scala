@@ -52,13 +52,16 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(
         Doc(1L, ts("2024-01-01 10:00:00"), "alpha beta"), // re-delivery
-        Doc(4L, ts("2024-01-01 10:30:00"), "epsilon"))     // genuinely new
+        Doc(4L, ts("2024-01-01 10:30:00"), "epsilon"),     // genuinely new
+        Doc(5L, ts("2024-01-01 10:31:00"), null),          // null text...
+        Doc(6L, ts("2024-01-01 10:32:00"), null))          // ...both pass
       q.processAllAvailable()
       val ids = spark.table("dedup_out").select("doc_id")
         .as[Long].collect().toSet
       // exactly one doc per distinct fingerprint; 3 (normalized dup of
-      // 1) and the replayed 1 are dropped
-      assert(ids == Set(1L, 2L, 4L), s"got $ids")
+      // 1) and the replayed 1 are dropped; distinct null-text docs are
+      // NOT duplicates of each other (review r7)
+      assert(ids == Set(1L, 2L, 4L, 5L, 6L), s"got $ids")
     } finally q.stop()
   }
 
