@@ -165,14 +165,10 @@ object Similarity {
     val centArr = array(cent.map { case (id, v) =>
       struct(lit(id).as("cell_id"), typedLit(v).as("cv"))
     }: _*)
-    aggregate(centArr,
-      struct(lit(-2.0).as("best"), lit(-1L).as("cell")),
-      (acc, c) => {
-        val s = round(VectorFns.cosineFast(vec, c.getField("cv")), 6)
-        when(s > acc.getField("best"),
-          struct(s.as("best"), c.getField("cell_id").as("cell")))
-          .otherwise(acc)
-      }).getField("cell")
+    // native codegen'd argmax (graft.plans.CentroidArgmax) — bit-
+    // identical to the higher-order fold it replaced; see
+    // CodebookArgmin for the rationale (r7 bench)
+    graft.plans.CentroidArgmax.column(centArr, vec)
   }
 
   /** Fixed-point Lloyd k-means for the IVF coarse quantizer: seed =
@@ -332,15 +328,13 @@ object Similarity {
     * (L2² minus the per-row constant |x|², which cannot change the
     * argmin). Returns −1 when nothing beats the MaxValue seed (NaN
     * vector) — callers decide whether that raises. */
+  /** Argmin cid over a codebook struct-array — the native codegen'd
+    * [[graft.plans.CodebookArgmin]] (one fused loop; bit-identical to
+    * the higher-order `aggregate` fold it replaced, which paid
+    * per-element lambda dispatch × nCents × m × row — r7's dominant
+    * in-plan training cost). */
   private def subCodeOf(cbArr: Column, subV: Column): Column =
-    aggregate(cbArr,
-      struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
-      (acc, c) => {
-        val d = round(
-          c.getField("cc") - lit(2.0) * VectorFns.dot(subV, c.getField("cv")), 6)
-        when(d < acc.getField("best"),
-          struct(d.as("best"), c.getField("cid").as("cid"))).otherwise(acc)
-      }).getField("cid")
+    graft.plans.CodebookArgmin.column(cbArr, subV)
 
   /** |c|² via the same sequential left-fold the engines use for dot
     * products, so the precomputed constant is bit-identical to what an
