@@ -103,6 +103,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected a (source, shard) exchange in:\n$plan")
   }
 
+  test("stable ids: data-sized work never crosses a SinglePartition exchange") {
+    // StableIds' whole point: the naive row_number() OVER (ORDER BY ...)
+    // serializes the dataset through ONE task. The two-phase plan may
+    // single-partition only the AGGREGATED bucket-count frame (tiny);
+    // the data-sized side must ride a hash exchange on the bucket and
+    // a broadcast join back.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = run("q_stable_ids")
+    df.count() // materialize so AQE finalizes the plan
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back:\n$plan")
+    val singles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike
+          if s.outputPartitioning.numPartitions == 1 => s
+    }
+    // the one legal SinglePartition sits above the bucket-count
+    // aggregate — its input is an agg, never a scan
+    singles.foreach { s =>
+      val sub = s.toString
+      assert(sub.contains("HashAggregate") || sub.contains("SortAggregate"),
+        s"SinglePartition exchange over non-aggregated data:\n$sub")
+    }
+  }
+
   test("top-k queries use the bounded aggregate, not a per-query window") {
     // A Window.partitionBy(query_id) would funnel every scored corpus
     // row for a query into one task; the BoundedTopK aggregate keeps
