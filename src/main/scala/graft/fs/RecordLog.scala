@@ -158,7 +158,17 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     val dates = affected.map(_.getAs[java.sql.Date]("p_date"))
     val removed = affected.map(_.getAs[Long]("n")).sum
     val stage = new org.apache.hadoop.fs.Path(base, ForgetStage)
-    log.filter(col("p_date").isin(dates: _*))
+    // a forgotten entity may hold rows with a NULL ts → the null date
+    // partition (__HIVE_DEFAULT_PARTITION__). `isin` is null-intolerant
+    // — the same trap as the key filter below — so the null date needs
+    // its own predicate arm AND its hive name in the tombstone pass, or
+    // forget would COUNT those rows as removed while never rewriting
+    // their partition (review r7 #2)
+    val realDates = dates.filter(_ != null)
+    val dateHit =
+      if (realDates.length == dates.length) col("p_date").isin(realDates: _*)
+      else col("p_date").isNull || col("p_date").isin(realDates: _*)
+    log.filter(dateHit)
       // null-key rows must SURVIVE: `!isin` evaluates to NULL (dropped)
       // for them, and write() never forbids null entity keys — without
       // the carve-out a forget batch would silently erase every
@@ -168,7 +178,9 @@ final class RecordLog(val spark: SparkSession, val root: String) {
       .write.mode("overwrite").partitionBy("p_date")
       .parquet(stage.toString)
     dates.foreach { d =>
-      val staged = new org.apache.hadoop.fs.Path(stage, s"p_date=$d")
+      val dirName =
+        if (d == null) "p_date=__HIVE_DEFAULT_PARTITION__" else s"p_date=$d"
+      val staged = new org.apache.hadoop.fs.Path(stage, dirName)
       if (!fs.exists(staged)) {
         fs.mkdirs(staged)
         fs.create(new org.apache.hadoop.fs.Path(staged, "_EMPTY"), true).close()

@@ -54,7 +54,10 @@ object Bpe {
   def train(vocab0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "train: need at least one merge step")
     var vocab = vocab0
-    val merges = (1 to iters).map { step =>
+    val merges = Seq.newBuilder[DataFrame]
+    var step = 1
+    var exhausted = false
+    while (step <= iters && !exhausted) {
       val counts = vocab
         .select(col("c"), explode(pairsOf(col("seq"))).as("find"))
         .groupBy(col("find")).agg(sum(col("c")).as("cnt"))
@@ -62,20 +65,42 @@ object Bpe {
         .withColumn("repl",
           concat(lit("<"), translate(col("find"), "<>", ""), lit(">")))
         .localCheckpoint(false)
-      // LEFT join on true, not a cross join: when a corpus runs out of
-      // pairs before `iters`, top1 is EMPTY and a cross join would wipe
-      // the vocab (and every later round) to zero rows — the left join
-      // carries the vocab through exhausted rounds unchanged, and the
-      // exhausted rounds simply contribute no merge row (review r7)
-      vocab = vocab
-        .join(broadcast(top1.select(col("find"), col("repl"))), lit(true), "left")
-        .withColumn("seq", when(col("find").isNotNull,
-          expr("replace(seq, find, repl)")).otherwise(col("seq")))
-        .drop("find", "repl")
-        .localCheckpoint(false)
-      top1.select(lit(step).as("step"), col("find"), col("repl"), col("cnt"))
+      // pair exhaustion before `iters` ends training: top1 is already
+      // checkpointed, so the emptiness probe is nearly free, and it
+      // saves the remaining rounds' explode/agg/sort jobs (review r7).
+      // The LEFT join on true (not a cross join) is the correctness
+      // backstop for the same case: an empty argmax carries the vocab
+      // through unchanged instead of wiping it to zero rows.
+      if (top1.isEmpty) exhausted = true
+      else {
+        vocab = vocab
+          .join(broadcast(top1.select(col("find"), col("repl"))), lit(true), "left")
+          .withColumn("seq", when(col("find").isNotNull,
+            expr("replace(seq, find, repl)")).otherwise(col("seq")))
+          .drop("find", "repl")
+          .localCheckpoint(false)
+        merges += top1.select(
+          lit(step).as("step"), col("find"), col("repl"), col("cnt"))
+      }
+      step += 1
     }
-    merges.reduce(_.unionByName(_))
+    val built = merges.result()
+    if (built.isEmpty) {
+      // a corpus of only 1-char words trains zero merges — return the
+      // empty merge table with the contract schema, not a crash
+      val spark = vocab0.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("find",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("repl",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    } else built.reduce(_.unionByName(_))
   }
 
   /** Segment the vocab with the trained merges: the final (word, seq)

@@ -321,18 +321,16 @@ object Similarity {
         round(col("sum_fx").cast("double") / col("n") / scale, 6))
   }
 
-  /** The argmin-L2 code fold shared by PQ encoding and subspace
-    * k-means training: strictly-less keeps the FIRST (lowest cid) on
-    * round-6 ties — same winner as an ORDER BY d, cid. `cbArr` is a
-    * literal array of (cid, cv, cc=|c|²) structs; d = |c|² − 2⟨x,c⟩
-    * (L2² minus the per-row constant |x|², which cannot change the
-    * argmin). Returns −1 when nothing beats the MaxValue seed (NaN
-    * vector) — callers decide whether that raises. */
-  /** Argmin cid over a codebook struct-array — the native codegen'd
+  /** Argmin-L2 code over a codebook struct-array, shared by PQ
+    * encoding and subspace k-means training — the native codegen'd
     * [[graft.plans.CodebookArgmin]] (one fused loop; bit-identical to
     * the higher-order `aggregate` fold it replaced, which paid
     * per-element lambda dispatch × nCents × m × row — r7's dominant
-    * in-plan training cost). */
+    * in-plan training cost). Strictly-less keeps the FIRST (lowest
+    * cid) on round-6 ties — same winner as an ORDER BY d, cid; d =
+    * |c|² − 2⟨x,c⟩ (the per-row constant |x|² cannot change the
+    * argmin). Returns −1 when nothing beats the seed (NaN vector) and
+    * NULL for a null vector — callers decide whether either raises. */
   private def subCodeOf(cbArr: Column, subV: Column): Column =
     graft.plans.CodebookArgmin.column(cbArr, subV)
 
@@ -362,14 +360,15 @@ object Similarity {
     * (element_at on a nested literal — zero shuffle), and the update
     * aggregate carries m·nCents·subDim tiny rows. Deterministic and
     * engine-replayable like [[kmeansFit]]; empty cells keep their
-    * previous centroid. Returns (j, cid, cv) rows. */
-  /** Scale note (r7 bench): in-plan training costs ~2 corpus scans of
-    * higher-order-function argmin arithmetic — the dominant cost of
-    * q_pq_ann at sf0.1. The production dials, in order: (1) train once
-    * into a persisted index ([[buildPqIndex]]) and amortize across
-    * probes; (2) train the UPDATE step on a deterministic
-    * `Sampling.hashKeep` corpus sample (standard k-means practice —
-    * the sample replays in SQL, so an oracle can still follow). */
+    * previous centroid. Returns (j, cid, cv) rows.
+    *
+    * Scale note (r7 bench): in-plan training costs ~2 corpus scans —
+    * the dominant cost of q_pq_ann at sf0.1 even after the native
+    * argmin. The production dials, in order: (1) train once into a
+    * persisted index ([[buildPqIndex]]) and amortize across probes;
+    * (2) train the UPDATE step on a deterministic `Sampling.hashKeep`
+    * corpus sample (standard k-means practice — the sample replays in
+    * SQL, so an oracle can still follow). */
   def kmeansFitSub(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, nCents: Int, iters: Int = 2, shift: Int = 20)
       : Seq[(Int, Long, Seq[Double])] = {
@@ -440,12 +439,23 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 4, nCents: Int = 16, trainIters: Int = 2): DataFrame = {
-    // the LUT broadcast bound is enforced once, inside pqScore — a
-    // second check here would cost an extra count job over the query
-    // frame per call (review r7)
+    // fail FAST on an oversized query set — before k-means training
+    // spends its corpus scans (the expensive path this bound protects);
+    // pqScore re-checks as a backstop for the from-index entry point.
+    // The check is one bounded count job (limit(N+1)), not a full scan.
+    requireLutBound(queries, m, nCents, "pqTopK")
     val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters)
     pqScore(queries, pqEncode(corpus, cb, m, idCol, vecCol), cb,
       idCol, vecCol, k, m)
+  }
+
+  private def requireLutBound(
+      queries: DataFrame, m: Int, nCents: Int, who: String): Unit = {
+    val maxQ = MaxBroadcastQueries / (m * nCents)
+    val nq = queries.limit(maxQ + 1).count()
+    require(nq <= maxQ,
+      s"$who: query side × ${m * nCents} LUT rows exceeds " +
+        s"$MaxBroadcastQueries broadcast rows; shard the query set")
   }
 
   /** The PQ encode pass: per subspace, argmin_c round6(|c|² − 2⟨x,c⟩),
@@ -489,10 +499,7 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val nCents = cb.map(_._2).distinct.length
-    val nq = queries.limit(MaxBroadcastQueries / (m * nCents) + 1).count()
-    require(nq <= MaxBroadcastQueries / (m * nCents),
-      s"pqScore: query side × ${m * nCents} LUT rows exceeds " +
-        s"$MaxBroadcastQueries broadcast rows; shard the query set")
+    requireLutBound(queries, m, nCents, "pqScore")
     val subDim = cb.head._3.length
     val centDf = broadcast(cb.toDF("j", "cid", "cv"))
     val q = queries.select(col(idCol).as("query_id"),

@@ -44,8 +44,10 @@ case class CentroidArgmax(left: Expression, right: Expression)
       }
       val cos = if (na == 0.0 || nb == 0.0) 0.0
         else dot / (math.sqrt(na) * math.sqrt(nb))
-      val r = java.math.BigDecimal.valueOf(cos)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // NaN passthrough, as Spark's round() does — see CodebookArgmin
+      val r = if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+        else java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       if (r > best) { best = r; bestCell = s.getLong(0) }
       i += 1
     }
@@ -78,8 +80,11 @@ case class CentroidArgmax(left: Expression, right: Expression)
          |  }
          |  double $cos = ($na == 0.0 || $nb == 0.0) ? 0.0 :
          |    $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |  double $r = java.math.BigDecimal.valueOf($cos)
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  double $r = $cos;
+         |  if (!Double.isNaN($r) && !Double.isInfinite($r)) {
+         |    $r = java.math.BigDecimal.valueOf($r)
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  }
          |  if ($r > $best) { $best = $r; $bestCell = $s.getLong(0); }
          |}
          |${ev.value} = $bestCell;

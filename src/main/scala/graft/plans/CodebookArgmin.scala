@@ -44,8 +44,14 @@ case class CodebookArgmin(left: Expression, right: Expression)
       var dot = 0.0
       var j = 0
       while (j < dim) { dot += sv.getDouble(j) * cv.getDouble(j); j += 1 }
-      val d = java.math.BigDecimal.valueOf(s.getDouble(2) - 2.0 * dot)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // Spark's round() passes NaN/Infinity through untouched
+      // (BigDecimal.valueOf would throw on them) — so a NaN distance
+      // compares false and the -1 sentinel survives for the callers'
+      // designed corrupt-vector error paths (review r7 #2)
+      val raw = s.getDouble(2) - 2.0 * dot
+      val d = if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       if (d < best) { best = d; bestCid = s.getLong(0) }
       i += 1
     }
@@ -71,8 +77,11 @@ case class CodebookArgmin(left: Expression, right: Expression)
          |  for (int $j = 0; $j < $dim; $j++) {
          |    $dot += $sv.getDouble($j) * $cv.getDouble($j);
          |  }
-         |  double $d = java.math.BigDecimal.valueOf($s.getDouble(2) - 2.0 * $dot)
-         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  double $d = $s.getDouble(2) - 2.0 * $dot;
+         |  if (!Double.isNaN($d) && !Double.isInfinite($d)) {
+         |    $d = java.math.BigDecimal.valueOf($d)
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  }
          |  if ($d < $best) { $best = $d; $bestCid = $s.getLong(0); }
          |}
          |${ev.value} = $bestCid;

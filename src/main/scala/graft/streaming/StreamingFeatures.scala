@@ -224,17 +224,22 @@ object StreamingFeatures {
       docs: DataFrame,
       tsCol: String = "ts",
       textCol: String = "text",
-      idCol: String = "doc_id",
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes",
+      idCol: String = "doc_id"): DataFrame =
     docs
       // null text has no content to be a duplicate OF — fall back to an
       // id-derived key so distinct null-text records all pass (null fp
       // would make dropDuplicates treat them as ONE key and silently
       // drop all but the first; review r7). Re-deliveries of the same
-      // id still dedup.
+      // id still dedup. concat_ws, not concat: a null id must not null
+      // the fallback itself (that would re-open the same hole one level
+      // down) — a null-id null-text record keys on its event time, so
+      // only exact re-deliveries collapse. idCol sits AFTER lateness so
+      // existing positional callers keep their meaning.
       .withColumn("fp", coalesce(
         graft.functions.TextFns.fingerprint(col(textCol)),
-        concat(lit("null-text:"), col(idCol).cast("string"))))
+        concat_ws(":", lit("null-text"), col(idCol).cast("string"),
+          col(tsCol).cast("string"))))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
