@@ -10,8 +10,8 @@ import org.apache.spark.sql.Column
   * Determinism conventions (SURVEY.md §7.3): float aggregates go through
   * exact decimal(18,2) sums and are cast back to double so Spark and the
   * DuckDB oracle see bit-identical values regardless of partial-agg
-  * ordering; event timestamps (parquet timestamp[ns], truncated to micros
-  * by Spark) are only ever emitted as formatted strings.
+  * ordering; event timestamps (normalized to TimestampType by [[events]])
+  * are only ever emitted as formatted strings.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -40,16 +40,24 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = rebalance(s, t(s, d, "orders"))
   def lineitem(s: SparkSession, d: String)  = rebalance(s, t(s, d, "lineitem"))
-  /** events.ts is parquet timestamp[ns], which Spark refuses outright
-    * (PARQUET_TYPE_ILLEGAL). With spark.sql.legacy.parquet.nanosAsLong
-    * (set in Verify/Bench/tests) the column arrives as Long nanos; we
-    * floor-divide to micros in integer space (a double division would
-    * lose precision at 1e18) and restore TimestampType. */
+  /** events.ts normalization — the testdata generator has shipped two
+    * physical types over time, and the loader accepts both so every ts
+    * consumer sees plain TimestampType:
+    *  - parquet timestamp[us] tz-naive (current): Spark 4 infers
+    *    TIMESTAMP_NTZ; under the pinned UTC session TZ the cast to
+    *    TimestampType is lossless.
+    *  - parquet timestamp[ns] (older): Spark refuses it outright
+    *    (PARQUET_TYPE_ILLEGAL) unless spark.sql.legacy.parquet.nanosAsLong
+    *    is set (Verify/Bench/tests keep it, defensively); the column then
+    *    arrives as Long nanos, floor-divided to micros in integer space
+    *    (a double division would lose precision at 1e18). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = rebalance(s, t(s, d, "events"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is timestamp[ns]; read as Long nanos (converted back
-      // to TimestampType in graft.Tables.events)
+      // Defensive: older testdata wrote events.ts as timestamp[ns];
+      // keep the legacy flag so Tables.events' Long-nanos branch still
+      // works if the generator flips back (current data is timestamp[us]).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.buffer.pageSize", "4m") // see Bench.scala
