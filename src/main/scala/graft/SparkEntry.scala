@@ -1688,25 +1688,32 @@ object SparkEntry {
       GROUP BY 1, 2 HAVING count(*) >= 5
       ORDER BY id_a, id_b"""))
 
-  /** IVF ANN, hash-oracled: deterministic coarse quantizer (centroids =
-    * vec_id < 16), zero-shuffle map-side cell assignment, nProbe=2
-    * probed cells per query — the inverted-file scale dial next to
-    * q_ann_bucketed's LSH buckets. DuckDB replays assignment, probing
-    * and ranking exactly (round-6 sims, id tie-breaks throughout). */
+  /** IVF ANN, hash-oracled: deterministic coarse quantizer (seeds =
+    * the 16 smallest-md5(vec_id) vectors), zero-shuffle map-side cell
+    * assignment, nProbe=2 probed cells per query — the inverted-file
+    * scale dial next to q_ann_bucketed's LSH buckets. DuckDB replays
+    * seeding, training, assignment, probing and ranking exactly
+    * (round-6 sims, id tie-breaks throughout). */
   /** Shared oracle for the two IVF queries: replays
     * [[Similarity.kmeansFit]]'s 2 Lloyd iterations (assign by round-6
     * cosine rank, fixed-point round-6 mean update, empty cells keep
     * their centroid) as unrolled CTEs — the q_pagerank fixed-point
-    * pattern — then probes/assigns/ranks against the trained cent2. */
+    * pattern — then probes/assigns/ranks against the trained cent2.
+    * Training runs on the hashKeep(0.25) sample `tr` (threshold hex =
+    * 0.25·2^48 = 400000000000), seeding on the smallest-md5 rows —
+    * both off the one `h` column, mirroring the engine exactly. */
   private val ivfTrainedSql = """
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      cent0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+      cent0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
+                ORDER BY h, vec_id LIMIT 16),
+      tr AS (SELECT vec_id, v FROM e WHERE substr(h, 1, 12) < '400000000000'),
       a1 AS (
         SELECT vec_id, v, cell FROM (
           SELECT e.vec_id, e.v, c.cell_id AS cell,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
                    round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
-          FROM e CROSS JOIN cent0 c) WHERE rn = 1),
+          FROM tr e CROSS JOIN cent0 c) WHERE rn = 1),
       u1 AS (
         SELECT cell AS cell_id, list(comp ORDER BY i) AS cv FROM (
           SELECT cell, i,
@@ -1722,7 +1729,7 @@ object SparkEntry {
           SELECT e.vec_id, e.v, c.cell_id AS cell,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
                    round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
-          FROM e CROSS JOIN cent1 c) WHERE rn = 1),
+          FROM tr e CROSS JOIN cent1 c) WHERE rn = 1),
       u2 AS (
         SELECT cell AS cell_id, list(comp ORDER BY i) AS cv FROM (
           SELECT cell, i,
@@ -1761,7 +1768,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(
           emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 2, trainIters = 2)
+          k = 5, nCells = 16, nProbe = 2, trainIters = 2,
+          trainFraction = 0.25)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(ivfTrainedSql))
@@ -1844,7 +1852,7 @@ object SparkEntry {
       val indexDir = s"/tmp/graft_ivf/$tag"
       val emb = Tables.embeddings(s, d)
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", indexDir,
-        nCells = 16, trainIters = 2)
+        nCells = 16, trainIters = 2, trainFraction = 0.25)
       Similarity.ivfTopKFromIndex(
           emb.filter(col("vec_id") < 20), indexDir, "vec_id", "embedding",
           k = 5, nProbe = 2)
@@ -3114,7 +3122,7 @@ $rounds"""
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val dir = s"/tmp/graft_pq_index/${tag}_p${ProcessHandle.current().pid()}"
       Similarity.buildPqIndex(emb, "vec_id", "embedding", dir,
-        m = 16, trainIters = 2)
+        m = 16, trainIters = 2, trainFraction = 0.25)
       Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5), dir,
           "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -3125,7 +3133,8 @@ $rounds"""
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
-          "vec_id", "embedding", k = 10, m = 16, trainIters = 2)
+          "vec_id", "embedding", k = 10, m = 16, trainIters = 2,
+          trainFraction = 0.25)
         .orderBy(col("query_id"), col("rank"))
     },
     // m=16 (4-dim subspaces): 16 TRAINED centroids per subspace keep
@@ -3136,24 +3145,32 @@ $rounds"""
     // measures 6,6,3). cb0->cb2 replays kmeansFitSub's 2 Lloyd
     // iterations per subspace (argmin round-6 L2 assign, fixed-point
     // round-6 mean update, empty cells carry over) before the
-    // encode/LUT/ADC pipeline.
+    // encode/LUT/ADC pipeline. Seeds = the 16 smallest-md5(vec_id)
+    // vectors; training assign/update runs on the hashKeep(0.25)
+    // sample tsub (threshold hex 400000000000) — the engine's
+    // seedRows/trainSide, replayed off the same md5.
     Some("""
       WITH js AS (SELECT unnest(range(16)) AS j),
+      sd AS (SELECT vec_id, embedding FROM embeddings
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
       cb0 AS (
         SELECT j, vec_id AS cid,
                CAST(embedding[(j*4+1):(j*4+4)] AS DOUBLE[]) AS cv
-        FROM embeddings, js WHERE vec_id < 16),
+        FROM sd, js),
       sub AS (
         SELECT vec_id, j,
                CAST(embedding[(j*4+1):(j*4+4)] AS DOUBLE[]) AS sv
         FROM embeddings, js),
+      tsub AS (
+        SELECT * FROM sub
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 12) < '400000000000'),
       s1 AS (
         SELECT j, sv, cid FROM (
           SELECT s.j, s.sv, c.cid,
                  row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
                    round(list_inner_product(c.cv, c.cv)
                          - 2.0 * list_inner_product(s.sv, c.cv), 6), c.cid) AS r
-          FROM sub s JOIN cb0 c USING (j)) WHERE r = 1),
+          FROM tsub s JOIN cb0 c USING (j)) WHERE r = 1),
       w1 AS (
         SELECT j, cid, list(comp ORDER BY i) AS cv FROM (
           SELECT j, cid, i,
@@ -3170,7 +3187,7 @@ $rounds"""
                  row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
                    round(list_inner_product(c.cv, c.cv)
                          - 2.0 * list_inner_product(s.sv, c.cv), 6), c.cid) AS r
-          FROM sub s JOIN cb1 c USING (j)) WHERE r = 1),
+          FROM tsub s JOIN cb1 c USING (j)) WHERE r = 1),
       w2 AS (
         SELECT j, cid, list(comp ORDER BY i) AS cv FROM (
           SELECT j, cid, i,

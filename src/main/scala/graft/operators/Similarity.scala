@@ -145,8 +145,8 @@ object Similarity {
     * recall/cost dial next to [[bucketedTopK]]'s LSH variant.
     *
     * The quantizer is TRAINED: [[kmeansFit]] runs `trainIters` Lloyd
-    * iterations from the deterministic seed (corpus vectors with
-    * id < nCells), so cells track the data's real cluster structure
+    * iterations from the deterministic seed (the nCells smallest-
+    * md5(id) corpus vectors), so cells track the data's real cluster structure
     * instead of whatever the first nCells vectors happened to be (the
     * r6 under-recall note). Scale shape: centroids are collected once
     * per iteration (nCells·dim doubles — IVF centroids are by
@@ -171,32 +171,73 @@ object Similarity {
     graft.plans.CentroidArgmax.column(centArr, vec)
   }
 
+  /** Quantizer seeds: the `n` corpus rows with the SMALLEST
+    * md5(cast(id as string)) — id-space-AGNOSTIC (a sparse or
+    * post-forget id space seeds exactly as well as a dense one; the
+    * old `filter(id < n)` seeding threw on anything without small
+    * ids — VERDICT r7 #2) and pseudorandom (md5 scatters whatever
+    * ordering the id carries, so ingest-order clustering can't make
+    * the seed degenerate). `orderBy.limit` plans as
+    * TakeOrderedAndProject: per-partition top-n heaps, no full sort
+    * exchange. The cell id IS the seed's corpus id — deterministic,
+    * and the same rule an external SQL engine replays with
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`. */
+  private def seedRows(corpus: DataFrame, idCol: String, vecCol: String,
+      n: Int): Seq[(Long, Seq[Double])] = {
+    val s = corpus
+      .select(col(idCol).cast("long").as("_sid"),
+        col(vecCol).cast("array<double>").as("_sv"))
+      .orderBy(md5(col("_sid").cast("string")), col("_sid"))
+      .limit(n)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    require(s.nonEmpty, "quantizer seeding: corpus is empty")
+    s
+  }
+
+  /** Training-pass corpus: a deterministic [[Sampling.hashKeep]] cut
+    * (seedless, so it shares the md5 the seeding already computes —
+    * seeds, being the smallest hashes, are always inside the sample).
+    * Quantizer training is the one place sampling is free accuracy-
+    * wise: k-means centroids are means, and a 1-in-n hash sample
+    * estimates a mean over 100 TB as well as the full pass —
+    * standard practice, and the r7 bench's dominant in-plan cost. */
+  private def trainSide(corpus: DataFrame, idCol: String,
+      trainFraction: Double): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction=$trainFraction must be in (0, 1]")
+    if (trainFraction >= 1.0) corpus
+    else corpus.where(graft.operators.Sampling.hashKeep(
+      col(idCol), trainFraction))
+  }
+
   /** Fixed-point Lloyd k-means for the IVF coarse quantizer: seed =
-    * corpus vectors with id < nCells, then `iters` rounds of
-    * (assign by max round-6 cosine, lowest-cell ties) → (per-cell
-    * fixed-point mean via the [[labelCentroids]] update — exact integer
-    * sums, round-6 components). Every quantity is engine-replayable,
-    * so an external SQL engine can reproduce the trained centroids by
+    * the nCells smallest-md5(id) corpus vectors ([[seedRows]]), then
+    * `iters` rounds of (assign by max round-6 cosine, lowest-cell
+    * ties) → (per-cell fixed-point mean via the [[labelCentroids]]
+    * update — exact integer sums, round-6 components) over the
+    * [[trainSide]] sample. Every quantity is engine-replayable, so an
+    * external SQL engine can reproduce the trained centroids by
     * unrolling the iterations (the q_pagerank fixed-point pattern);
     * determinism also means build and probe sides train to IDENTICAL
     * centroids without coordination. Cells that win no vectors keep
     * their previous centroid (never collapse to empty).
     *
-    * Scale shape per iteration: one corpus scan folding against a
+    * Scale shape per iteration: one sample scan folding against a
     * literal centroid array (zero shuffle) + one (nCells·dim)-row
     * aggregate; the driver holds only nCells·dim doubles. iters is
     * FIXED (no convergence test) — the 100 TB posture, where an extra
-    * scan costs more than a slightly-unconverged quantizer. */
+    * scan costs more than a slightly-unconverged quantizer; at that
+    * scale `trainFraction` is the other dial (train on 1%, assign
+    * 100%). */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 2, shift: Int = 20): Seq[(Long, Seq[Double])] = {
-    var cent: Seq[(Long, Seq[Double])] = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      .sortBy(_._1)
-    require(cent.nonEmpty, s"kmeansFit: corpus has no $idCol < $nCells")
+      nCells: Int, iters: Int = 2, shift: Int = 20,
+      trainFraction: Double = 1.0): Seq[(Long, Seq[Double])] = {
+    var cent = seedRows(corpus, idCol, vecCol, nCells)
+    val train = trainSide(corpus, idCol, trainFraction)
     var it = 0
     while (it < iters) {
-      val assigned = corpus.select(
+      val assigned = train.select(
         col(vecCol).cast("array<double>").as("v"),
         cellOf(cent, col(vecCol)).as("label"))
       val upd = labelCentroids(assigned, "label", "v", shift)
@@ -228,10 +269,12 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 2, trainIters: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, trainIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters)
+    val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters,
+      trainFraction = trainFraction)
     val centDf = cent.toDF("cell_id", "cv0")
     val assigned = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -252,14 +295,16 @@ object Similarity {
     * partition PRUNING on the scan: nProbe/nCells of the corpus is
     * read, the rest never leaves storage. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, nCells: Int = 16, trainIters: Int = 2): Unit = {
+      indexDir: String, nCells: Int = 16, trainIters: Int = 2,
+      trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // deterministic training: the probe side replaying kmeansFit with
     // the same params reproduces these centroids exactly — but the
     // index persists them anyway, because probe-time retraining would
     // rescan the corpus `iters` times per probe
-    val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters)
+    val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters,
+      trainFraction = trainFraction)
     val centDf = cent.toDF("cell_id", "cv0")
     centDf.write.mode("overwrite").parquet(s"$indexDir/centroids")
     corpus.select(
@@ -353,41 +398,40 @@ object Similarity {
 
   /** Fixed-point Lloyd k-means for the PQ codebooks — [[kmeansFit]]'s
     * subspace twin: each of the `m` subspaces trains its own nCents
-    * centroids (seed = subvectors of corpus vectors with id < nCents)
-    * by argmin round-6 L2 assign + fixed-point mean update. All m
-    * subspaces train in ONE corpus scan per iteration: the row explodes
+    * centroids (seed = subvectors of the nCents smallest-md5(id)
+    * corpus vectors, [[seedRows]]) by argmin round-6 L2 assign +
+    * fixed-point mean update over the [[trainSide]] sample. All m
+    * subspaces train in ONE sample scan per iteration: the row explodes
     * ×m map-side, each subvector folds against its own literal codebook
     * (element_at on a nested literal — zero shuffle), and the update
     * aggregate carries m·nCents·subDim tiny rows. Deterministic and
     * engine-replayable like [[kmeansFit]]; empty cells keep their
     * previous centroid. Returns (j, cid, cv) rows.
     *
-    * Scale note (r7 bench): in-plan training costs ~2 corpus scans —
+    * Scale note (r7 bench): in-plan training cost ~2 corpus scans —
     * the dominant cost of q_pq_ann at sf0.1 even after the native
     * argmin. The production dials, in order: (1) train once into a
     * persisted index ([[buildPqIndex]]) and amortize across probes;
-    * (2) train the UPDATE step on a deterministic `Sampling.hashKeep`
-    * corpus sample (standard k-means practice — the sample replays in
-    * SQL, so an oracle can still follow). */
+    * (2) `trainFraction` — train the update step on the hash sample
+    * (standard k-means practice; the sample replays in SQL, so an
+    * oracle can still follow). */
   def kmeansFitSub(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, nCents: Int, iters: Int = 2, shift: Int = 20)
+      m: Int, nCents: Int, iters: Int = 2, shift: Int = 20,
+      trainFraction: Double = 1.0)
       : Seq[(Int, Long, Seq[Double])] = {
     val scale = (1L << shift).toDouble
-    val seeds = corpus.filter(col(idCol) < nCents)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      .sortBy(_._1)
-    require(seeds.nonEmpty, s"kmeansFitSub: corpus has no $idCol < $nCents")
+    val seeds = seedRows(corpus, idCol, vecCol, nCents)
     val dim = seeds.head._2.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     var cb: Seq[(Int, Long, Seq[Double])] = for {
       (cid, v) <- seeds; j <- 0 until m
     } yield (j, cid, v.slice(j * subDim, (j + 1) * subDim))
+    val train = trainSide(corpus, idCol, trainFraction)
     var it = 0
     while (it < iters) {
       val nested = array((0 until m).map(j => cbArrFor(cb, j)): _*)
-      val subs = corpus.select(
+      val subs = train.select(
         posexplode(array((0 until m).map(j =>
           slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)): _*))
           .as(Seq("j", "sv")))
@@ -417,7 +461,7 @@ object Similarity {
     * candidate pruning (m bytes per vector instead of 4·dim).
     *
     * The codebooks are TRAINED per subspace ([[kmeansFitSub]], seeded
-    * from subvectors of the corpus vectors with id < nCents), and every
+    * from subvectors of the nCents smallest-md5(id) corpus vectors), and every
     * training/encode/score quantity is deterministic round-6
     * arithmetic, so the whole operator — training, codes, LUT, ADC
     * scores — replays in the DuckDB oracle bit-for-bit
@@ -438,13 +482,15 @@ object Similarity {
   def pqTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      m: Int = 4, nCents: Int = 16, trainIters: Int = 2): DataFrame = {
+      m: Int = 4, nCents: Int = 16, trainIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     // fail FAST on an oversized query set — before k-means training
     // spends its corpus scans (the expensive path this bound protects);
     // pqScore re-checks as a backstop for the from-index entry point.
     // The check is one bounded count job (limit(N+1)), not a full scan.
     requireLutBound(queries, m, nCents, "pqTopK")
-    val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters)
+    val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters,
+      trainFraction = trainFraction)
     pqScore(queries, pqEncode(corpus, cb, m, idCol, vecCol), cb,
       idCol, vecCol, k, m)
   }
@@ -528,10 +574,11 @@ object Similarity {
     * the cost this lifecycle split removes. */
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, m: Int = 4, nCents: Int = 16,
-      trainIters: Int = 2): Unit = {
+      trainIters: Int = 2, trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters)
+    val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters,
+      trainFraction = trainFraction)
     cb.toDF("j", "cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
     pqEncode(corpus, cb, m, idCol, vecCol)

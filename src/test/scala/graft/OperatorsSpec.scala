@@ -516,9 +516,9 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("kmeansFit migrates cells off a degenerate seed; trained IVF recall beats untrained") {
-    // 3 tight clusters on axes e0/e1/e2; the nCells=3 seed (ids 0..2)
-    // sits ENTIRELY in cluster A — the degenerate case the r6 verdict
-    // flagged for the untrained id<nCells quantizer. The e3 jitter is
+    // 3 tight clusters on axes e0/e1/e2; the nCells=3 seed — now the 3
+    // SMALLEST-md5(id) rows — is arranged to sit ENTIRELY in cluster A,
+    // the degenerate case the r6 verdict flagged. The e3 jitter is
     // what decides assignment against the three near-identical A seeds
     // (±0.0001·t·s cosine differences), so each of B and C SPLITS
     // across cells by the sign of t; but true neighbor RANKING is
@@ -531,20 +531,26 @@ class OperatorsSpec extends SparkSpec {
       base.zipWithIndex.map { case (v, d) =>
         v + (if (d == 3) 0.01 * t else 0.0) + (if (d == 4) 0.02 * u else 0.0) }
     val e = (0 until 3).map(a => Seq.tabulate(5)(d => if (d == a) 1.0 else 0.0))
-    val rows = (0 until 30).map { i =>
-      if (i < 3) (i.toLong, vec(e(0), i - 1, 0)) // seeds: s = -1, 0, +1
-      else {
-        val base = if (i < 16) e(1) else e(2)
-        (i.toLong, vec(base, if (i % 2 == 0) 1 else -1, i % 5 - 2))
+    // replay the engine's seeding rule (smallest md5 of the id string)
+    // so the test can pin the degenerate trio deliberately
+    def h(i: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (0L until 30L)
+    val seedIds = ids.sortBy(i => (h(i), i)).take(3).sorted
+    val restIds = ids.filterNot(seedIds.contains).sorted
+    val rows =
+      seedIds.zipWithIndex.map { case (id, s) => (id, vec(e(0), s - 1, 0)) } ++
+      restIds.zipWithIndex.map { case (id, r) =>
+        val base = if (r < 13) e(1) else e(2)
+        (id, vec(base, if (id % 2 == 0) 1 else -1, (id % 5 - 2).toInt))
       }
-    }
     val emb = rows.toDF("vec_id", "embedding")
     val cent = Similarity.kmeansFit(emb, "vec_id", "embedding", nCells = 3, iters = 3)
     // trained centroids cover at least two clusters beyond the seed's
     val dirs = cent.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
     assert(dirs.size >= 2, s"centroids still degenerate: $cent")
 
-    val q = emb.filter($"vec_id" >= 3)
+    val q = emb.filter(!$"vec_id".isin(seedIds: _*))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val brute = pairs(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3))
@@ -557,6 +563,34 @@ class OperatorsSpec extends SparkSpec {
     assert(rTrained > rUntrained,
       s"training must lift 1-probe recall: trained=$rTrained untrained=$rUntrained")
     assert(rTrained >= 0.9, s"trained recall $rTrained too low")
+  }
+
+  test("kmeansFit seeds a sparse id space (post-forget: no ids < nCells)") {
+    // every id ≥ 100000 — the old filter(id < nCells) seeding returned
+    // zero rows here and threw (VERDICT r7 #2); md5 seeding is a pure
+    // function of the rows that exist
+    val emb = (0 until 40).map(i =>
+        (100000L + i * 37L, Seq.tabulate(5)(d => math.sin(i * 5 + d))))
+      .toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansFit(emb, "vec_id", "embedding", nCells = 4, iters = 1)
+    assert(cent.length == 4)
+    assert(cent.forall(_._1 >= 100000L), "cell ids are the seeds' corpus ids")
+    val out = Similarity.ivfTopK(emb.filter($"vec_id" < 100200L), emb,
+      "vec_id", "embedding", k = 2, nCells = 4, nProbe = 4)
+    assert(out.count() > 0)
+  }
+
+  test("quantizer training on the hash sample is deterministic and keeps the seed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val full = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 2)
+    val samp = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 2,
+      trainFraction = 0.25)
+    val samp2 = Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 2,
+      trainFraction = 0.25)
+    assert(samp == samp2, "sample training must be deterministic")
+    assert(samp.map(_._1) == full.map(_._1),
+      "cell ids (seeds) are independent of the training fraction")
+    assert(samp.map(_._2.length).toSet == full.map(_._2.length).toSet)
   }
 
   test("ivfTopK restricts candidates to probed cells (recall/cost dial)") {
