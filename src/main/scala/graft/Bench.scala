@@ -7,10 +7,10 @@ import scala.jdk.CollectionConverters._
 /** Benchmark main: runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   *
-  * Failures are NOT swallowed: a query that throws records
-  * `"err":"..."` and a negative elapsed sentinel in the queries map,
-  * and the process exits nonzero — a broken query can never masquerade
-  * as a fast pass.
+  * Failures are NOT swallowed: a query that throws lands in the
+  * `errors` map (query → per-pass error list), is omitted from the
+  * `queries` map and the headline total, and the process exits
+  * nonzero — a broken query can never masquerade as a fast pass.
   *
   * == Measurement methodology (r3, hardened r5) ==
   *
@@ -227,10 +227,14 @@ object Bench {
           s""""classes":${s1.loadedClasses - s0.loadedClasses},""" +
           s""""ccMb":${s1.codeCacheUsedMb},"metaMb":${s1.metaspaceUsedMb},"heapMb":${s1.heapUsedMb}}"""
         System.err.println(s"[bench] ${jvmRows.last}")
+        // errored queries are OMITTED from the summary queries map (the
+        // error rides the errors map; a negative sentinel corrupted
+        // per-query round-over-round comparisons, ADVICE r8) and from
+        // the headline total — the total is the sum of queries that RAN.
         if (ok) {
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), elapsed)
           bestCpu(name) = math.min(bestCpu.getOrElse(name, Double.MaxValue), selfUserSec)
-        } else if (!best.contains(name)) best(name) = -elapsed
+        }
       }
       // Noise gate: judge the whole pass from the machine-wide jiffy
       // deltas. steal>5% of capacity = hypervisor contention burst;
@@ -268,7 +272,14 @@ object Bench {
       .mkString("{", ",", "}")
     val cpuQs = bestCpu.map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    // one key per failing query, value = list of per-pass errors in
+    // occurrence order (duplicate JSON keys are parser-dependent and
+    // silently dropped the per-pass distinction, ADVICE r8)
+    val failedQueries = failures.reverse.map(_._1).distinct
+    def errList(q: String): String = failures.reverse.collect {
+      case (`q`, msg) => msg
+    }.map(jstr).mkString("[", ",", "]")
+    val errs = failedQueries.map(q => jstr(q) + ":" + errList(q))
       .mkString("{", ",", "}")
     val total = best.values.filter(_ > 0).sum
     val cpuTotal = bestCpu.values.sum
@@ -301,8 +312,9 @@ object Bench {
         // errors must not blow the cap either (they matter most on
         // failing runs): first 5, messages truncated, count always
         // present; full messages stay in the evidence sidecar + stderr
-        val errsShort = failures.take(5).map { case (k, v) =>
-          jstr(k) + ":" + jstr(v.take(60))
+        val errsShort = failedQueries.take(5).map { q =>
+          jstr(q) + ":" + failures.reverse.collect { case (`q`, msg) => msg }
+            .map(m => jstr(m.take(60))).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
         val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","policy":"min-of-$pass",""" +
           s""""cpuTotal":${fmt(cpuTotal)},"cleanPass":$anyClean,""" +

@@ -1280,6 +1280,43 @@ object SparkEntry {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Composite-key PIT serve over a TUPLE-bucketed log
+    * ([[graft.sources.Bucketing]] Seq form): the record log laid out
+    * bucketed by the full (user_id, event_type) entity tuple hands
+    * [[Serving.latestAsOf]] its clustering straight from the scan —
+    * zero exchanges (PlanSpec asserts), where the union-tag window
+    * path (`q_pit_composite`) pays an exchange plus a full sort of
+    * labels+log. This is the serve layout a 100 TB composite-keyed
+    * store runs. The oracle is the plain latest-per-tuple — bucketing
+    * must be invisible in the result. */
+  private val pitBucketed = Q("q_pit_bucketed",
+    (s, d) => {
+      // pid-unique path: concurrent JVMs (Bench ∥ Verify) must never
+      // share a bucketed scratch dir (ADVICE r4; see Bucketing's doc).
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_p${ProcessHandle.current().pid()}"
+      val records = graft.sources.Bucketing.ensureBucketed(s,
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id"), col("value")),
+        s"graft_events_tuple_$tag",
+        s"/tmp/graft_buckets/$tag/events_tuple",
+        Seq("user_id", "event_type"), 8)
+      Serving.latestAsOf(records, Seq("user_id", "event_type"), "ts",
+          Some(to_timestamp(lit(AsOf))), Seq(col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          Tables.tsStr(col("ts")).as("ts_s"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some(s"""
+      SELECT user_id, event_type, event_id, round(value, 6) AS value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '$AsOf')
+      WHERE rn = 1 ORDER BY user_id, event_type"""))
+
   private val mathFns = Q("q_math_fns",
     (s, d) => Tables.lineitem(s, d)
       .filter(col("l_orderkey") < 200)
@@ -2054,6 +2091,73 @@ $rounds"""
       ${bpeCtes(iters)}
       SELECT step, find, repl, cnt FROM ($union) ORDER BY step"""
   }
+
+  /** DuckDB replay of [[graft.operators.Bpe.trainBatched]]'s rounds:
+    * pair counts, the (cnt DESC, find) candidate ranking, the
+    * conflict-against-any-higher-ranked filter, and the within-round
+    * batch application — merges are symbol-disjoint by construction,
+    * so the unrolled replace chain (rank order) matches Spark's
+    * `aggregate` fold regardless of order. Scalar subqueries fall back
+    * to a '#' sentinel (can't occur: symbols are `[a-z0-9<>]`) when a
+    * round keeps fewer than `batch` merges. */
+  private def bpeBatchedCtes(rounds: Int, batch: Int, candidates: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val applyChain = (1 to batch).foldLeft("seq") { (acc, j) =>
+        s"replace($acc, coalesce((SELECT find FROM k$i WHERE rnk = $j), '#'), " +
+          s"coalesce((SELECT repl FROM k$i WHERE rnk = $j), ''))"
+      }
+      s"""      bs$i AS (SELECT c, string_split(substr(seq, 2, length(seq) - 2), '><') AS s FROM w${i - 1}),
+      bp$i AS (SELECT find, CAST(sum(c) AS BIGINT) AS cnt FROM (
+          SELECT c, unnest(list_transform(range(1, len(s)),
+            j -> '<' || s[j] || '><' || s[j + 1] || '>')) AS find FROM bs$i)
+        GROUP BY find),
+      br$i AS (SELECT * FROM (
+          SELECT find, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, find) AS rn,
+                 regexp_extract(find, '^<([^>]*)><', 1) AS ls,
+                 regexp_extract(find, '><([^>]*)>$$', 1) AS rs
+          FROM bp$i) WHERE rn <= $candidates),
+      k$i AS (SELECT find, cnt, rn,
+                     '<' || regexp_replace(find, '[<>]', '', 'g') || '>' AS repl,
+                     row_number() OVER (ORDER BY rn) AS rnk
+              FROM br$i a
+              WHERE NOT EXISTS (SELECT 1 FROM br$i b WHERE b.rn < a.rn
+                AND (b.ls = a.ls OR b.ls = a.rs OR b.rs = a.ls OR b.rs = a.rs))
+              QUALIFY rnk <= $batch),
+      w$i AS (SELECT word, c, $applyChain AS seq FROM w${i - 1})"""
+    }.mkString(",\n")
+    s"""WITH words AS (
+        SELECT term AS word, count(*) AS c FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents)
+        WHERE regexp_full_match(term, '[a-z0-9]+') GROUP BY term),
+      w0 AS (SELECT word, c,
+               regexp_replace(word, '(.)', '<\\1>', 'g') AS seq FROM words),
+$roundCtes"""
+  }
+
+  private def bpeBatchedOracle(rounds: Int, batch: Int, candidates: Int): String = {
+    val union = (1 to rounds)
+      .map(i => s"SELECT $i AS step, rnk, find, repl, cnt FROM k$i")
+      .mkString(" UNION ALL ")
+    s"""
+      ${bpeBatchedCtes(rounds, batch, candidates)}
+      SELECT step, rnk, find, repl, cnt FROM ($union) ORDER BY step, rnk"""
+  }
+
+  /** Batched BPE training ([[Bpe.trainBatched]]): up to 4 symbol-
+    * disjoint merges per round, 3 rounds — the production trainer
+    * shape (sequential [[Bpe.train]] needs one full Spark round per
+    * merge; a 30k vocab wants them batched). The oracle replays the
+    * candidate ranking, the disjointness filter, and every round's
+    * batched application, so the hash gate proves the whole batched
+    * trajectory. */
+  private val bpeBatched = Q("q_bpe_batched",
+    (s, d) => Bpe.trainBatched(
+        Bpe.wordVocab(Tables.documents(s, d), "text"),
+        rounds = 3, batch = 4, candidates = 16)
+      .orderBy(col("step"), col("rnk")),
+    Some(bpeBatchedOracle(3, 4, 16)))
 
   /** Distributed BPE vocabulary training ([[graft.operators.Bpe]]):
     * 6 merge rounds over the corpus word vocabulary. The oracle
@@ -3640,7 +3744,7 @@ $rounds"""
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
     rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg, stableIds,
     zorderKey,
-    bucketedJoin, outerJoin,
+    bucketedJoin, pitBucketed, outerJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
     dedupExact, dedupExact2, dedupFp, winnowFp, winnowDup, chunkText,
@@ -3660,7 +3764,7 @@ $rounds"""
     ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn, ivfIndexAnn,
     qualityChecks,
     dedupCc, dedupCanonical, hashSample, stratifiedSample, rangeJoin,
-    tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, kfold,
+    tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched, kfold,
     countsIncremental,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)

@@ -143,7 +143,19 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     * for an empty partition), so the swap stays idempotent: a staged
     * date missing after a crash means "already swapped", never "delete
     * the destination again". Single-writer, like every log mutation.
-    * Returns the number of records removed. */
+    * Returns the number of records removed.
+    *
+    * Batch-size posture: a GDPR-sized batch (a handful of ids) inlines
+    * the ids as an `isin` literal list — it pushes to parquet row-group
+    * stats, so phase (1) skips files that can't contain a doomed row.
+    * A LARGE deletion batch (a court-ordered source takedown, tens of
+    * thousands of ids) would compile those literals into every task's
+    * predicate — driver-side plan explosion — so above
+    * [[ForgetInlineMax]] the ids become a broadcast-joined frame
+    * instead: one semi-join finds the affected dates, one anti-join
+    * keeps the survivors. The anti-join's null semantics reproduce the
+    * isin path's carve-outs by construction: a null-key row never
+    * equi-matches, so it always survives. */
   def forget(group: FeatureGroup, ids: Seq[Any]): Long = {
     require(ids.nonEmpty, "forget: need at least one entity id")
     val base = new org.apache.hadoop.fs.Path(dir(group))
@@ -151,7 +163,31 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     recoverForget(group)
     val key = col(group.entityKey)
     val log = readMerged(group)
-    val affected = log.filter(key.isin(ids: _*))
+    val idsFrame: Option[DataFrame] =
+      if (ids.size <= ForgetInlineMax) None
+      else {
+        val keyType = log.schema(group.entityKey).dataType
+        val rows = ids.map(org.apache.spark.sql.Row(_))
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__forget_id", keyType)))))
+      }
+    def doomed(df: DataFrame): DataFrame = idsFrame match {
+      case Some(f) => df.join(broadcast(f), key === col("__forget_id"), "left_semi")
+      case None    => df.filter(key.isin(ids: _*))
+    }
+    def survivors(df: DataFrame): DataFrame = idsFrame match {
+      case Some(f) => df.join(broadcast(f), key === col("__forget_id"), "left_anti")
+      case None    =>
+        // null-key rows must SURVIVE: `!isin` evaluates to NULL
+        // (dropped) for them, and write() never forbids null entity
+        // keys — without the carve-out a forget batch would silently
+        // erase every null-key row sharing a date with a forgotten
+        // entity (review r7)
+        df.filter(key.isNull || !key.isin(ids: _*))
+    }
+    val affected = doomed(log)
       .groupBy(col("p_date")).agg(count(lit(1)).as("n"))
       .collect() // bounded by the entity's active dates, not the log
     if (affected.isEmpty) return 0L
@@ -168,12 +204,7 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     val dateHit =
       if (realDates.length == dates.length) col("p_date").isin(realDates: _*)
       else col("p_date").isNull || col("p_date").isin(realDates: _*)
-    log.filter(dateHit)
-      // null-key rows must SURVIVE: `!isin` evaluates to NULL (dropped)
-      // for them, and write() never forbids null entity keys — without
-      // the carve-out a forget batch would silently erase every
-      // null-key row sharing a date with a forgotten entity (review r7)
-      .filter(key.isNull || !key.isin(ids: _*))
+    survivors(log.filter(dateHit))
       .repartition(col("p_date"))
       .write.mode("overwrite").partitionBy("p_date")
       .parquet(stage.toString)
@@ -206,6 +237,10 @@ final class RecordLog(val spark: SparkSession, val root: String) {
 
   private val CompactStage = "_compact_staged"
   private val ForgetStage = "_forget_staged"
+
+  /** Largest deletion batch [[forget]] inlines as `isin` literals;
+    * larger batches broadcast-join instead (see [[forget]]'s doc). */
+  val ForgetInlineMax: Int = 1000
 
   private def recoverStage(group: FeatureGroup, stageName: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(dir(group))

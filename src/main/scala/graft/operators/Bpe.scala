@@ -103,6 +103,110 @@ object Bpe {
     } else built.reduce(_.unionByName(_))
   }
 
+  /** Batched BPE training: per round, merge up to `batch` of the
+    * top-ranked pairs instead of one — the production answer to
+    * [[train]]'s one-round-per-merge shape, which needs 30k sequential
+    * Spark jobs for a 30k vocabulary. Batching cuts the round count by
+    * ~`batch`× at a bounded, well-understood divergence from
+    * sequential BPE (SentencePiece and other production trainers make
+    * the same trade).
+    *
+    * Batch selection must be ORDER-INDEPENDENT inside a round, or the
+    * result is undefined: two merges sharing a symbol interact (one
+    * can create or destroy the other's occurrences). The rule here —
+    * rank all pairs by (cnt DESC, find), keep a candidate only if it
+    * shares NO symbol with ANY higher-ranked candidate, take the first
+    * `batch` kept — guarantees the kept set is pairwise
+    * symbol-disjoint, and for disjoint pairs a merge can neither
+    * create nor destroy another's adjacencies (symbols live in
+    * delimiter-bounded `<..>` cells), so applying them in any order
+    * yields the same vocab and their pre-round counts are exact.
+    * Divergence from sequential BPE happens only when a merge's NEWLY
+    * CREATED symbol would have out-ranked a later pick — the batched ≡
+    * sequential spec pins the equality on corpora where it doesn't.
+    *
+    * The rule is deliberately a join (conflict against any
+    * higher-RANKED candidate, not any higher-ranked KEPT one — a
+    * greedy fold would be sequential again): one self-anti-join over
+    * the `candidates`-row frame, SQL-replayable by the DuckDB oracle.
+    * Scale shape matches [[train]]: pair counting is vocab-bounded,
+    * candidate ranking is a distributed top-`candidates`
+    * (TakeOrderedAndProject), the conflict join runs over ≤`candidates`
+    * rows, and the chosen merges are broadcast back as one array — the
+    * driver never holds them.
+    *
+    * Returns one row per merge: (step, rnk, find, repl, cnt) — step is
+    * the round number. */
+  def trainBatched(
+      vocab0: DataFrame,
+      rounds: Int,
+      batch: Int,
+      candidates: Int): DataFrame = {
+    require(rounds >= 1, "trainBatched: need at least one round")
+    require(batch >= 1, "trainBatched: need batch >= 1")
+    require(candidates >= batch, "trainBatched: candidates must cover batch")
+    import org.apache.spark.sql.expressions.Window
+    var vocab = vocab0
+    val merges = Seq.newBuilder[DataFrame]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val counts = vocab
+        .select(col("c"), explode(pairsOf(col("seq"))).as("find"))
+        .groupBy(col("find")).agg(sum(col("c")).as("cnt"))
+      // top-`candidates` distributed, THEN the (bounded) rank window
+      val cand = counts.orderBy(col("cnt").desc, col("find")).limit(candidates)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cnt").desc, col("find"))))
+        .withColumn("ls", regexp_extract(col("find"), "^<([^>]*)><", 1))
+        .withColumn("rs", regexp_extract(col("find"), "><([^>]*)>$", 1))
+        .localCheckpoint(false) // self-joined below; pin one evaluation
+      val kept = cand.as("a").join(cand.as("b"),
+          col("b.rn") < col("a.rn") &&
+            (col("b.ls") === col("a.ls") || col("b.ls") === col("a.rs") ||
+             col("b.rs") === col("a.ls") || col("b.rs") === col("a.rs")),
+          "left_anti")
+        .withColumn("rnk", row_number().over(Window.orderBy(col("rn"))))
+        .filter(col("rnk") <= batch)
+        .withColumn("repl",
+          concat(lit("<"), translate(col("find"), "<>", ""), lit(">")))
+        .localCheckpoint(false)
+      if (kept.isEmpty) exhausted = true
+      else {
+        // all chosen merges ride ONE broadcast array; disjointness makes
+        // the fold order irrelevant, rnk order keeps it deterministic
+        val mergeArr = kept.agg(array_sort(
+          collect_list(struct(col("rnk"), col("find"), col("repl")))).as("__ms"))
+        vocab = vocab
+          .join(broadcast(mergeArr), lit(true), "left")
+          .withColumn("seq",
+            expr("aggregate(__ms, seq, (acc, m) -> replace(acc, m.find, m.repl))"))
+          .drop("__ms")
+          .localCheckpoint(false)
+        merges += kept.select(lit(round).as("step"), col("rnk"),
+          col("find"), col("repl"), col("cnt"))
+      }
+      round += 1
+    }
+    val built = merges.result()
+    if (built.isEmpty) {
+      val spark = vocab0.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("rnk",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("find",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("repl",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    } else built.reduce(_.unionByName(_))
+  }
+
   /** Segment the vocab with the trained merges: the final (word, seq)
     * after all `iters` rounds — what a tokenizer would persist. */
   def segmented(vocab0: DataFrame, merges: DataFrame): DataFrame = {

@@ -42,13 +42,29 @@ object Bucketing {
       table: String,
       path: String,
       key: String,
+      buckets: Int): DataFrame =
+    ensureBucketed(spark, df, table, path, Seq(key), buckets)
+
+  /** Composite-key form: real stores key entities on (tenant, entity)-
+    * style tuples, and PIT serving groups on that tuple. Bucketing by
+    * the full tuple reports `HashPartitioning(keys)` from the scan, so
+    * a composite-key `groupBy`/`max_by` serve — [[graft.fs.Serving]]'s
+    * `latestAsOf(keys, …)` — runs with ZERO exchanges, exactly like
+    * the single-key path (PlanSpec asserts both). */
+  def ensureBucketed(
+      spark: SparkSession,
+      df: => DataFrame,
+      table: String,
+      path: String,
+      keys: Seq[String],
       buckets: Int): DataFrame = {
+    require(keys.nonEmpty, "ensureBucketed: need at least one bucket column")
     if (!spark.catalog.tableExists(table)) {
-      df.repartition(buckets, col(key))
+      df.repartition(buckets, keys.map(col): _*)
         .write.mode("overwrite")
         .option("path", path)
-        .bucketBy(buckets, key)
-        .sortBy(key)
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
         .format("parquet")
         .saveAsTable(table)
     }

@@ -468,6 +468,39 @@ class FeatureStoreSpec extends SparkSpec {
     assert(left == Set(77, 40), "the null-key row must survive the rewrite")
   }
 
+  test("forget takes the broadcast anti-join path for a large deletion batch") {
+    // above ForgetInlineMax the ids stop being isin literals and ride a
+    // broadcast-joined frame; semantics must not move: exact removed
+    // count, null-key rows survive, untouched dates keep their files
+    val c = registered()
+    val g = c.createGroup(FeatureGroup("rtbfbig", 1, Seq("age"), "user"))
+    val log = new RecordLog(spark, tmpDir("rtbfbiglog"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val keep = (100001L to 100005L).map(u =>
+      (Some(u), t("2024-01-01 01:00:00"), 1))
+    val doomedRows = (1L to 1200L).map(u =>
+      (Some(u), t("2024-01-01 02:00:00"), 2))
+    val nullKey = Seq((Option.empty[Long], t("2024-01-01 03:00:00"), 3))
+    val other = Seq((Some(1L), t("2024-01-02 01:00:00"), 4), // doomed, day 2
+      (Some(100001L), t("2024-01-03 01:00:00"), 5))          // untouched day
+    log.write(g, (keep ++ doomedRows ++ nullKey ++ other).toDF("user", "ts", "age"))
+    assert(doomedRows.size > log.ForgetInlineMax,
+      "spec must exceed the inline threshold to exercise the join path")
+    val base = new java.io.File(log.dir(g))
+    def partFile(date: String) = new java.io.File(base, s"p_date=$date")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val untouchedBefore = partFile("2024-01-03")
+    val removed = log.forget(g, (1L to 1200L))
+    assert(removed == 1201L, s"1200 day-1 rows + 1 day-2 row, got $removed")
+    val left = log.read(g).select("age").as[Int].collect().toSeq.sorted
+    assert(left == Seq(1, 1, 1, 1, 1, 3, 5),
+      "survivors: the 5 keepers, the null-key row, the untouched-day row")
+    val untouchedAfter = partFile("2024-01-03")
+    assert(untouchedAfter.getName == untouchedBefore.getName &&
+      untouchedAfter.lastModified() == untouchedBefore.lastModified(),
+      "untouched partition must not be rewritten")
+  }
+
   test("record version column persists; defaults to 1 (feature_store.py:107,357)") {
     val g = FeatureGroup("ver", 1, Seq("age"), "user_id")
     val log = new RecordLog(spark, tmpDir("version"))

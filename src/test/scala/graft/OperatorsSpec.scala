@@ -104,6 +104,46 @@ class OperatorsSpec extends SparkSpec {
     assert(dirty.select("word").as[String].collect().toSet == Set("e"))
   }
 
+  test("batched BPE equals sequential when the top pairs are symbol-disjoint") {
+    // corpus: "ab"×30, "cd"×20, "ef"×10 — the three top pairs share no
+    // symbol and no merge creates a pair that outranks a later pick, so
+    // ONE batched round of 3 must train exactly the 3 sequential merges
+    val corpus = Seq.fill(30)("ab") ++ Seq.fill(20)("cd") ++ Seq.fill(10)("ef")
+    val vocab = Bpe.wordVocab(corpus.toDF("text"), "text")
+    val seq3 = Bpe.train(vocab, iters = 3)
+      .select("find", "repl", "cnt").as[(String, String, Long)].collect().toSet
+    val bat = Bpe.trainBatched(vocab, rounds = 1, batch = 3, candidates = 12)
+    assert(bat.select("step").as[Int].collect().toSet == Set(1),
+      "all three merges must land in the single batched round")
+    assert(bat.select("find", "repl", "cnt").as[(String, String, Long)]
+      .collect().toSet == seq3,
+      "disjoint top pairs: batched round must equal 3 sequential merges")
+    // and the trained vocab state agrees too
+    val segSeq = Bpe.segmented(vocab, Bpe.train(vocab, iters = 3))
+      .select("word", "seq").as[(String, String)].collect().toSet
+    val segBat = Bpe.segmented(vocab,
+        bat.withColumnRenamed("step", "s0")
+          .withColumn("step", col("s0") * 100 + col("rnk")).drop("s0", "rnk"))
+      .select("word", "seq").as[(String, String)].collect().toSet
+    assert(segSeq == segBat)
+  }
+
+  test("batched BPE drops a candidate conflicting with a higher-ranked pair") {
+    // "ab"×30, "bc"×20: (a,b) outranks (b,c) and they share symbol b →
+    // the round keeps only (a,b); (b,c)'s occurrence count would be
+    // stale after the merge, so it must NOT ride the same batch
+    val vocab = Bpe.wordVocab(
+      (Seq.fill(30)("ab") ++ Seq.fill(20)("bc")).toDF("text"), "text")
+    val bat = Bpe.trainBatched(vocab, rounds = 1, batch = 4, candidates = 12)
+    assert(bat.select("find").as[String].collect().toSeq == Seq("<a><b>"),
+      "conflicting pair must wait for the next round")
+    // round 2 then picks it with its (unchanged) count
+    val two = Bpe.trainBatched(vocab, rounds = 2, batch = 4, candidates = 12)
+    assert(two.orderBy("step", "rnk").select("step", "find", "cnt")
+      .as[(Int, String, Long)].collect().toSeq ==
+      Seq((1, "<a><b>", 30L), (2, "<b><c>", 20L)))
+  }
+
   test("BPE greedy merge is left-to-right on overlapping pairs") {
     // "aaa": pair <a><a> counts twice but merges once greedily → <aa><a>
     val vocab = Bpe.wordVocab(Seq("aaa").toDF("text"), "text")

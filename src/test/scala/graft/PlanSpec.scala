@@ -201,6 +201,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"bucketed PIT serve must not shuffle:\n${physical(served)}")
   }
 
+  test("tuple-bucketed record log serves composite-key latestAsOf with zero exchanges") {
+    // The composite-key generalization (tenant, entity)-style stores
+    // need: bucketing by the FULL key tuple hands the serve aggregate
+    // HashPartitioning(user_id, event_type) straight from the scan, so
+    // the latest-per-(key tuple) read — the path q_pit_composite's
+    // union-tag window pays an exchange + full sort for — costs no
+    // shuffle at all when the log is laid out for it.
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val records = graft.sources.Bucketing.ensureBucketed(spark,
+      Tables.events(spark, sf).select(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value")),
+      s"graft_serve_log_comp_$tag",
+      s"/tmp/graft_buckets/$tag/serve_log_comp",
+      Seq("user_id", "event_type"), 8)
+    val served = graft.fs.Serving.latestAsOf(records,
+      Seq("user_id", "event_type"), "ts", None,
+      Seq(org.apache.spark.sql.functions.col("event_id")))
+    served.collect() // AQE: final plan materializes after execution
+    val shuffles = collectWithSubqueries(served.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"tuple-bucketed composite PIT serve must not shuffle:\n${physical(served)}")
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE only materializes the final (codegen'd) plan after execution;
     // the short toString renders spans as "*(n)", so check structurally.
