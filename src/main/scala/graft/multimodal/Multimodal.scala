@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * pipeline).
   *
   * Image decoding is REAL: `decodeImages` runs `javax.imageio` (in the
-  * JDK, offline-safe) per partition over BMP/PNG payloads and extracts
-  * width/height/pixel statistics — see `q_media_decode`. Audio decoding
+  * JDK, offline-safe) per partition and extracts width/height/pixel
+  * statistics — see `q_media_decode`. The JDK registry ships BMP, PNG
+  * and JPEG readers, and MultimodalSpec decodes real PNG and JPEG
+  * payloads through the same distributed path, so the external-codec
+  * caveat below does not apply to images. Audio decoding
   * is REAL too: `decodeWav` runs `javax.sound.sampled` over RIFF/WAVE
   * PCM16 payloads and computes integer-exact sample statistics — see
   * `q_media_audio`. Video decoding is real at the container+frame

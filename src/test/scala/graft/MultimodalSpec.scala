@@ -49,6 +49,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImages reads real PNG and JPEG payloads (r8 verdict #7)") {
+    // decodeImages is format-parameterized over ImageIO's registry, and
+    // the JDK ships PNG + JPEG readers — so the "external codecs
+    // stubbed" caveat does not apply to images. Mint payloads with
+    // ImageIO.write (generation separate from decode, like the BMP
+    // pair) and run the distributed decode path over them.
+    def grayImage(w: Int, h: Int, px: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = px(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def encode(fmt: String, img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    def px(x: Int, y: Int): Int = (x * 11 + y * 5) % 256
+    val w = 9; val h = 6
+    val exact = (for (y <- 0 until h; x <- 0 until w) yield px(x, y).toLong).sum
+
+    // PNG is lossless: pixel statistics must replay exactly
+    val png = Seq((1L, encode("png", grayImage(w, h, px))))
+      .toDF("media_id", "payload")
+    val pf = Multimodal.decodeImages(spark, png, format = "png").collect().head
+    assert(pf.width == w && pf.height == h && pf.n_px == w * h)
+    assert(pf.sum_gray == exact, "PNG decode must be pixel-exact")
+
+    // JPEG is lossy: dims are exact, gray mass within quantization slack
+    val jpg = Seq((2L, encode("jpeg", grayImage(w, h, px))))
+      .toDF("media_id", "payload")
+    val jf = Multimodal.decodeImages(spark, jpg, format = "jpeg").collect().head
+    assert(jf.width == w && jf.height == h && jf.n_px == w * h)
+    val meanDrift = math.abs(jf.sum_gray - exact).toDouble / (w * h)
+    assert(meanDrift < 8.0,
+      s"JPEG mean gray drifted $meanDrift levels — not a plausible decode")
+  }
+
   test("resizeImages picks nearest-neighbor source pixels with floor indices") {
     // 4×2 image with pixel(x,y) = y*4 + x; resize to 2×1:
     // sy = 0·2/1 = 0; sx ∈ {0·4/2, 1·4/2} = {0, 2} → pixels 0 and 2

@@ -385,9 +385,12 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("results are AQE-invariant: plans may re-shape, rows may not") {
     // the determinism conventions promise results independent of
-    // physical planning; flipping AQE is the cheapest planning shake
-    val names = Seq("q_source_mix", "q_topk", "q_scd2_history",
-      "q_pack_sharded", "q_resample_ffill")
+    // physical planning; flipping AQE is the cheapest planning shake.
+    // EVERY declared query runs under both settings (r8 verdict #8) —
+    // plan-shape-sensitive queries like q_stable_ids (two-phase offset
+    // ids chained across partition counts) and q_pq_index (persisted
+    // index re-read) could silently depend on AQE's runtime coalescing.
+    val names = SparkEntry.queryOrder
     val sfDir = sf
     def run(): Map[String, Array[String]] = names.map { n =>
       n -> SparkEntry.queries(n)(spark, sfDir).collect().map(_.toString)
@@ -398,7 +401,8 @@ class PipelineOpsSpec extends SparkSpec {
     try {
       spark.conf.set(key, "false")
       val off = run()
-      for (n <- names) assert(on(n).sameElements(off(n)), s"$n drifted under AQE flip")
+      val drifted = names.filterNot(n => on(n).sameElements(off(n)))
+      assert(drifted.isEmpty, s"queries drifted under AQE flip: $drifted")
     } finally spark.conf.set(key, orig)
   }
 
