@@ -2092,6 +2092,99 @@ $rounds"""
       SELECT step, find, repl, cnt FROM ($union) ORDER BY step"""
   }
 
+  /** Corpus-trained bigram-LM surprisal ([[graft.operators.LangModel]]):
+    * the CCNet-style perplexity quality filter — every document scored
+    * by mean add-1-smoothed bigram NLL under counts trained on the
+    * corpus itself. Per-bigram NLL rounds at 6 dp and the per-doc mean
+    * is an exact decimal sum over those terms, so the score is
+    * aggregation-order-independent and replays bit-for-bit in DuckDB
+    * (the `round(ln(...), 6)` cross-engine convention q_math_fns
+    * established). */
+  private val lmPerplexity = Q("q_lm_perplexity",
+    (s, d) => graft.operators.LangModel
+      .bigramNll(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           w -> regexp_full_match(w, '[a-z0-9]+')) AS ws
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+          FROM toks)),
+      uni AS (SELECT w1, count(*) AS cu
+              FROM (SELECT unnest(ws) AS w1 FROM toks) GROUP BY w1),
+      vocab AS (SELECT count(*) AS v FROM uni),
+      scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               sum(CAST(round(-ln((cb + 1) / CAST(cu + v AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS s
+        FROM pairs
+        JOIN (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2)
+          USING (w1, w2)
+        JOIN uni USING (w1) CROSS JOIN vocab
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+             round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_nll
+      FROM scored ORDER BY doc_id"""))
+
+  /** Domain-contrast LM scoring ([[LangModel.bigramNllAgainst]]): the
+    * LM trains on a deterministic 25 % `hashKeep` sample of the corpus
+    * (the curated in-domain stand-in) and scores EVERY document — the
+    * out-of-sample docs exercise the unseen-bigram/unseen-head
+    * smoothing floor (left joins, c = 0). Output = the 20 most
+    * out-of-domain docs, the takedown-review shape of the CCNet domain
+    * filter. Oracle replays the md5 sample cut, both count tables and
+    * the smoothing arithmetic. */
+  private val lmDomain = Q("q_lm_domain",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val indomain = docs.filter(
+        graft.operators.Sampling.hashKeep(col("doc_id"), 0.25, "lm"))
+      graft.operators.LangModel
+        .bigramNllAgainst(indomain, docs, "doc_id", "text")
+        .orderBy(col("avg_nll").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH tr AS (
+        SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           w -> regexp_full_match(w, '[a-z0-9]+')) AS ws
+        FROM documents
+        WHERE substr(md5('lm' || CAST(doc_id AS VARCHAR)), 1, 12)
+              < '400000000000'),
+      uni AS (SELECT w1, count(*) AS cu
+              FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY w1),
+      vocab AS (SELECT count(*) AS v FROM uni),
+      bi AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cb FROM (
+          SELECT unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+          FROM tr) GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              w -> regexp_full_match(w, '[a-z0-9]+')) AS ws
+                FROM documents))),
+      scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               sum(CAST(round(-ln((coalesce(cb, 0) + 1)
+                     / CAST(coalesce(cu, 0) + v AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS s
+        FROM pairs
+        LEFT JOIN bi USING (w1, w2)
+        LEFT JOIN uni USING (w1) CROSS JOIN vocab
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+             round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_nll
+      FROM scored ORDER BY avg_nll DESC, doc_id LIMIT 20"""))
+
   /** DuckDB replay of [[graft.operators.Bpe.trainBatched]]'s rounds:
     * pair counts, the (cnt DESC, find) candidate ranking, the
     * conflict-against-any-higher-ranked filter, and the within-round
@@ -3764,7 +3857,8 @@ $roundCtes"""
     ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn, ivfIndexAnn,
     qualityChecks,
     dedupCc, dedupCanonical, hashSample, stratifiedSample, rangeJoin,
-    tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched, kfold,
+    tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched,
+    lmPerplexity, lmDomain, kfold,
     countsIncremental,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Corpus-trained n-gram language-model scoring — the CCNet-style
+  * quality dial: score every document by how surprising its token
+  * sequence is under a bigram LM trained on a corpus. Low surprisal ≈
+  * fluent, in-distribution text; high surprisal flags boilerplate
+  * soup, OCR noise, wrong-language shards — the classic perplexity
+  * filter of large-scale training-data pipelines.
+  *
+  * Model: add-1 (Laplace) smoothed bigram LM over lowercase
+  * `[a-z0-9]+` tokens (the corpus-stats tokenization):
+  * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), V = |training vocab|.
+  * Bigrams and heads unseen in training fall back to c = 0 — the
+  * smoothing floor 1/(0 + V) — so a model trained on one corpus
+  * scores ANY other corpus (the domain-filter shape: train on a
+  * curated in-domain sample, score the raw crawl).
+  *
+  * Per-document score = mean token NLL — each bigram contributes
+  * round(-ln P, 6), and the per-doc mean is an EXACT decimal sum of
+  * those rounded terms divided by the bigram count, so the result is
+  * independent of Spark's aggregation order (the fit-transform /
+  * statistics convention; a raw double sum drifts in the last ulp
+  * with merge order). `exp(avg_nll)` would be perplexity; the
+  * monotone avg_nll itself is the ranking quantity, so the exp is
+  * left to consumers.
+  *
+  * Scale shape: ONE tokenize pass per corpus feeds the count tables;
+  * unigram and bigram counts are vocab-bounded aggregates (keyed
+  * exchanges, never all-pairs); scoring joins each document bigram
+  * against the count tables on the word keys — hash-partitioned
+  * equi-joins that AQE can re-plan, no driver-side model
+  * materialization (the LM "model" IS a pair of DataFrames, exactly
+  * how a 100 TB corpus wants its counts held).
+  */
+object LangModel {
+
+  /** Lowercase `[a-z0-9]+` token array per row (empty when none). */
+  private def alnumTokens(textCol: String) =
+    expr(s"filter(split(trim(lower($textCol)), '\\\\s+'), " +
+      "w -> w rlike '^[a-z0-9]+$')")
+
+  /** Adjacent token pairs; `sequence(1, n-1)` would run DESCENDING for
+    * n < 2, hence the guard. */
+  private def bigramsExpr =
+    when(size(col("ws")) < 2,
+      expr("array()").cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+
+  /** Per-document add-1 bigram surprisal of `score` under the LM
+    * trained on `train`: (idCol, n_bigrams, avg_nll). Documents with
+    * fewer than two alphanumeric tokens carry no bigram and drop out —
+    * their fluency is undefined, not zero. */
+  def bigramNllAgainst(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val trainToks = train.select(alnumTokens(textCol).as("ws"))
+    val uni = trainToks.select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = trainToks.select(explode(bigramsExpr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val pairs = score.select(col(idCol), alnumTokens(textCol).as("ws"))
+      .select(col(idCol), explode(bigramsExpr).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    pairs
+      .join(bi, Seq("w1", "w2"), "left")   // unseen bigram → cb = 0
+      .join(uni, Seq("w1"), "left")        // unseen head → cu = 0
+      .join(broadcast(vocab), lit(true), "inner")
+      .withColumn("nll", round(-log(
+        (coalesce(col("cb"), lit(0L)) + 1).cast(DoubleType) /
+          (coalesce(col("cu"), lit(0L)) + col("v")).cast(DoubleType)), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast(DecimalType(18, 6))).as("__s"))
+      .withColumn("avg_nll",
+        round(col("__s").cast(DoubleType) / col("n_bigrams"), 6))
+      .drop("__s")
+  }
+
+  /** Self-scoring form: the LM is trained on the corpus it scores
+    * (every bigram/head is then seen, c ≥ 1). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramNllAgainst(docs, docs, idCol, textCol)
+}

@@ -406,6 +406,49 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set(key, orig)
   }
 
+  test("bigram LM surprisal matches the hand-computed add-1 model") {
+    import graft.operators.LangModel
+    // corpus: doc1 "a b", doc2 "a b a", doc3 "x" →
+    //   uni: a=3, b=2, x=1 → V=3; bi: (a,b)=2, (b,a)=1
+    //   P(b|a) = (2+1)/(3+3) → nll .693147
+    //   P(a|b) = (1+1)/(2+3) → nll .916291
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "x")).toDF("doc_id", "text")
+    val got = LangModel.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nllAB = r6(-math.log(3.0 / 6.0))
+    val nllBA = r6(-math.log(2.0 / 5.0))
+    assert(got == Seq(
+      (1L, 1L, nllAB),
+      // exact decimal sum of the two rounded terms, then one division
+      (2L, 2L, r6((BigDecimal(nllAB) + BigDecimal(nllBA)).toDouble / 2))),
+      s"got $got")
+    // doc3 has one token → no bigram → undefined fluency, absent (not 0)
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("cross-corpus LM smooths unseen bigrams and heads to the add-1 floor") {
+    import graft.operators.LangModel
+    // train "a b": uni a=1, b=1, V=2; bi (a,b)=1.
+    // score "c a b": (c,a) unseen head+bigram → P = 1/(0+2);
+    //                (a,b) seen → P = (1+1)/(1+2)
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val score = Seq((4L, "c a b")).toDF("doc_id", "text")
+    val got = LangModel.bigramNllAgainst(train, score, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nllCA = r6(-math.log(1.0 / 2.0))
+    val nllAB = r6(-math.log(2.0 / 3.0))
+    assert(got == Seq(
+      (4L, 2L, r6((BigDecimal(nllCA) + BigDecimal(nllAB)).toDouble / 2))),
+      s"got $got")
+  }
+
   test("hash split is leak-proof: a key never lands on both sides") {
     import graft.operators.Sampling
     val rows = (1L to 50L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
