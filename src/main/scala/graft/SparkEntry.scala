@@ -57,6 +57,56 @@ object SparkEntry {
         FROM events WHERE ts <= TIMESTAMP '$AsOf')
       WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Snapshot drift audit ([[Serving.snapshotDiff]]): which entities'
+    * served snapshot changed between two as-of times — the serve-diff
+    * a feature-store operator runs before promoting a new serving
+    * date. Identity = event_id (unique, null-free), so the status
+    * compare is engine-exact. Oracle = two row_number serves +
+    * FULL JOIN + the same CASE. */
+  private val pitDiff = Q("q_pit_diff",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts"), round(col("value"), 6).as("value"))
+      Serving.snapshotDiff(e, e, "user_id", "ts",
+          to_timestamp(lit("2024-01-15 00:00:00")), to_timestamp(lit(AsOf)),
+          Seq(col("event_id")), Seq("event_id"))
+        .select(col("user_id"), col("status"),
+          col("__old.event_id").as("old_event_id"),
+          col("__new.event_id").as("new_event_id"),
+          col("__old.value").as("old_value"),
+          col("__new.value").as("new_value"),
+          Tables.tsStr(col("__old.ts")).as("old_ts_s"),
+          Tables.tsStr(col("__new.ts")).as("new_ts_s"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH s1 AS (
+        SELECT user_id, event_id, round(value, 6) AS value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1),
+      s2 AS (
+        SELECT user_id, event_id, round(value, 6) AS value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '$AsOf')
+        WHERE rn = 1)
+      SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+             CASE WHEN s1.user_id IS NULL THEN 'added'
+                  WHEN s2.user_id IS NULL THEN 'removed'
+                  WHEN s1.event_id = s2.event_id THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             s1.event_id AS old_event_id, s2.event_id AS new_event_id,
+             s1.value AS old_value, s2.value AS new_value,
+             s1.ts_s AS old_ts_s, s2.ts_s AS new_ts_s
+      FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+      ORDER BY user_id"""))
+
   private val pitJoin = Q("q_pit_join",
     (s, d) => {
       val entities = Tables.customer(s, d)
@@ -3832,7 +3882,8 @@ $roundCtes"""
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
-    pitLatest, pitJoin, asofJoin, pitAsofPerRow, pitComposite, resampleFfill,
+    pitLatest, pitJoin, pitDiff, asofJoin, pitAsofPerRow, pitComposite,
+    resampleFfill,
     groupStats, storeRoundtrip, latestIncremental, storeExpire, storeForget,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
     rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg, stableIds,

@@ -52,10 +52,20 @@ object Serving {
     val inWindow = asOf.fold(records)(a => records.filter(col(ts) <= a))
     val ordKey = struct(col(ts) +: tieBreak: _*)
     val payload = struct(records.columns.map(col): _*)
+    // key columns project from the GROUPING attributes, not the struct
+    // fields (equal by construction — the payload's keys are the keys
+    // the row grouped under, nulls included): a `__row.*` re-derivation
+    // would sever the aggregate's output partitioning, and every
+    // downstream equi-join on the entity key — pointInTimeJoin,
+    // snapshotDiff — would pay a needless re-exchange of the served
+    // frame (PlanSpec asserts the diff join adds none).
+    val outCols = records.columns.map { c =>
+      if (entityKeys.contains(c)) col(c) else col(s"__row.$c").as(c)
+    }
     inWindow
       .groupBy(entityKeys.map(col): _*)
       .agg(max_by(payload, ordKey).as("__row"))
-      .select("__row.*")
+      .select(outCols.toSeq: _*)
   }
 
   /** R9 `point_in_time_join` (feature_store.py:411-448): for an entity
@@ -280,6 +290,56 @@ object Serving {
         groups.zipWithIndex.flatMap { case (g, i) =>
           g.payloadCols.map(c => col(s"__latest$i.$c").as(c))
         }): _*)
+  }
+
+  /** Snapshot drift between two as-of times — the audit/debugging shape
+    * of a PIT store ("what changed for whom between yesterday's serve
+    * and today's?"): serve the latest snapshot at `asOf1` and `asOf2`
+    * and full-outer-join them on the entity key. Each entity reports a
+    * status: `added` (no snapshot at asOf1), `removed` (snapshot gone
+    * at asOf2), `unchanged` (the `identityCols` agree) or `changed`.
+    *
+    * The two serves read separate record frames so the diff also
+    * audits LOG mutations, not just time: pass the pre- and
+    * post-[[graft.fs.RecordLog.forget]] (or expire) reads with the
+    * same as-of to see exactly which entities a deletion batch
+    * removed. Same-frame twice = the pure time diff (where `removed`
+    * cannot occur on an append-only log).
+    *
+    * `identityCols` defines snapshot identity for the compare — pass a
+    * unique record id to sidestep null-equality divergence on value
+    * columns. Returns (entityKey, status, __old, __new) with the full
+    * payloads struct-packed; callers project what they need.
+    *
+    * Scale shape: the two serves aggregate on the SAME entity key, so
+    * both sides arrive at the join already hash-partitioned on it —
+    * Catalyst plans the full-outer join with no additional exchange
+    * (two serve shuffles total, or ZERO over a bucketed log, cf.
+    * PlanSpec's bucketed-serve asserts). */
+  def snapshotDiff(
+      oldRecords: DataFrame,
+      newRecords: DataFrame,
+      entityKey: String,
+      ts: String,
+      asOf1: Column,
+      asOf2: Column,
+      tieBreak: Seq[Column],
+      identityCols: Seq[String]): DataFrame = {
+    require(identityCols.nonEmpty, "snapshotDiff: need identity columns")
+    val payloadCols = oldRecords.columns.filterNot(_ == entityKey).map(col)
+    val old = latestAsOf(oldRecords, Seq(entityKey), ts, Some(asOf1), tieBreak)
+      .select(col(entityKey), struct(payloadCols: _*).as("__old"))
+    val nw = latestAsOf(newRecords, Seq(entityKey), ts, Some(asOf2), tieBreak)
+      .select(col(entityKey), struct(payloadCols: _*).as("__new"))
+    val same = identityCols
+      .map(c => col(s"__old.$c") === col(s"__new.$c"))
+      .reduce(_ && _)
+    old.join(nw, Seq(entityKey), "full_outer")
+      .withColumn("status",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(same, lit("unchanged"))
+          .otherwise(lit("changed")))
   }
 
   /** R10 `statistics` (feature_store.py:450-508): one aggregation pass

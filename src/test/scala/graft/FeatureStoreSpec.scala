@@ -501,6 +501,29 @@ class FeatureStoreSpec extends SparkSpec {
       "untouched partition must not be rewritten")
   }
 
+  test("snapshotDiff reports added/changed/unchanged across times and removed across a forget") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, 10L, t("2024-01-01 00:00:00"), "a"),
+      (1L, 20L, t("2024-01-20 00:00:00"), "b"), // user 1 changes
+      (2L, 11L, t("2024-01-01 00:00:00"), "c"), // user 2 stays
+      (3L, 30L, t("2024-01-20 00:00:00"), "d")) // user 3 appears late
+      .toDF("user", "rec_id", "ts", "v")
+    val a1 = to_timestamp(lit("2024-01-10 00:00:00"))
+    val a2 = to_timestamp(lit("2024-01-31 00:00:00"))
+    val byTime = Serving.snapshotDiff(log, log, "user", "ts", a1, a2,
+        Seq(col("rec_id")), Seq("rec_id"))
+      .select("user", "status").as[(Long, String)].collect().toMap
+    assert(byTime == Map(1L -> "changed", 2L -> "unchanged", 3L -> "added"))
+    // log-mutation audit: post-forget frame drops user 2 entirely →
+    // same as-of on both sides, user 2 reports removed
+    val afterForget = log.filter($"user" =!= 2L)
+    val byLog = Serving.snapshotDiff(log, afterForget, "user", "ts", a2, a2,
+        Seq(col("rec_id")), Seq("rec_id"))
+      .select("user", "status").as[(Long, String)].collect().toMap
+    assert(byLog == Map(1L -> "unchanged", 2L -> "removed", 3L -> "unchanged"))
+  }
+
   test("record version column persists; defaults to 1 (feature_store.py:107,357)") {
     val g = FeatureGroup("ver", 1, Seq("age"), "user_id")
     val log = new RecordLog(spark, tmpDir("version"))

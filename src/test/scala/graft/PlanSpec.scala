@@ -230,6 +230,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"tuple-bucketed composite PIT serve must not shuffle:\n${physical(served)}")
   }
 
+  test("snapshotDiff joins the two serves with no additional exchange") {
+    // both serves aggregate on the SAME entity key, so the full-outer
+    // join's distribution requirement is already satisfied — exactly
+    // the two serve exchanges appear, never a third for the join
+    import org.apache.spark.sql.functions.{col, to_timestamp, lit}
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val diff = graft.fs.Serving.snapshotDiff(e, e, "user_id", "ts",
+      to_timestamp(lit("2024-01-15 00:00:00")),
+      to_timestamp(lit("2024-03-01 00:00:00")),
+      Seq(col("event_id")), Seq("event_id"))
+    diff.collect() // AQE: final plan materializes after execution
+    // the loader's round-robin rebalance (REPARTITION_BY_NUM) is a
+    // small-testdata artifact — count only requirement-driven shuffles
+    val shuffles = collectWithSubqueries(diff.queryExecution.executedPlan) {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if x.shuffleOrigin ==
+          org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => x
+    }
+    assert(shuffles.size <= 2,
+      s"diff must reuse the serve partitioning:\n${physical(diff)}")
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     // AQE only materializes the final (codegen'd) plan after execution;
     // the short toString renders spans as "*(n)", so check structurally.
