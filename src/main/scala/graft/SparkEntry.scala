@@ -1588,6 +1588,61 @@ object SparkEntry {
       SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** Ingest-time MinHash near-dup gate ([[Dedup.minhashNearDupsAgainst]]):
+    * a new shard (doc_id ≥ 400) banded against the existing corpus
+    * (doc_id < 400) — batch and corpus bucket rows meet in ONE join,
+    * the corpus is never self-joined. Same md5-derived hash chain as
+    * `q_minhash_neardup`, so DuckDB replays sketch → banding →
+    * cross-frame candidate join → exact Jaccard verify end to end. */
+  private val minhashIncremental = Q("q_minhash_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+          "text", "doc_id", shingleN = 3, bands = 4, rows = 4,
+          threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+        FROM docs),
+      sx AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(12),
+                 c -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(c+1 AS INT), 1)) - 1 AS BIGINT)
+                      * (CAST(1 AS BIGINT) << CAST(4*(11-c) AS INT)))) AS BIGINT) AS x
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+      hmin AS (
+        SELECT doc_id, j,
+               min(((((j+1)*2654435761) % 2147483647) * (x % 2147483647)
+                    + (j*2654435769) % 2147483647) % 2147483647) AS h
+        FROM sx CROSS JOIN (SELECT unnest(range(16)) AS j)
+        GROUP BY doc_id, j),
+      bkt AS (
+        SELECT doc_id, j // 4 AS band,
+               substr(md5(string_agg(lpad(CAST(h AS VARCHAR), 10, '0'), '' ORDER BY j)), 1, 12) AS bucket
+        FROM hmin GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+        FROM bkt b JOIN bkt c
+          ON b.band = c.band AND b.bucket = c.bucket
+         AND b.doc_id >= 400 AND c.doc_id < 400),
+      jac AS (
+        SELECT cd.id_a, cd.id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM cand cd JOIN sh a ON a.doc_id = cd.id_a JOIN sh b ON b.doc_id = cd.id_b)
+      SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4
+      ORDER BY id_a, id_b"""))
+
   /** SimHash under the FULL hash oracle (r7): the 64 fingerprint bits
     * are md5-hex-digit arithmetic ([[graft.plans.SimHash64]] — bit p =
     * bit (p mod 4) of hex digit (15 − p div 4)), so DuckDB replays
@@ -3905,7 +3960,8 @@ $roundCtes"""
     sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, editNearDup, weightedSample,
-    ngramJac, minhashDup, simhashDup, bucketedAnn, ivfAnn, ivfIndexAnn,
+    ngramJac, minhashDup, minhashIncremental, simhashDup, bucketedAnn,
+    ivfAnn, ivfIndexAnn,
     qualityChecks,
     dedupCc, dedupCanonical, hashSample, stratifiedSample, rangeJoin,
     tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched,

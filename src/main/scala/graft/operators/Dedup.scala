@@ -141,6 +141,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Ingest-time near-dup gate: MinHash/LSH candidates of a NEW batch
+    * against the EXISTING corpus — the incremental twin of
+    * [[minhashNearDups]] (which is the full-corpus self-join shape).
+    * Only the batch's and corpus's band rows meet in the bucket join;
+    * the corpus is never self-joined, so a daily shard pays
+    * O(|batch| + |corpus|) through the one (band, bucket) exchange —
+    * on a 100 TB corpus the corpus-side sketches would be computed
+    * once at ingest and served from storage, exactly like
+    * [[incrementalNew]]'s fingerprints. Ids must be disjoint across
+    * the frames (they share the verify join's id space). Batch-internal
+    * duplicates are out of scope here — [[incrementalNew]] /
+    * [[minhashNearDups]] over the batch cover that.
+    *
+    * Returns (id_a = batch doc, id_b = corpus doc, jaccard ≥
+    * threshold); a batch doc near-duping several corpus docs reports
+    * every pair — the takedown-review shape. */
+  def minhashNearDupsAgainst(
+      batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, bands: Int = 4, rows: Int = 4,
+      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+    def bandSide(df: DataFrame, guard: String) = Guards.capBuckets(
+      df.select(col(idCol).as("id"),
+        posexplode(MinHashBands.column(
+          shingles(col(textCol), shingleN), bands, rows)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucket, observeAs = Some(guard))
+    val b = bandSide(batch, "minhash_inc_batch_guard").as("b")
+    val c = bandSide(corpus, "minhash_inc_corpus_guard").as("c")
+    val candidates = b.join(c,
+        col("b.band") === col("c.band") &&
+          col("b.bucket") === col("c.bucket"))
+      .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
+      .distinct()
+    val docs = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    ngramJaccard(candidates, docs, textCol, idCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Winnowing near-dup pairs: docs sharing ≥ `minShared` winnow
     * fingerprints ([[TextFns.winnowFingerprints]], the MOSS sketch).
     * Complementary to MinHash: Jaccard measures WHOLE-document

@@ -104,6 +104,26 @@ class OperatorsSpec extends SparkSpec {
     assert(dirty.select("word").as[String].collect().toSet == Set("e"))
   }
 
+  test("incremental minhash gate finds batch-vs-corpus near-dups only") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different text about spark catalyst optimizer internals entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " extra"),                        // near-dups corpus doc 1
+      (11L, base + " extra"),                        // identical to 10 — batch-internal
+      (12L, "unrelated gibberish zebra quantum flux harmonics nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsAgainst(batch, corpus, "text", "doc_id",
+        shingleN = 3, bands = 4, rows = 4, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (11L, 1L)),
+      s"batch docs 10 and 11 near-dup corpus doc 1 only; got $got")
+    // batch-internal pair (10, 11) must NOT be reported by the gate
+    assert(!got.contains((10L, 11L)) && !got.contains((11L, 10L)))
+  }
+
   test("batched BPE equals sequential when the top pairs are symbol-disjoint") {
     // corpus: "ab"×30, "cd"×20, "ef"×10 — the three top pairs share no
     // symbol and no merge creates a pair that outranks a later pick, so
