@@ -951,6 +951,60 @@ object SparkEntry {
         WHERE q.vec_id <> c.vec_id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** DuckDB replay of [[Similarity.mmrSelect]]'s greedy trajectory: one
+    * MATERIALIZED relevance CTE, then one MATERIALIZED argmax CTE per
+    * step scoring against the union of all previously selected rows.
+    * MATERIALIZED is load-bearing: inlined CTEs would expand the
+    * step-recursion combinatorially (s10 references s9 references …)
+    * and re-open the parquet source hundreds of times. */
+  private def mmrOracle(k: Int, lNum: Int, lDen: Int): String = {
+    val lRest = lDen - lNum
+    val steps = (2 to k).map { i =>
+      val sel = (1 until i)
+        .map(j => s"SELECT vec_id, v FROM s$j").mkString(" UNION ALL ")
+      s"""      sel$i AS MATERIALIZED ($sel),
+      s$i AS MATERIALIZED (
+        SELECT b.vec_id AS vec_id, b.v AS v, b.rel AS rel,
+               round(($lNum*b.rel - $lRest*m.ms)/$lDen, 6) AS score, $i AS rank
+        FROM base b JOIN (
+          SELECT b2.vec_id AS mid, max(round(list_cosine_similarity(b2.v, s.v), 6)) AS ms
+          FROM base b2 CROSS JOIN sel$i s GROUP BY b2.vec_id) m
+          ON b.vec_id = m.mid
+        WHERE b.vec_id NOT IN (SELECT vec_id FROM sel$i)
+        ORDER BY score DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(j => s"SELECT rank, vec_id, rel, score FROM s$j").mkString(" UNION ALL ")
+    s"""
+      WITH base AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS rel
+        FROM embeddings WHERE vec_id <> 0),
+      s1 AS MATERIALIZED (
+        SELECT vec_id, v, rel, round(($lNum*rel - $lRest*0.0)/$lDen, 6) AS score, 1 AS rank
+        FROM base ORDER BY score DESC, vec_id LIMIT 1),
+$steps
+      SELECT rank, vec_id, rel, score FROM ($union) ORDER BY rank"""
+  }
+
+  /** MMR diverse top-k ([[Similarity.mmrSelect]]): pick the 10 most
+    * query-relevant-yet-mutually-diverse embeddings (λ = 7/10, query =
+    * vector 0) — the curation selector that avoids returning 10 copies
+    * of the same cluster. The oracle replays every greedy step
+    * including ties. */
+  private val mmrSelectQ = Q("q_mmr_select",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Similarity.mmrSelect(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", qv, k = 10)
+        .orderBy(col("rank"))
+    },
+    Some(mmrOracle(10, 7, 10)))
+
   /** Incremental top-k refresh ([[Similarity.refreshTopK]]): the corpus
     * splits into an "existing" shard (even ids) and a "new" shard (odd
     * ids); the served top-k is built on the existing shard and then
@@ -3956,7 +4010,8 @@ $roundCtes"""
     pqAnn, pqIndex, interleave, oovRate, rrfFusion, incrementalDedup,
     histogram,
     fitTransform, pageRank, multiprobeAnn, histogramDepth, q5Revenue,
-    cosineTopK, topkIncremental, sq8TopK, embedCentroid, pipelinePrep,
+    cosineTopK, topkIncremental, mmrSelectQ, sq8TopK, embedCentroid,
+    pipelinePrep,
     sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, editNearDup, weightedSample,

@@ -662,4 +662,64 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("sim"))
   }
+
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick k corpus vectors maximizing
+    * λ·rel(x) − (1−λ)·max_{s∈selected} sim(x, s) — the curation shape
+    * that trades pure relevance for coverage (a dedup-aware "pick k
+    * representative examples near this query" selector). λ rides as
+    * the rational `lambdaNum/lambdaDen` and every sim/score rounds at
+    * 6 dp, so the whole greedy trajectory — including ties, broken on
+    * the smallest id — replays exactly in the DuckDB oracle.
+    *
+    * Scale shape: relevance is computed ONCE (one corpus pass,
+    * checkpointed); each of the k steps is a map-side score against
+    * the ≤k selected vectors (broadcast as literals — the k-means
+    * pattern) and a distributed `TakeOrderedAndProject` argmax. Total
+    * k·|corpus| map-side work, k bounded collects of ONE row each —
+    * inherently sequential in k like every greedy MMR; for large k,
+    * cluster first ([[labelCentroids]]) and MMR within clusters. */
+  def mmrSelect(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int,
+      lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    require(k >= 1, s"mmrSelect: k=$k must be >= 1")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"mmrSelect: lambda $lambdaNum/$lambdaDen must lie in [0, 1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("rel",
+        round(VectorFns.cosineFast(col("v"), typedLit(queryVec)), 6))
+      .localCheckpoint(false) // k argmax scans reuse one materialization
+    var selected = Vector.empty[(Long, Seq[Double], Double, Double)]
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      val cand =
+        if (selected.isEmpty) base
+        else base.filter(!col("vec_id").isin(selected.map(_._1): _*))
+      val maxSim =
+        if (selected.isEmpty) lit(0.0)
+        else array_max(array(selected.map { case (_, sv, _, _) =>
+          round(VectorFns.cosineFast(col("v"), typedLit(sv)), 6) }: _*))
+      val top = cand
+        .withColumn("score", round(
+          (lit(lambdaNum) * col("rel") - lit(lambdaDen - lambdaNum) * maxSim)
+            / lit(lambdaDen), 6))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select("vec_id", "v", "rel", "score")
+        .collect() // exactly one bounded row per step, like the BPE argmax
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        selected :+= ((r.getLong(0), r.getSeq[Double](1),
+          r.getDouble(2), r.getDouble(3)))
+      }
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, rel, sc), ix) => (ix + 1, id, rel, sc) }
+      .toDF("rank", "vec_id", "rel", "score")
+  }
 }

@@ -104,6 +104,26 @@ class OperatorsSpec extends SparkSpec {
     assert(dirty.select("word").as[String].collect().toSet == Set("e"))
   }
 
+  test("MMR selection prefers a diverse vector over a redundant duplicate") {
+    // query [1,0]; corpus: 1 and 2 duplicate the query direction, 3 is
+    // orthogonal. λ = 3/10 weighs diversity: step 1 takes the most
+    // relevant (id 1), step 2 takes the ORTHOGONAL id 3 (score 0.0)
+    // over the duplicate id 2 (3·1 − 7·1)/10 = −0.4, step 3 takes 2.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, "vec_id", "embedding",
+        Seq(1.0, 0.0), k = 3, lambdaNum = 3, lambdaDen = 10)
+      .select("rank", "vec_id", "rel", "score")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1, 1L, 1.0, 0.3), (2, 3L, 0.0, 0.0), (3, 2L, 1.0, -0.4)), s"got $got")
+    // k beyond the corpus stops at exhaustion, no crash / dup picks
+    val all = Similarity.mmrSelect(corpus, "vec_id", "embedding",
+      Seq(1.0, 0.0), k = 9, lambdaNum = 3, lambdaDen = 10)
+    assert(all.count() == 3)
+  }
+
   test("incremental minhash gate finds batch-vs-corpus near-dups only") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val corpus = Seq(
