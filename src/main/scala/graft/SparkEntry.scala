@@ -2290,6 +2290,35 @@ $rounds"""
              round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_nll
       FROM scored ORDER BY doc_id"""))
 
+  /** Blocklist content gate ([[graft.operators.Blocklist]]): which
+    * documents contain any of 5 banned phrases, and which — the
+    * quarantine-review side of safety filtering. Terms broadcast as
+    * one array literal; matching is a codegen'd map-side HOF, zero
+    * shuffle. The summary row count cross-checks the clean() side:
+    * matched + clean = corpus. */
+  private val blocklistQ = Q("q_blocklist",
+    (s, d) => {
+      val terms = Seq("slow query", "big table", "fast merge",
+        "stream window", "hash value")
+      val docs = Tables.documents(s, d)
+      graft.operators.Blocklist.matchTerms(docs, "doc_id", "text", terms)
+        .filter(col("n_matched") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             array_to_string(list_sort(list_filter(
+               ['big table', 'fast merge', 'hash value', 'slow query', 'stream window'],
+               t -> contains(lower(text), t))), ',') AS matched,
+             CAST(len(list_filter(
+               ['big table', 'fast merge', 'hash value', 'slow query', 'stream window'],
+               t -> contains(lower(text), t))) AS INT) AS n_matched
+      FROM documents
+      WHERE len(list_filter(
+               ['big table', 'fast merge', 'hash value', 'slow query', 'stream window'],
+               t -> contains(lower(text), t))) > 0
+      ORDER BY doc_id"""))
+
   /** Domain-contrast LM scoring ([[LangModel.bigramNllAgainst]]): the
     * LM trains on a deterministic 25 % `hashKeep` sample of the corpus
     * (the curated in-domain stand-in) and scores EVERY document — the
@@ -4003,7 +4032,8 @@ $roundCtes"""
     dedupExact, dedupExact2, dedupFp, winnowFp, winnowDup, chunkText,
     chunkTokensQ,
     langDist, langIdDist,
-    quality, tokenCounts, repetition, heavyHitters, piiRedact, bloomSemi,
+    quality, tokenCounts, repetition, heavyHitters, piiRedact, blocklistQ,
+    bloomSemi,
     decontaminate, outlierZ, qualityBuckets, packGreedy, packSharded, headMass,
     scd2History, profileOrders, winsorize, sourceMix, bigramColloc,
     knnLabel, classBalance, splitLeakproof, skewReport,

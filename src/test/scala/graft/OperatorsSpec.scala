@@ -104,6 +104,25 @@ class OperatorsSpec extends SparkSpec {
     assert(dirty.select("word").as[String].collect().toSet == Set("e"))
   }
 
+  test("blocklist gate partitions the corpus: matched + clean = all") {
+    import graft.operators.Blocklist
+    val docs = Seq(
+      (1L, "a Slow Query ran on the big table"),  // 2 terms, case-folded
+      (2L, "perfectly fine text"),
+      (3L, "the hash value overflowed")).toDF("doc_id", "text")
+    val terms = Seq("slow query", "big table", "hash value")
+    val m = Blocklist.matchTerms(docs, "doc_id", "text", terms)
+      .select("doc_id", "matched", "n_matched")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    assert(m == Seq(
+      (1L, "big table,slow query", 2),  // sorted term order, not text order
+      (2L, "", 0),
+      (3L, "hash value", 1)), s"got $m")
+    val clean = Blocklist.clean(docs, "text", terms)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(2L), "exactly the unmatched doc passes through")
+  }
+
   test("MMR selection prefers a diverse vector over a redundant duplicate") {
     // query [1,0]; corpus: 1 and 2 duplicate the query direction, 3 is
     // orthogonal. λ = 3/10 weighs diversity: step 1 takes the most
