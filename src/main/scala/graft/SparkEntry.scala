@@ -3782,6 +3782,48 @@ $roundCtes"""
     * 2/4-decimal scales), so mu/sigma are bit-identical on both engines
     * and the z-scores replay deterministically — unlike a distributed
     * `stddev_samp`, whose merge order drifts in the last ulp. */
+  /** Leak-free quantile binning ([[graft.operators.Binning]]): quartile
+    * cuts fit on the 80 % train split only, validation rows labeled by
+    * strict comparison against the rounded cuts — the discretizer twin
+    * of `q_fit_transform`'s scaler. Near-equal bin populations on
+    * train, whatever the valid split produces on valid — which is the
+    * point: the eval distribution never touches the cuts. */
+  private val quantileBins = Q("q_quantile_bins",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("split",
+        when(graft.operators.Sampling.hashKeep(col("user_id"), 0.8, "bins"),
+          lit("train")).otherwise(lit("valid")))
+      graft.operators.Binning.quantileBins(
+          ev.filter(col("split") === "train"),
+          ev.filter(col("split") === "valid"),
+          "event_type", "value", nBins = 4)
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some(s"""
+      WITH lab AS (
+        SELECT *, CASE WHEN substr(md5('bins' || CAST(user_id AS VARCHAR)), 1, 12)
+                            < '${"%012x".format(math.round(0.8 * (1L << 48)))}'
+                       THEN 'train' ELSE 'valid' END AS split
+        FROM events),
+      cuts AS (
+        SELECT event_type,
+               list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+                              x -> round(x, 6)) AS qs
+        FROM lab WHERE split = 'train' GROUP BY event_type)
+      SELECT event_type, bin, count(*) AS n,
+             round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+      FROM (
+        SELECT l.event_type,
+               CAST(len(list_filter(c.qs, q -> l.value > q)) AS INT) AS bin,
+               l.value
+        FROM lab l JOIN cuts c USING (event_type)
+        WHERE l.split = 'valid')
+      GROUP BY event_type, bin ORDER BY event_type, bin"""))
+
   private val fitTransform = Q("q_fit_transform",
     (s, d) => {
       val ev = Tables.events(s, d).withColumn("split",
@@ -4039,7 +4081,8 @@ $roundCtes"""
     knnLabel, classBalance, splitLeakproof, skewReport,
     pqAnn, pqIndex, interleave, oovRate, rrfFusion, incrementalDedup,
     histogram,
-    fitTransform, pageRank, multiprobeAnn, histogramDepth, q5Revenue,
+    fitTransform, quantileBins, pageRank, multiprobeAnn, histogramDepth,
+    q5Revenue,
     cosineTopK, topkIncremental, mmrSelectQ, sq8TopK, embedCentroid,
     pipelinePrep,
     sessionize,

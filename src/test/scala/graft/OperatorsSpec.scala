@@ -104,6 +104,21 @@ class OperatorsSpec extends SparkSpec {
     assert(dirty.select("word").as[String].collect().toSet == Set("e"))
   }
 
+  test("quantile binning: cuts come from train only, boundary falls low") {
+    import graft.operators.Binning
+    // train values 1..8 in one group: quartile cuts (exact, type-7
+    // interpolation) = 2.75, 4.5, 6.25
+    val train = (1 to 8).map(v => ("g", v.toDouble)).toDF("grp", "value")
+    val applyTo = Seq(("g", 0.5), ("g", 2.75), ("g", 4.5), ("g", 6.3),
+      ("g", 99.0)).toDF("grp", "value")
+    val got = Binning.quantileBins(train, applyTo, "grp", "value", nBins = 4)
+      .select("value", "bin").as[(Double, Int)].collect().toMap
+    assert(got == Map(0.5 -> 0, 2.75 -> 0, 4.5 -> 1, 6.3 -> 3, 99.0 -> 3),
+      s"got $got")
+    // a value equal to a cut lands in the LOWER bin (strict compare);
+    // out-of-range values clamp to the edge bins, never a 5th bin
+  }
+
   test("blocklist gate partitions the corpus: matched + clean = all") {
     import graft.operators.Blocklist
     val docs = Seq(
