@@ -2373,6 +2373,50 @@ $rounds"""
              round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_nll
       FROM scored ORDER BY avg_nll DESC, doc_id LIMIT 20"""))
 
+  /** Jelinek-Mercer interpolated LM scoring
+    * ([[LangModel.bigramNllInterpolated]], λ = 8/10): the smoothing
+    * production perplexity filters use — ML bigram backed off to the
+    * add-1 unigram. Same determinism contract as `q_lm_perplexity`;
+    * the oracle replays both mixture terms. */
+  private val lmInterpolated = Q("q_lm_interpolated",
+    (s, d) => graft.operators.LangModel
+      .bigramNllInterpolated(Tables.documents(s, d), Tables.documents(s, d),
+        "doc_id", "text", lamNum = 8, lamDen = 10)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           w -> regexp_full_match(w, '[a-z0-9]+')) AS ws
+        FROM documents),
+      uni AS (SELECT w, count(*) AS cu
+              FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+      totals AS (SELECT count(*) AS v, sum(cu) AS n FROM uni),
+      pairs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+          FROM toks)),
+      bi AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+      scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               sum(CAST(round(-ln(
+                 (8 * (CASE WHEN coalesce(u1.cu, 0) > 0
+                       THEN CAST(coalesce(cb, 0) AS DOUBLE) / u1.cu
+                       ELSE 0.0 END)
+                  + 2 * (CAST(coalesce(u2.cu, 0) + 1 AS DOUBLE)
+                         / CAST(n + v AS DOUBLE))) / 10), 6)
+                 AS DECIMAL(18,6))) AS s
+        FROM pairs
+        LEFT JOIN bi USING (w1, w2)
+        LEFT JOIN uni u1 ON pairs.w1 = u1.w
+        LEFT JOIN uni u2 ON pairs.w2 = u2.w
+        CROSS JOIN totals
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+             round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_nll
+      FROM scored ORDER BY doc_id"""))
+
   /** DuckDB replay of [[graft.operators.Bpe.trainBatched]]'s rounds:
     * pair counts, the (cnt DESC, find) candidate ranking, the
     * conflict-against-any-higher-ranked filter, and the within-round
@@ -4093,7 +4137,7 @@ $roundCtes"""
     qualityChecks,
     dedupCc, dedupCanonical, hashSample, stratifiedSample, rangeJoin,
     tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched,
-    lmPerplexity, lmDomain, kfold,
+    lmPerplexity, lmDomain, lmInterpolated, kfold,
     countsIncremental,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)

@@ -90,4 +90,53 @@ object LangModel {
     * (every bigram/head is then seen, c ≥ 1). */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bigramNllAgainst(docs, docs, idCol, textCol)
+
+  /** Jelinek-Mercer interpolated bigram LM — the smoothing production
+    * perplexity filters actually use (add-1 alone over-penalizes rare
+    * but fluent continuations):
+    * P(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V),
+    * with the ML bigram term defined 0 for an unseen head. λ rides as
+    * the rational `lamNum/lamDen` so both engines evaluate the same
+    * double arithmetic; same 6-dp-rounded-NLL / exact-decimal-mean
+    * determinism contract as [[bigramNllAgainst]]. */
+  def bigramNllInterpolated(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      lamNum: Int = 8,
+      lamDen: Int = 10): DataFrame = {
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"lambda $lamNum/$lamDen must lie in [0, 1]")
+    val trainToks = train.select(alnumTokens(textCol).as("ws"))
+    val uni = trainToks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(count(lit(1)).as("v"), sum(col("cu")).as("n"))
+    val bi = trainToks.select(explode(bigramsExpr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val pairs = score.select(col(idCol), alnumTokens(textCol).as("ws"))
+      .select(col(idCol), explode(bigramsExpr).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val u1 = uni.select(col("w").as("w1"), col("cu").as("cu1"))
+    val u2 = uni.select(col("w").as("w2"), col("cu").as("cu2"))
+    val pBi = when(coalesce(col("cu1"), lit(0L)) > 0,
+      coalesce(col("cb"), lit(0L)).cast(DoubleType) / col("cu1"))
+      .otherwise(lit(0.0))
+    val pUni = (coalesce(col("cu2"), lit(0L)) + 1).cast(DoubleType) /
+      (col("n") + col("v")).cast(DoubleType)
+    pairs
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .join(broadcast(totals), lit(true), "inner")
+      .withColumn("nll", round(-log(
+        (lit(lamNum) * pBi + lit(lamDen - lamNum) * pUni) / lit(lamDen)), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast(DecimalType(18, 6))).as("__s"))
+      .withColumn("avg_nll",
+        round(col("__s").cast(DoubleType) / col("n_bigrams"), 6))
+      .drop("__s")
+  }
 }

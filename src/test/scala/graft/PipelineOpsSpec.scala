@@ -449,6 +449,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("interpolated LM mixes ML bigram with add-1 unigram at rational lambda") {
+    import graft.operators.LangModel
+    // corpus "a b", "a b a", "x": uni a=3, b=2, x=1 → V=3, N=6;
+    // bigram (a,b): cb=2, c(a)=3 → P = .8·(2/3) + .2·(3/9)
+    // bigram (b,a): cb=1, c(b)=2 → P = .8·(1/2) + .2·(4/9)
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "x")).toDF("doc_id", "text")
+    val got = LangModel.bigramNllInterpolated(docs, docs, "doc_id", "text",
+        lamNum = 8, lamDen = 10)
+      .orderBy("doc_id").select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = (8 * (2.0 / 3) + 2 * (3.0 / 9)) / 10
+    val pBA = (8 * (1.0 / 2) + 2 * (4.0 / 9)) / 10
+    val nAB = r6(-math.log(pAB)); val nBA = r6(-math.log(pBA))
+    assert(got == Seq(
+      (1L, 1L, nAB),
+      (2L, 2L, r6((BigDecimal(nAB) + BigDecimal(nBA)).toDouble / 2))),
+      s"got $got")
+    // unseen head backs off to pure unigram mass, never 0-probability
+    val other = Seq((9L, "z a")).toDF("doc_id", "text")
+    val off = LangModel.bigramNllInterpolated(docs, other, "doc_id", "text")
+      .select("avg_nll").as[Double].head()
+    assert(off == r6(-math.log(2 * (4.0 / 9) / 10)), s"got $off")
+  }
+
   test("hash split is leak-proof: a key never lands on both sides") {
     import graft.operators.Sampling
     val rows = (1L to 50L).flatMap(u => Seq((u, u * 10), (u, u * 10 + 1)))
