@@ -104,7 +104,7 @@ object SparkEntry {
              s1.event_id AS old_event_id, s2.event_id AS new_event_id,
              s1.value AS old_value, s2.value AS new_value,
              s1.ts_s AS old_ts_s, s2.ts_s AS new_ts_s
-      FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+      FROM s1 FULL JOIN s2 ON s1.user_id IS NOT DISTINCT FROM s2.user_id
       ORDER BY user_id"""))
 
   private val pitJoin = Q("q_pit_join",

@@ -166,12 +166,20 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     val idsFrame: Option[DataFrame] =
       if (ids.size <= ForgetInlineMax) None
       else {
+        // ids arrive as Seq[Any]: route them through strings + a cast to
+        // the key's type, mirroring the analyzer coercion the isin path
+        // gets for free — a Row built on the raw JVM values would make
+        // success depend on batch size (Int ids against a LongType key
+        // coerce under isin but crash Row encoding) (review r9)
         val keyType = log.schema(group.entityKey).dataType
-        val rows = ids.map(org.apache.spark.sql.Row(_))
+        val rows = ids.map(v =>
+          org.apache.spark.sql.Row(if (v == null) null else v.toString))
         Some(spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__forget_id", keyType)))))
+            spark.sparkContext.parallelize(rows, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__forget_raw",
+                org.apache.spark.sql.types.StringType))))
+          .select(col("__forget_raw").cast(keyType).as("__forget_id")))
       }
     def doomed(df: DataFrame): DataFrame = idsFrame match {
       case Some(f) => df.join(broadcast(f), key === col("__forget_id"), "left_semi")

@@ -327,14 +327,31 @@ object Serving {
       identityCols: Seq[String]): DataFrame = {
     require(identityCols.nonEmpty, "snapshotDiff: need identity columns")
     val payloadCols = oldRecords.columns.filterNot(_ == entityKey).map(col)
-    val old = latestAsOf(oldRecords, Seq(entityKey), ts, Some(asOf1), tieBreak)
-      .select(col(entityKey), struct(payloadCols: _*).as("__old"))
-    val nw = latestAsOf(newRecords, Seq(entityKey), ts, Some(asOf2), tieBreak)
-      .select(col(entityKey), struct(payloadCols: _*).as("__new"))
+    // null-safe key equality WITHOUT a plan penalty: write() allows
+    // null entity keys and latestAsOf serves them as one group per
+    // side, but a plain equi-join on the raw key would report that
+    // entity as spuriously removed AND added (a false deletion signal
+    // in the deletion-audit tool, review r9), while a `<=>` join
+    // rewrites its keys to [coalesce(k, 0), isnull(k)] and re-exchanges
+    // BOTH serves. Wrapping the key in a one-field struct gives both
+    // properties at once: the struct is a non-null container (equality
+    // compares fields under null-safe ordering semantics) and it is
+    // the serve's own grouping attribute, so the join reuses the serve
+    // partitioning (PlanSpec asserts).
+    def served(records: DataFrame, asOf: Column, side: String) =
+      latestAsOf(records.withColumn("__k", struct(col(entityKey))),
+          Seq("__k"), ts, Some(asOf), tieBreak)
+        .select(col("__k").as(s"__k_$side"),
+          struct(payloadCols: _*).as(s"__$side"))
     val same = identityCols
       .map(c => col(s"__old.$c") === col(s"__new.$c"))
       .reduce(_ && _)
-    old.join(nw, Seq(entityKey), "full_outer")
+    served(oldRecords, asOf1, "old")
+      .join(served(newRecords, asOf2, "new"),
+        col("__k_old") === col("__k_new"), "full_outer")
+      .withColumn(entityKey,
+        coalesce(col("__k_old"), col("__k_new")).getField(entityKey))
+      .drop("__k_old", "__k_new")
       .withColumn("status",
         when(col("__old").isNull, lit("added"))
           .when(col("__new").isNull, lit("removed"))

@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
 object Binning {
 
   /** Fit cuts on `train`, label `applyTo`: adds `qs` (the group's cut
-    * array) and `bin` ∈ [0, nBins) to every applyTo row. */
+    * array) and `bin` to every applyTo row — `bin` ∈ [0, nBins) for
+    * groups the training split knows, and the `-1` sentinel for a
+    * group with NO training cuts (a category that launched after the
+    * train cutoff). Surfacing beats silently dropping: an inner join
+    * here would shrink the eval frame with no error, and downstream
+    * metrics would exclude the new category unnoticed (review r9). */
   def quantileBins(
       train: DataFrame, applyTo: DataFrame,
       groupCol: String, valueCol: String, nBins: Int): DataFrame = {
@@ -37,7 +42,9 @@ object Binning {
       .agg(expr(
         s"transform(percentile($valueCol, array(${ps.mkString(", ")})), " +
           "x -> round(x, 6))").as("qs"))
-    applyTo.join(broadcast(cuts), Seq(groupCol))
-      .withColumn("bin", size(filter(col("qs"), q => col(valueCol) > q)))
+    applyTo.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn("bin",
+        when(col("qs").isNull, lit(-1))
+          .otherwise(size(filter(col("qs"), q => col(valueCol) > q))))
   }
 }

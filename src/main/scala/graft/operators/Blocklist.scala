@@ -39,11 +39,16 @@ object Blocklist {
   }
 
   /** The pass-through side of the gate: documents matching NO
-    * blocklist term, original schema preserved. */
+    * blocklist term, original schema preserved. A null text matches
+    * nothing and passes through — the coalesce keeps the partition
+    * invariant with [[matchTerms]] (whose HOF filter treats the null
+    * lambda as no-match); without it `!exists` is NULL for null text
+    * and the row would silently vanish from BOTH sides (review r9). */
   def clean(
       docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "clean: need at least one blocklist term")
     val arr = typedLit(terms.map(_.toLowerCase).distinct.sorted)
-    docs.filter(!exists(arr, t => contains(lower(col(textCol)), t)))
+    docs.filter(
+      coalesce(!exists(arr, t => contains(lower(col(textCol)), t)), lit(true)))
   }
 }

@@ -48,6 +48,22 @@ object Bpe {
           lit("><"), element_at(syms, i + 1), lit(">"))))
   }
 
+  /** The zero-merge contract schema, shared by both trainers (an empty
+    * [[train]] table carries (step, find, repl, cnt); [[trainBatched]]
+    * adds the within-round `rnk`). */
+  private def emptyMergeTable(like: DataFrame, withRnk: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields =
+      Seq(StructField("step", IntegerType, nullable = false)) ++
+        (if (withRnk) Seq(StructField("rnk", IntegerType, nullable = false))
+         else Nil) ++
+        Seq(StructField("find", StringType), StructField("repl", StringType),
+          StructField("cnt", LongType))
+    like.sparkSession.createDataFrame(
+      like.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields))
+  }
+
   /** Train `iters` merges over a [[wordVocab]] frame. Returns one row
     * per merge: (step, find, repl, cnt) — e.g. step 1 merging `t`+`h`
     * is (`1`, `"<t><h>"`, `"<th>"`, total weighted count). */
@@ -85,22 +101,10 @@ object Bpe {
       step += 1
     }
     val built = merges.result()
-    if (built.isEmpty) {
-      // a corpus of only 1-char words trains zero merges — return the
-      // empty merge table with the contract schema, not a crash
-      val spark = vocab0.sparkSession
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("step",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("find",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("repl",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cnt",
-            org.apache.spark.sql.types.LongType))))
-    } else built.reduce(_.unionByName(_))
+    // a corpus of only 1-char words trains zero merges — return the
+    // empty merge table with the contract schema, not a crash
+    if (built.isEmpty) emptyMergeTable(vocab0, withRnk = false)
+    else built.reduce(_.unionByName(_))
   }
 
   /** Batched BPE training: per round, merge up to `batch` of the
@@ -189,22 +193,8 @@ object Bpe {
       round += 1
     }
     val built = merges.result()
-    if (built.isEmpty) {
-      val spark = vocab0.sparkSession
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("step",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("rnk",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("find",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("repl",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cnt",
-            org.apache.spark.sql.types.LongType))))
-    } else built.reduce(_.unionByName(_))
+    if (built.isEmpty) emptyMergeTable(vocab0, withRnk = true)
+    else built.reduce(_.unionByName(_))
   }
 
   /** Segment the vocab with the trained merges: the final (word, seq)

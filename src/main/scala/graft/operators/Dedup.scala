@@ -149,10 +149,13 @@ object Dedup {
     * O(|batch| + |corpus|) through the one (band, bucket) exchange —
     * on a 100 TB corpus the corpus-side sketches would be computed
     * once at ingest and served from storage, exactly like
-    * [[incrementalNew]]'s fingerprints. Ids must be disjoint across
-    * the frames (they share the verify join's id space). Batch-internal
-    * duplicates are out of scope here — [[incrementalNew]] /
-    * [[minhashNearDups]] over the batch cover that.
+    * [[incrementalNew]]'s fingerprints. The verify stage reads each
+    * side's shingles from its OWN frame, so an id that exists on both
+    * sides (a re-ingest under the same id) still compares the batch
+    * text against the corpus text — no disjoint-id precondition.
+    * Batch-internal duplicates are out of scope here —
+    * [[incrementalNew]] / [[minhashNearDups]] over the batch cover
+    * that.
     *
     * Returns (id_a = batch doc, id_b = corpus doc, jaccard ≥
     * threshold); a batch doc near-duping several corpus docs reports
@@ -176,9 +179,22 @@ object Dedup {
           col("b.bucket") === col("c.bucket"))
       .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
       .distinct()
-    val docs = batch.select(col(idCol), col(textCol))
-      .unionByName(corpus.select(col(idCol), col(textCol)))
-    ngramJaccard(candidates, docs, textCol, idCol, shingleN)
+      // feeds two candidate-id semi-joins below; pin one evaluation
+      .localCheckpoint(false)
+    // side-qualified verify (NOT the shared-frame ngramJaccard): each
+    // pair's jaccard reads id_a's shingles from the BATCH and id_b's
+    // from the CORPUS, so overlapping ids across frames verify against
+    // the right text instead of a union-frame coin toss (review r9)
+    def shingled(df: DataFrame, side: String) = df
+      .join(candidates.select(col(side).as("__cid")).distinct(),
+        col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as(side), shingles(col(textCol), shingleN).as(s"sh_$side"))
+    candidates
+      .join(shingled(batch, "id_a"), "id_a")
+      .join(shingled(corpus, "id_b"), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_id_a"), col("sh_id_b"))).cast("double") /
+          size(array_union(col("sh_id_a"), col("sh_id_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

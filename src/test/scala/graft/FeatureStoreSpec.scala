@@ -490,7 +490,10 @@ class FeatureStoreSpec extends SparkSpec {
     def partFile(date: String) = new java.io.File(base, s"p_date=$date")
       .listFiles().filter(_.getName.endsWith(".parquet")).head
     val untouchedBefore = partFile("2024-01-03")
-    val removed = log.forget(g, (1L to 1200L))
+    // ids passed as Ints against the LongType key: the join path must
+    // coerce like the isin path's analyzer cast does — success must not
+    // depend on batch size (review r9)
+    val removed = log.forget(g, (1 to 1200))
     assert(removed == 1201L, s"1200 day-1 rows + 1 day-2 row, got $removed")
     val left = log.read(g).select("age").as[Int].collect().toSeq.sorted
     assert(left == Seq(1, 1, 1, 1, 1, 3, 5),
@@ -522,6 +525,19 @@ class FeatureStoreSpec extends SparkSpec {
         Seq(col("rec_id")), Seq("rec_id"))
       .select("user", "status").as[(Long, String)].collect().toMap
     assert(byLog == Map(1L -> "unchanged", 2L -> "removed", 3L -> "unchanged"))
+    // a NULL entity key is one entity (write() allows it): the join is
+    // null-safe, so it must read unchanged — not spurious removed+added
+    // (review r9)
+    val withNull = log.select($"user".cast("long").as("user"), $"rec_id", $"ts")
+      .unionByName(Seq((Option.empty[Long], 99L))
+        .toDF("user", "rec_id")
+        .withColumn("ts", to_timestamp(lit("2024-01-05 00:00:00"))))
+    val nullRow = Serving.snapshotDiff(withNull, withNull, "user", "ts", a2, a2,
+        Seq(col("rec_id")), Seq("rec_id"))
+      .filter($"user".isNull)
+      .select("status").as[String].collect().toSeq
+    assert(nullRow == Seq("unchanged"),
+      s"null-key entity must diff as one entity, got $nullRow")
   }
 
   test("record version column persists; defaults to 1 (feature_store.py:107,357)") {

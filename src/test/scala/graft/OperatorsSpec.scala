@@ -117,6 +117,13 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
     // a value equal to a cut lands in the LOWER bin (strict compare);
     // out-of-range values clamp to the edge bins, never a 5th bin
+
+    // a group the TRAIN split never saw surfaces with the -1 sentinel —
+    // an inner join would silently shrink the eval frame (review r9)
+    val newGroup = Seq(("unseen", 3.0)).toDF("grp", "value")
+    val sentinel = Binning.quantileBins(train, newGroup, "grp", "value", 4)
+      .select("bin").as[Int].collect().toSeq
+    assert(sentinel == Seq(-1), s"unseen group must surface as -1, got $sentinel")
   }
 
   test("blocklist gate partitions the corpus: matched + clean = all") {
@@ -136,6 +143,16 @@ class OperatorsSpec extends SparkSpec {
     val clean = Blocklist.clean(docs, "text", terms)
       .select("doc_id").as[Long].collect().toSeq
     assert(clean == Seq(2L), "exactly the unmatched doc passes through")
+    // a NULL text matches nothing on BOTH sides of the gate: matchTerms
+    // reports 0 matches and clean passes it through — without the
+    // coalesce the row vanished from clean() entirely (review r9)
+    val withNull = docs.unionByName(
+      Seq((4L, Option.empty[String])).toDF("doc_id", "text"))
+    assert(Blocklist.matchTerms(withNull, "doc_id", "text", terms)
+      .filter($"doc_id" === 4L).select("n_matched").as[Int].head() == 0)
+    assert(Blocklist.clean(withNull, "text", terms)
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 4L),
+      "null-text doc must pass through, not vanish")
   }
 
   test("MMR selection prefers a diverse vector over a redundant duplicate") {
@@ -176,6 +193,17 @@ class OperatorsSpec extends SparkSpec {
       s"batch docs 10 and 11 near-dup corpus doc 1 only; got $got")
     // batch-internal pair (10, 11) must NOT be reported by the gate
     assert(!got.contains((10L, 11L)) && !got.contains((11L, 10L)))
+    // an id existing on BOTH sides (re-ingest under the same id, new
+    // text) must verify batch text vs corpus text — side-qualified
+    // shingles, not a union-frame coin toss (review r9)
+    val reingest = Seq((1L, base + " tail")).toDF("doc_id", "text")
+    val cross = Dedup.minhashNearDupsAgainst(reingest, corpus, "text", "doc_id",
+        shingleN = 3, bands = 4, rows = 4, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cross.map(t => (t._1, t._2)) == Seq((1L, 1L)) &&
+      cross.head._3 < 1.0,
+      s"re-ingested id must compare against the CORPUS text, got $cross")
   }
 
   test("batched BPE equals sequential when the top pairs are symbol-disjoint") {
