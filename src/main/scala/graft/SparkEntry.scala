@@ -161,6 +161,42 @@ object SparkEntry {
       ) o ON true
       ORDER BY e.event_id"""))
 
+  /** Feature-TTL as-of join ([[Serving.asOfJoinWithin]]): the
+    * `q_asof_join` shape under a 30-day staleness bound — an order
+    * older than 30 days at the event's time serves NULL, not a stale
+    * value masquerading as fresh. Same one-exchange union-tag plan
+    * plus a map-side age check; the oracle restricts the LATERAL
+    * search window, which coincides because the as-of match is the
+    * latest candidate. */
+  private val asofTtl = Q("q_asof_ttl",
+    (s, d) => {
+      val left = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      Serving.asOfJoinWithin(left, right, Seq("user_id"), "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"), maxAgeSec = 30L * 24 * 3600,
+          Seq("o_orderdate", "o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          Tables.tsStr(col("ts")).as("ts_s"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             o.o_orderkey, o.o_totalprice
+      FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+      ) o ON true
+      ORDER BY e.event_id"""))
+
   /** Per-row as-of PIT join (SURVEY §7.3's hard case, VERDICT r5 #6):
     * R9 with per-entity as-of timestamps — every 'purchase' event is a
     * training example carrying its OWN label time, and TWO feature
@@ -4106,8 +4142,8 @@ $roundCtes"""
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
-    pitLatest, pitJoin, pitDiff, asofJoin, pitAsofPerRow, pitComposite,
-    resampleFfill,
+    pitLatest, pitJoin, pitDiff, asofJoin, asofTtl, pitAsofPerRow,
+    pitComposite, resampleFfill,
     groupStats, storeRoundtrip, latestIncremental, storeExpire, storeForget,
     q1Agg, joinBroadcast, saltedJoin, semiJoin, antiJoin, distinctAgg,
     rollupAgg, pivotAgg, unpivotAgg, groupingSetsAgg, percentileAgg, stableIds,

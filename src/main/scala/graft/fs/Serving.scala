@@ -171,6 +171,49 @@ object Serving {
         payloadCols.map(c => col(s"__latest.$c").as(c))): _*)
   }
 
+  /** [[asOfJoin]] with a STALENESS bound — the feature-TTL serving
+    * rule: a feature older than `maxAgeSec` at the label's event time
+    * is no feature at all (a 90-day-old account balance must not leak
+    * into today's training row as if fresh). Because the as-of match
+    * is the LATEST right row at-or-before the left time, "restrict the
+    * search to the tolerance window" and "null out a too-stale match"
+    * coincide — any older candidate is staler still — so this runs as
+    * the plain one-exchange union-tag join plus a map-side age check:
+    * payload columns null out when the matched row's event time is
+    * more than `maxAgeSec` seconds before the left row's. */
+  def asOfJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      maxAgeSec: Long,
+      rightTieBreak: Seq[String] = Seq.empty): DataFrame = {
+    require(maxAgeSec >= 0, s"asOfJoinWithin: maxAgeSec=$maxAgeSec")
+    require(!left.columns.contains(rightTime) && rightTime != leftTime,
+      s"asOfJoinWithin: right time column '$rightTime' collides with the left frame")
+    require(!payloadCols.contains(rightTime),
+      s"asOfJoinWithin: '$rightTime' rides internally for the age check; " +
+        "project it on the right side under another name to keep it")
+    val joined = asOfJoin(left, right, keys, leftTime, rightTime,
+      (payloadCols :+ rightTime).distinct, rightTieBreak)
+    // NTZ-tolerant epoch seconds: TIMESTAMP_NTZ refuses a direct long
+    // cast, but casts losslessly through TimestampType under the
+    // pinned UTC session TZ (the Tables.events convention); a plain
+    // TimestampType passes through unchanged
+    def epoch(c: Column) =
+      c.cast(org.apache.spark.sql.types.TimestampType).cast(LongType)
+    val fresh =
+      epoch(col(leftTime)) - epoch(col(s"__matched_$rightTime")) <= maxAgeSec
+    val aged = joined
+      .withColumnRenamed(rightTime, s"__matched_$rightTime")
+    payloadCols.foldLeft(aged) { (df, c) =>
+        df.withColumn(c, when(fresh, col(c)).otherwise(lit(null)))
+      }
+      .drop(s"__matched_$rightTime")
+  }
+
   /** Incremental latest-snapshot maintenance — the daily-refresh
     * serving shape: yesterday's materialized latest table (one row per
     * entity) + today's record shard → today's latest table. The

@@ -504,6 +504,21 @@ class FeatureStoreSpec extends SparkSpec {
       "untouched partition must not be rewritten")
   }
 
+  test("asOfJoinWithin nulls a match older than the staleness bound") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val labels = Seq((1L, 100L, t("2024-03-01 00:00:00")),
+      (2L, 200L, t("2024-03-01 00:00:00"))).toDF("user", "label_id", "ts")
+    val feats = Seq(
+      (1L, t("2024-02-20 00:00:00"), 7.0),   // 10 days old → fresh
+      (2L, t("2023-12-01 00:00:00"), 9.0))   // 91 days old → stale
+      .toDF("user", "fts", "v")
+    val got = Serving.asOfJoinWithin(labels, feats, Seq("user"), "ts", "fts",
+        Seq("v"), maxAgeSec = 30L * 24 * 3600)
+      .select("user", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(7.0), 2L -> None),
+      s"stale feature must serve NULL, got $got")
+  }
+
   test("snapshotDiff reports added/changed/unchanged across times and removed across a forget") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val log = Seq(
