@@ -4140,6 +4140,227 @@ $roundCtes"""
       GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
   // ---------------------------------------------------------------------
+  // Drift monitoring, span-level dedup, mixture sampling, hard-negative
+  // mining, robust outliers — r9 continuation additions.
+  // ---------------------------------------------------------------------
+
+  /** Distribution-drift report ([[graft.operators.Drift.histogramDrift]]):
+    * per event_type, the total-variation distance and worst single-bin
+    * gap between the pre-AsOf (reference) and post-AsOf (current)
+    * value distributions, binned on reference-fit equal-width edges.
+    * Every emitted stat is exact-integer derived (see Drift scaladoc);
+    * the PSI convenience column (libm ln) is projected away here and
+    * spec-checked in Scala instead. */
+  /** Split point for the drift windows — mid-January, inside the
+    * events table's 2024-01-01..01-30 span (AsOf = 2024-03-01 is past
+    * the end of the stream: it serves the PIT queries but would leave
+    * the drift "current" window empty). */
+  private val DriftCut = "2024-01-15 00:00:00"
+
+  private val driftReport = Q("q_drift_report",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val ref = ev.filter(col("ts") < to_timestamp(lit(DriftCut)))
+      val cur = ev.filter(col("ts") >= to_timestamp(lit(DriftCut)))
+      graft.operators.Drift
+        .histogramDrift(ref, cur, "event_type", "value", nBins = 10)
+        .drop("psi")
+    },
+    Some(s"""
+      WITH ref AS (
+        SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS sv
+        FROM events WHERE value IS NOT NULL AND ts < TIMESTAMP '$DriftCut'),
+      cur AS (
+        SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS sv
+        FROM events WHERE value IS NOT NULL AND ts >= TIMESTAMP '$DriftCut'),
+      edges AS (
+        SELECT event_type, min(sv) AS lo, max(sv) AS hi, count(*) AS n_ref
+        FROM ref GROUP BY event_type),
+      ncur AS (SELECT event_type, count(*) AS n_cur FROM cur GROUP BY event_type),
+      rc AS (
+        SELECT r.event_type,
+               CAST(floor(CAST(least(greatest(r.sv, e.lo), e.hi) - e.lo AS DOUBLE)
+                 * 10 / CAST(e.hi - e.lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+               count(*) AS cr
+        FROM ref r JOIN edges e USING (event_type) GROUP BY 1, 2),
+      ccn AS (
+        SELECT c.event_type,
+               CAST(floor(CAST(least(greatest(c.sv, e.lo), e.hi) - e.lo AS DOUBLE)
+                 * 10 / CAST(e.hi - e.lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+               count(*) AS cc
+        FROM cur c JOIN edges e USING (event_type) GROUP BY 1, 2),
+      cells AS (
+        SELECT e.event_type, g.bin, coalesce(rc.cr, 0) AS cr,
+               coalesce(ccn.cc, 0) AS cc, e.n_ref, e.lo, e.hi, ncur.n_cur
+        FROM edges e
+        CROSS JOIN (SELECT unnest(range(10)) AS bin) g
+        LEFT JOIN rc ON rc.event_type = e.event_type AND rc.bin = g.bin
+        LEFT JOIN ccn ON ccn.event_type = e.event_type AND ccn.bin = g.bin
+        JOIN ncur ON ncur.event_type = e.event_type)
+      SELECT event_type, any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur,
+             any_value(lo) AS lo, any_value(hi) AS hi,
+             round(CAST(sum(abs((cr+1)*(n_cur+10) - (cc+1)*(n_ref+10))) AS DOUBLE)
+               / (2.0 * CAST(any_value(n_ref) + 10 AS DOUBLE)
+                  * CAST(any_value(n_cur) + 10 AS DOUBLE)), 6) AS tvd,
+             round(CAST(max(abs((cr+1)*(n_cur+10) - (cc+1)*(n_ref+10))) AS DOUBLE)
+               / (CAST(any_value(n_ref) + 10 AS DOUBLE)
+                  * CAST(any_value(n_cur) + 10 AS DOUBLE)), 6) AS worst_gap
+      FROM cells GROUP BY event_type ORDER BY event_type"""))
+
+  /** Duplicated-span report ([[Dedup.spanDupStats]], Lee et al. 2022):
+    * docs containing 8-token windows that also occur in other docs —
+    * the substring-level memorization risk exact/near dedup misses.
+    * The oracle replays the whole window→md5→cross-doc-share pipeline
+    * in SQL. */
+  private val spanDedup = Q("q_span_dedup",
+    (s, d) => Dedup.spanDupStats(Tables.documents(s, d), "text", "doc_id",
+        k = 8)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      sp AS (
+        SELECT doc_id, md5(unnest(list_distinct(
+          CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(len(toks) - 7),
+            i -> array_to_string(toks[i+1:i+8], ' ')) END))) AS h,
+          CAST(len(list_distinct(
+            CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(len(toks) - 7),
+              i -> array_to_string(toks[i+1:i+8], ' ')) END)) AS BIGINT) AS n_spans
+        FROM t),
+      dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2)
+      SELECT doc_id, any_value(n_spans) AS n_spans,
+             count(*) AS n_dup_spans,
+             round(CAST(count(*) AS DOUBLE)
+               / CAST(any_value(n_spans) AS DOUBLE), 6) AS dup_ratio
+      FROM sp JOIN dup USING (h)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Temperature mixing APPLIED ([[Sampling.hashKeepWeighted]] over
+    * α=0.5 source weights): per-source keep rates that rebalance the
+    * corpus toward the sqrt-weighted mixture (small domains upsampled
+    * to rate 1, large ones thinned), executed as a deterministic
+    * hash-keyed sample — the sibling of q_source_mix (which only
+    * REPORTS the target mixture). The weight sum runs through exact
+    * decimals and the per-source rate replays operation-for-operation
+    * in SQL, so membership is bit-identical on both engines. */
+  private val temperatureSample = Q("q_temperature_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", round(sqrt(col("n_docs").cast("double")), 6)
+          .cast(DecimalType(18, 6)))
+        .localCheckpoint(false) // feeds totals + rates (diamond DAG)
+      val tot = per.agg(sum(col("n_docs")).as("tot_n"), sum(col("w")).as("tot_w"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("rate",
+          least(lit(1.0), col("w").cast("double") / col("tot_w").cast("double")
+            * col("tot_n").cast("double") / col("n_docs").cast("double")))
+      val kept = docs
+        .join(broadcast(rates.select(col("source"), col("rate"))), "source")
+        .where(Sampling.hashKeepWeighted(col("doc_id"), col("rate"), "tmix"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left").na.fill(0L, Seq("n_kept"))
+        .select(col("source"), col("n_docs"),
+          round(col("rate"), 6).as("rate"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+            .as("realized"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      pw AS (
+        SELECT source, n_docs,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+        FROM per),
+      tot AS (SELECT sum(n_docs) AS tot_n, sum(w) AS tot_w FROM pw),
+      rates AS (
+        SELECT source, n_docs,
+               least(1.0, CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE)
+                 * CAST(tot_n AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+        FROM pw, tot),
+      kept AS (
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE r.rate >= 1.0
+           OR (r.rate > 0.0 AND
+               substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 12)
+                 < printf('%012x', CAST(floor(r.rate * 281474976710656.0) AS BIGINT)))
+        GROUP BY d.source)
+      SELECT r.source, r.n_docs, round(r.rate, 6) AS rate,
+             coalesce(k.n_kept, 0) AS n_kept,
+             round(CAST(coalesce(k.n_kept, 0) AS DOUBLE)
+               / CAST(r.n_docs AS DOUBLE), 6) AS realized
+      FROM rates r LEFT JOIN kept k ON r.source = k.source
+      ORDER BY r.source"""))
+
+  /** Hard-negative mining ([[Similarity.hardNegativesTopK]]): per
+    * query vector, the 5 most-similar corpus vectors with a DIFFERENT
+    * label — the contrastive-training pair selector. Oracle is the
+    * brute-force cross join with the label-inequality predicate. */
+  private val hardNegatives = Q("q_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegativesTopK(
+          emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+          "label", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      SELECT query_id, q_label, neighbor_id, n_label, sim, rank FROM (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS n_label,
+               round(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                 c.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id AND q.label <> c.label)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
+    * of q_outlier_zscore: modified z = 0.6745·(v − median)/MAD, flag
+    * |z| > 3.5 (Iglewicz–Hoaglin). Mean/stddev outliers mask each
+    * other under contamination; the median/MAD pair has a 50 %
+    * breakdown point. Two tiny stats aggregates broadcast back over
+    * the stream; exact interpolated percentiles on both engines. */
+  private val outlierMad = Q("q_outlier_mad",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .withColumn("rz", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .filter(abs(col("rz")) > 3.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), round(col("rz"), 6).as("rz"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+      mad AS (
+        SELECT event_type, any_value(med) AS med,
+               quantile_cont(abs(value - med), 0.5) AS mad
+        FROM events JOIN med USING (event_type) GROUP BY event_type)
+      SELECT event_id, event_type, round(value, 6) AS value,
+             round(0.6745 * (value - med) / mad, 6) AS rz
+      FROM events JOIN mad USING (event_type)
+      WHERE abs(0.6745 * (value - med) / mad) > 3.5
+      ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
     pitLatest, pitJoin, pitDiff, asofJoin, asofTtl, pitAsofPerRow,
@@ -4175,6 +4396,7 @@ $roundCtes"""
     tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched,
     lmPerplexity, lmDomain, lmInterpolated, kfold,
     countsIncremental,
+    driftReport, spanDedup, temperatureSample, hardNegatives, outlierMad,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -385,6 +385,49 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("dist"))
   }
 
+  /** Per-document duplicated-span report — the substring-level dedup
+    * diagnostic (cf. "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022: repeated ≥k-token spans across
+    * documents are memorization fuel even when no two documents are
+    * near-duplicates as wholes). Every k-token window of every doc is
+    * reduced to md5(space-joined tokens); a span is DUPLICATED when
+    * the same hash occurs in ≥2 distinct documents. Output: one row
+    * per doc that contains at least one duplicated span —
+    * (id, n_spans, n_dup_spans, dup_ratio) over the doc's DISTINCT
+    * spans (the [[shingles]] convention dedups within-doc repeats, so
+    * a doc repeating its own sentence isn't flagged — only cross-doc
+    * sharing is) and dup_ratio = n_dup/n_spans rounded to 6dp. Docs
+    * shorter than k tokens carry a single whole-doc span, so short
+    * exact duplicates still surface.
+    *
+    * Scale shape: the window explosion is the same O(tokens) row
+    * count MinHash shingling already pays; doc-counting per hash runs
+    * over rows that are already (hash, doc)-unique (array_distinct
+    * upstream — never a count-distinct Expand); the dup-hash set
+    * joins back on the hash key both sides are already partitioned
+    * by. No all-pairs comparison anywhere. */
+  def spanDupStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    // rows are (hash, doc)-unique by construction: shingles() dedups
+    // within the doc, so a plain count per hash IS the distinct-doc
+    // count
+    val spans = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), k)).as("sp"))
+      .select(col("id"), md5(col("sp")).as("h"))
+    val dupHash = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val perDocDup = spans.join(dupHash, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
+    val totals = df.select(col(idCol).as("id"),
+      size(shingles(col(textCol), k)).cast("long").as("n_spans"))
+    totals.join(perDocDup, "id")
+      .select(col("id").as(idCol), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") /
+          col("n_spans").cast("double"), 6).as("dup_ratio"))
+  }
+
   /** Exact token-n-gram Jaccard similarity for given candidate pairs.
     * Shingle sets are computed only for docs that appear in a pair
     * (left-semi restriction) — at corpus scale the candidate set is a

@@ -63,6 +63,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training selector: for
+    * each query vector, the `k` corpus vectors MOST similar to it that
+    * carry a DIFFERENT label (near the decision boundary = "hard").
+    * Same broadcast-queries + bounded-heap shape as
+    * [[bruteForceTopK]]; the label inequality rides the join
+    * condition, so excluded same-label rows never reach the heap.
+    * Labels re-attach to the k·|queries|-bounded result at the edge —
+    * the result side is broadcast-sized by construction, so the
+    * re-attach never shuffles the corpus. */
+  def hardNegativesTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      maxQueries: Int = MaxBroadcastQueries): DataFrame = {
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"hardNegativesTopK: query side exceeds $maxQueries rows — " +
+        "a broadcast this size is an executor-memory killer")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("n_label"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
+    val top = topKPerQuery(scored, k)
+      .join(broadcast(q.select(col("query_id"), col("q_label"))), "query_id")
+    // corpus streams, the bounded result is the broadcast build side
+    c.select(col("neighbor_id"), col("n_label"))
+      .join(broadcast(top), "neighbor_id")
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), col("sim"), col("rank"))
+  }
+
   /** Incremental top-k maintenance — the ingest-time shape of a served
     * similarity index (cf. the incremental top-k session search idea,
     * EDBT 2020, PAPERS.md): when a new corpus shard lands, the served

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Drift, Similarity}
+
+/** Specs for the drift / span-dedup / mixture-sampling / hard-negative
+  * additions (r9 continuation). */
+class DriftMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----- Drift.histogramDrift ------------------------------------------
+
+  // Hand-computable case, nBins=2 (B=2): ref = [1.00, 1.00, 2.00, 2.00]
+  // → sv [100,100,200,200], lo=100 hi=200 width=101, bins [2, 2];
+  // cur = [2.00 ×4] → bins [0, 4]. Smoothed (c+1)/(n+2): p_ref =
+  // [1/2, 1/2], p_cur = [1/6, 5/6].
+  //   tvd   = ½(|1/2−1/6| + |1/2−5/6|) = 1/3
+  //   worst = 1/3
+  //   psi   = (1/6−1/2)·ln(1/3) + (5/6−1/2)·ln(5/3) ≈ 0.536479
+  private def refDf = Seq(("a", 1.00), ("a", 1.00), ("a", 2.00), ("a", 2.00))
+    .toDF("k", "v")
+  private def curDf = Seq(("a", 2.00), ("a", 2.00), ("a", 2.00), ("a", 2.00))
+    .toDF("k", "v")
+
+  test("histogramDrift: exact tvd/worst_gap and psi on a hand-built case") {
+    val r = Drift.histogramDrift(refDf, curDf, "k", "v", nBins = 2)
+      .select("k", "n_ref", "n_cur", "lo", "hi", "tvd", "worst_gap", "psi")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(r == Seq(("a", 4L, 4L, 100L, 200L, 0.333333, 0.333333, 0.536479)))
+  }
+
+  test("histogramDrift: identical windows drift to zero") {
+    val r = Drift.histogramDrift(refDf, refDf, "k", "v", nBins = 2)
+      .select("tvd", "worst_gap", "psi").as[(Double, Double, Double)]
+      .collect().toSeq
+    assert(r == Seq((0.0, 0.0, 0.0)))
+  }
+
+  test("histogramDrift: keys missing from either window are dropped; " +
+      "out-of-range current values clamp into edge bins") {
+    val ref = Seq(("a", 1.0), ("a", 2.0), ("refonly", 5.0)).toDF("k", "v")
+    val cur = Seq(("a", -100.0), ("a", 900.0), ("curonly", 5.0)).toDF("k", "v")
+    val r = Drift.histogramDrift(ref, cur, "k", "v", nBins = 2)
+    assert(r.select("k").as[String].collect().toSeq == Seq("a"))
+    // both cur values clamp (one per edge bin): cur bins [1,1], ref
+    // bins [1,1] → identical smoothed distributions → zero drift
+    assert(r.select("tvd").as[Double].head() == 0.0)
+  }
+
+  test("histogramDrift: constant reference (lo == hi) still bins") {
+    val ref = Seq(("a", 3.0), ("a", 3.0)).toDF("k", "v")
+    val cur = Seq(("a", 3.0), ("a", 9.0)).toDF("k", "v")
+    // width 1: everything lands in bin 0 (9.0 clamps to hi)
+    val r = Drift.histogramDrift(ref, cur, "k", "v", nBins = 2)
+      .select("tvd").as[Double].collect().toSeq
+    assert(r == Seq(0.0))
+  }
+
+  // ----- Dedup.spanDupStats --------------------------------------------
+
+  private def docs = Seq(
+    (1L, "a b c d e"),        // spans: "a b c","b c d","c d e"
+    (2L, "x y z a b c"),      // shares "a b c" with doc 1
+    (3L, "p q r p q r"),      // self-repeat only → distinct spans, no flag
+    (4L, "short"),            // < k tokens → whole-doc span
+    (5L, "short"))            // exact short duplicate of doc 4
+    .toDF("doc_id", "text")
+
+  test("spanDupStats: cross-doc shared spans flagged, self-repeats not") {
+    val r = Dedup.spanDupStats(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 4L, 1L, 0.25),
+      (4L, 1L, 1L, 1.0),
+      (5L, 1L, 1L, 1.0)))
+  }
+
+  test("spanDupStats: disjoint corpus produces no rows") {
+    val d = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    assert(Dedup.spanDupStats(d, "text", "doc_id", k = 3).count() == 0L)
+  }
+
+  // ----- Similarity.hardNegativesTopK ----------------------------------
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(1.0f, 0.0f), 0),   // same label as query → excluded
+    (2L, Array(0.9f, 0.1f), 1),
+    (3L, Array(0.0f, 1.0f), 1),
+    (4L, Array(1.0f, 0.1f), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("hardNegativesTopK: nearest different-label rows, ranked") {
+    val r = Similarity.hardNegativesTopK(
+        vecs.filter(col("vec_id") === 0L), vecs,
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank")
+      .select("query_id", "q_label", "neighbor_id", "n_label", "rank")
+      .as[(Long, Int, Long, Int, Int)].collect().toSeq
+    // cos(q, v4) = 1/√1.01 ≈ 0.995037 > cos(q, v2) = 0.9/√0.82 ≈ 0.993884
+    assert(r == Seq((0L, 0, 4L, 2, 1), (0L, 0, 2L, 1, 2)))
+  }
+
+  test("hardNegativesTopK: never returns a same-label neighbor") {
+    val r = Similarity.hardNegativesTopK(
+      vecs.filter(col("vec_id") < 2), vecs, "vec_id", "embedding", "label",
+      k = 10)
+    assert(r.filter(col("q_label") === col("n_label")).count() == 0L)
+  }
+
+  // ----- q_temperature_sample invariants -------------------------------
+
+  test("temperature sampling: rates in (0, 1], kept within bounds, " +
+      "and deterministic across runs") {
+    val run = () => SparkEntry.queries("q_temperature_sample")(spark, sf)
+      .as[(String, Long, Double, Long, Double)].collect().toSeq
+    val a = run()
+    assert(a.nonEmpty)
+    a.foreach { case (src, nDocs, rate, nKept, realized) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate=$rate")
+      assert(nKept >= 0L && nKept <= nDocs, s"$src kept=$nKept of $nDocs")
+      assert(realized >= 0.0 && realized <= 1.0)
+    }
+    // hash-keyed membership is a pure function of the data
+    assert(a == run())
+  }
+}
