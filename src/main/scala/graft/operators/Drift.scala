@@ -83,17 +83,23 @@ object Drift {
 
     val refC = binned(refS, "cr")
     val curC = binned(curS, "cc")
-    val nCur = curS.groupBy(col("key")).agg(count(lit(1)).as("n_cur"))
 
     // every (key, bin) cell must exist — empty bins still carry
     // smoothed mass 1/(n+B). The scaffold is keys × nBins (tiny).
+    // n_cur needs no third scan of the current side: clamping drops no
+    // row and nulls are filtered upstream, so the per-key sum of the
+    // binned counts IS the row count — a window over the tiny cell
+    // frame. Keys absent from cur (n_cur = 0) are dropped to mirror
+    // the ref-absent side (nothing to compare).
     val cells = edges.select(col("key"),
         explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
       .join(refC, Seq("key", "bin"), "left")
       .join(curC, Seq("key", "bin"), "left")
       .na.fill(0L, Seq("cr", "cc"))
       .join(broadcast(edges), "key")
-      .join(broadcast(nCur), "key") // inner: cur-absent keys drop
+      .withColumn("n_cur", sum(col("cc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+      .filter(col("n_cur") > 0)
 
     val dr = col("n_ref") + nBins // smoothed denominators
     val dc = col("n_cur") + nBins
