@@ -1934,11 +1934,15 @@ $steps
     * Training runs on the hashKeep(0.25) sample `tr` (threshold hex =
     * 0.25·2^48 = 400000000000), seeding on the smallest-md5 rows —
     * both off the one `h` column, mirroring the engine exactly. */
-  private val ivfTrainedSql = """
+  /** Shared Lloyd-replay prefix, parameterized by cell count: seeds →
+    * 2 training iterations on the 0.25 hashKeep sample → full-corpus
+    * `assign` (vec_id AS neighbor_id, v AS cv, cell). Tails append
+    * their own probing/pairing logic. */
+  private def lloydAssignSql(nCells: Int): String = s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                         md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
       cent0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
-                ORDER BY h, vec_id LIMIT 16),
+                ORDER BY h, vec_id LIMIT $nCells),
       tr AS (SELECT vec_id, v FROM e WHERE substr(h, 1, 12) < '400000000000'),
       a1 AS (
         SELECT vec_id, v, cell FROM (
@@ -1977,7 +1981,9 @@ $steps
           SELECT e.vec_id, e.v, c.cell_id AS cell,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
                    round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
-          FROM e CROSS JOIN cent2 c) WHERE rn = 1),
+          FROM e CROSS JOIN cent2 c) WHERE rn = 1)"""
+
+  private val ivfTrainedSql = lloydAssignSql(16) + """,
       probes AS (
         SELECT query_id, qv, cell FROM (
           SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id AS cell,
@@ -4324,6 +4330,32 @@ $roundCtes"""
         WHERE q.vec_id <> c.vec_id AND q.label <> c.label)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** SemDeDup ([[Similarity.semDedupPairs]], Abbas et al. 2023):
+    * semantic near-dup pairs via cluster-then-compare — the trained
+    * IVF quantizer partitions the embedding space and only
+    * within-cell pairs are scored, with the capBuckets skew guard on
+    * degenerate cells. The oracle replays the whole chain: Lloyd
+    * training (shared prefix with the IVF queries), full-corpus
+    * assignment, the cap window, and the within-cell pairwise
+    * cosine. */
+  private val semDedup = Q("q_semdedup",
+    (s, d) => Similarity.semDedupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        nCells = 16, trainIters = 2, trainFraction = 0.25,
+        threshold = 0.35, maxCell = 2000)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(lloydAssignSql(16) + """,
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM assign) WHERE cn <= 2000)
+      SELECT cell, id_a, id_b, sim FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id < b.id)
+      WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
+
   /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
     * of q_outlier_zscore: modified z = 0.6745·(v − median)/MAD, flag
     * |z| > 3.5 (Iglewicz–Hoaglin). Mean/stddev outliers mask each
@@ -4397,6 +4429,7 @@ $roundCtes"""
     lmPerplexity, lmDomain, lmInterpolated, kfold,
     countsIncremental,
     driftReport, spanDedup, temperatureSample, hardNegatives, outlierMad,
+    semDedup,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -286,6 +286,44 @@ object Similarity {
     cent
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate PAIRS found
+    * by clustering the embedding space and comparing only WITHIN each
+    * cluster — the scale trick that turns a corpus-quadratic cosine
+    * sweep into Σ cell² work bounded by the largest cell. Train the
+    * same fixed-point Lloyd quantizer the IVF path uses ([[kmeansFit]]
+    * — deterministic and SQL-replayable), assign every vector to its
+    * cell with the zero-shuffle native argmax, then self-join within
+    * cells (id_a < id_b) and keep round-6 cosine ≥ `threshold`.
+    *
+    * Cross-cluster near-dups are invisible by design — that is
+    * SemDeDup's documented recall trade (a near-dup pair split by the
+    * quantizer is missed); raise nCells for speed, lower for recall.
+    * `maxCell` is the [[Guards.capBuckets]] skew guard: a degenerate
+    * cell (e.g. a constant-embedding flood) would otherwise revive
+    * the quadratic blow-up the clustering exists to avoid; drops are
+    * observable under "semdedup_cells". Downstream, feed the pairs to
+    * [[Dedup.removePairs]] / ConnectedComponents for the keep-one
+    * policy. */
+  def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, trainIters: Int = 2, trainFraction: Double = 1.0,
+      threshold: Double, maxCell: Int = 2000): DataFrame = {
+    val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters,
+      trainFraction = trainFraction)
+    val assigned = corpus.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      cellOf(cent, col(vecCol)).as("cell"))
+    val capped = Guards.capBuckets(assigned, Seq("cell"), maxCell,
+      Some("semdedup_cells"))
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Top-nProbe cells per query against the centroid frame. */
   private def ivfProbes(queries: DataFrame, centDf: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame =

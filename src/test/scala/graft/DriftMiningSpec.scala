@@ -112,6 +112,44 @@ class DriftMiningSpec extends SparkSpec {
     assert(r.filter(col("q_label") === col("n_label")).count() == 0L)
   }
 
+  // ----- Similarity.semDedupPairs --------------------------------------
+
+  // two well-separated clusters on orthogonal axes, each with an
+  // internal near-dup pair; ids chosen so seeding picks one vector
+  // from each cluster region regardless of md5 order (all vectors are
+  // candidates; Lloyd converges to the two axis means)
+  private def clustered = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.01f, 0.0f)),   // near-dup of 1
+    (3L, Array(0.7f, 0.05f, 0.0f)),
+    (10L, Array(0.0f, 1.0f, 0.0f)),
+    (11L, Array(0.0f, 0.99f, 0.01f)),  // near-dup of 10
+    (12L, Array(0.05f, 0.7f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("semDedupPairs: finds within-cluster near-dups, never pairs " +
+      "across cells, ids ordered") {
+    val r = Similarity.semDedupPairs(clustered, "vec_id", "embedding",
+        nCells = 2, trainIters = 2, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r.contains((1L, 2L)) && r.contains((10L, 11L)))
+    // no pair joins the two orthogonal clusters, and id_a < id_b
+    r.foreach { case (a, b) =>
+      assert(a < b)
+      assert((a < 10L) == (b < 10L), s"cross-cluster pair ($a,$b)")
+    }
+  }
+
+  test("semDedupPairs: capBuckets drops an oversize cell entirely") {
+    // every vector identical → one cell holds everything; cap below
+    // the cell size must produce zero pairs (and not a b² explosion)
+    val flood = (0L until 50L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedupPairs(flood, "vec_id", "embedding",
+      nCells = 2, trainIters = 1, threshold = 0.5, maxCell = 10)
+    assert(r.count() == 0L)
+  }
+
   // ----- q_temperature_sample invariants -------------------------------
 
   test("temperature sampling: rates in (0, 1], kept within bounds, " +
