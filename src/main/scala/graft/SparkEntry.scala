@@ -4244,6 +4244,50 @@ $roundCtes"""
       FROM sp JOIN dup USING (h)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Duplicated-span REMOVAL ([[Dedup.scrubSpans]]): the transform
+    * half of q_span_dedup — tokens covered by any cross-doc-shared
+    * 8-token window are cut out and the survivors re-join, per Lee et
+    * al.'s substring-level dedup. The oracle rebuilds the cleaned
+    * text position-by-position (zipped unnest for window positions,
+    * coverage via list_filter over the duplicated starts). */
+  private val spanScrub = Q("q_span_scrub",
+    (s, d) => Dedup.scrubSpans(Tables.documents(s, d), "text", "doc_id",
+        k = 8)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) < 8 THEN [md5(array_to_string(toks, ' '))]
+               ELSE list_transform(range(len(toks) - 7),
+                 i -> md5(array_to_string(toks[i+1:i+8], ' '))) END AS hs
+        FROM t),
+      pos AS (
+        SELECT doc_id, unnest(hs) AS h, unnest(range(len(hs))) AS p FROM w),
+      dup AS (
+        SELECT h FROM (SELECT DISTINCT h, doc_id FROM pos)
+        GROUP BY h HAVING count(*) >= 2),
+      st AS (
+        SELECT doc_id, list_sort(list(p)) AS starts
+        FROM pos JOIN dup USING (h) GROUP BY doc_id),
+      fin AS (
+        SELECT t.doc_id, t.toks, coalesce(st.starts, []) AS starts,
+               CASE WHEN len(t.toks) < 8 THEN len(t.toks) ELSE 8 END AS sl
+        FROM t LEFT JOIN st USING (doc_id)),
+      kept AS (
+        SELECT doc_id, toks,
+               list_transform(
+                 list_filter(range(len(toks)), p ->
+                   len(list_filter(starts, s -> s <= p AND p < s + sl)) = 0),
+                 p -> toks[CAST(p + 1 AS INT)]) AS kt
+        FROM fin)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(toks) - len(kt) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(kt, ' '), '') AS clean_text
+      FROM kept ORDER BY doc_id"""))
+
   /** Temperature mixing APPLIED ([[Sampling.hashKeepWeighted]] over
     * α=0.5 source weights): per-source keep rates that rebalance the
     * corpus toward the sqrt-weighted mixture (small domains upsampled
@@ -4428,8 +4472,8 @@ $roundCtes"""
     tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched,
     lmPerplexity, lmDomain, lmInterpolated, kfold,
     countsIncremental,
-    driftReport, spanDedup, temperatureSample, hardNegatives, outlierMad,
-    semDedup,
+    driftReport, spanDedup, spanScrub, temperatureSample, hardNegatives,
+    outlierMad, semDedup,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

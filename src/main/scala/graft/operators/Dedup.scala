@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -410,15 +411,17 @@ object Dedup {
       k: Int): DataFrame = {
     // rows are (hash, doc)-unique by construction: shingles() dedups
     // within the doc, so a plain count per hash IS the distinct-doc
-    // count
+    // count. The count rides a window over the hash partition rather
+    // than a groupBy + join-back: the join form re-runs the whole
+    // explode+md5 subtree for the probe side (diamond DAGs recompute),
+    // doubling the dominant map-side cost — the window form pays one
+    // explode and one exchange.
     val spans = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("sp"))
       .select(col("id"), md5(col("sp")).as("h"))
-    val dupHash = spans.groupBy(col("h"))
-      .agg(count(lit(1)).as("n_docs"))
+    val perDocDup = spans
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("n_docs") >= 2)
-      .select(col("h"))
-    val perDocDup = spans.join(dupHash, "h")
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
     val totals = df.select(col(idCol).as("id"),
       size(shingles(col(textCol), k)).cast("long").as("n_spans"))
@@ -426,6 +429,67 @@ object Dedup {
       .select(col("id").as(idCol), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans").cast("double") /
           col("n_spans").cast("double"), 6).as("dup_ratio"))
+  }
+
+  /** Duplicated-span REMOVAL — the transform half of [[spanDupStats]]
+    * (Lee et al. 2022 cut the repeated substring out of the corpus
+    * rather than dropping whole documents). Tokens covered by any
+    * k-token window whose hash occurs in ≥2 distinct documents are
+    * deleted; the survivors re-join into the cleaned text. Output is
+    * one row per doc: (id, n_tokens, n_removed, clean_text) — docs
+    * with nothing to scrub pass through with n_removed = 0.
+    *
+    * Plan shape: the dup-hash set is found exactly as in
+    * [[spanDupStats]]; duplicated window START positions come from one
+    * positional explode joined to that set and collected per doc (the
+    * collected array is bounded by the doc's own token count — the
+    * same order of per-row state as the token array itself); coverage
+    * and reconstruction are then a single map-side higher-order
+    * expression (position p is covered iff some start s ∈ [p−k+1, p]),
+    * O(tokens · dupStarts) per doc worst case. Whole-doc spans
+    * (< k tokens) scrub the entire text, exactly like whole-doc
+    * dedup of a short exact duplicate. */
+  def scrubSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val toks = TextFns.tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("id"), toks.as("toks"))
+    // per-position window hashes (NOT distinct — positions matter here)
+    val withHs = base.withColumn("hs",
+      when(size(col("toks")) < k, array(md5(concat_ws(" ", col("toks")))))
+        .otherwise(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
+    val pos = withHs.select(col("id"), posexplode(col("hs")).as(Seq("p", "h")))
+    // cross-doc duplicated hashes, single-pass: positions are NOT
+    // (hash, doc)-distinct here, so the distinct-doc count per hash is
+    // a boundary flag (first row of each doc run under (id, p) order)
+    // summed over the hash partition — one exchange on h, no
+    // distinct+join-back that would re-run the explode+md5 subtree
+    // (the spanDupStats rationale, plus the dedup step)
+    val wOrd = Window.partitionBy(col("h")).orderBy(col("id"), col("p"))
+    val wAll = Window.partitionBy(col("h"))
+    val starts = pos
+      .withColumn("newdoc",
+        when(lag(col("id"), 1).over(wOrd).isNull ||
+          lag(col("id"), 1).over(wOrd) =!= col("id"), 1).otherwise(0))
+      .withColumn("n_docs", sum(col("newdoc")).over(wAll))
+      .filter(col("n_docs") >= 2)
+      .groupBy(col("id")).agg(sort_array(collect_list(col("p"))).as("starts"))
+    val spanLen = when(size(col("toks")) < k, size(col("toks")))
+      .otherwise(lit(k))
+    // reconstruction needs only (id, toks) — joining `base` rather
+    // than `withHs` keeps the md5-over-every-window pass single-use
+    // (the diamond would otherwise recompute it corpus-wide)
+    base.join(starts, Seq("id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(
+        col("toks"),
+        (t, p) => !exists(col("starts"),
+          s => s <= p && p < s + spanLen)))
+      .select(col("id").as(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
   }
 
   /** Exact token-n-gram Jaccard similarity for given candidate pairs.

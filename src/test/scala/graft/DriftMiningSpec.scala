@@ -112,6 +112,36 @@ class DriftMiningSpec extends SparkSpec {
     assert(r.filter(col("q_label") === col("n_label")).count() == 0L)
   }
 
+  // ----- Dedup.scrubSpans ----------------------------------------------
+
+  test("scrubSpans: cuts cross-doc-shared windows, keeps the rest") {
+    val d = Seq(
+      (1L, "a b c d e"),   // shares "a b c" (pos 0) → keeps "d e"
+      (2L, "x y a b c"),   // shares "a b c" (pos 2) → keeps "x y"
+      (3L, "p q r p q r"), // self-repeat only → untouched
+      (4L, "short"), (5L, "short")) // whole-doc dup → scrubbed empty
+      .toDF("doc_id", "text")
+    val r = Dedup.scrubSpans(d, "text", "doc_id", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 5L, 3L, "d e"),
+      (2L, 5L, 3L, "x y"),
+      (3L, 6L, 0L, "p q r p q r"),
+      (4L, 1L, 1L, ""),
+      (5L, 1L, 1L, "")))
+  }
+
+  test("scrubSpans: overlapping duplicated windows merge their coverage") {
+    // docs share the 4-token run "a b c d": doc 1's windows at 0 and 1
+    // are both duplicated → positions 0..3 covered, keeps only "e"
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = Dedup.scrubSpans(d, "text", "doc_id", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq((1L, 5L, 4L, "e"), (2L, 4L, 4L, "")))
+  }
+
   // ----- Similarity.semDedupPairs --------------------------------------
 
   // two well-separated clusters on orthogonal axes, each with an
