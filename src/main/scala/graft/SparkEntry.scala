@@ -4374,6 +4374,67 @@ $roundCtes"""
         WHERE q.vec_id <> c.vec_id AND q.label <> c.label)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Engine-exact time-decayed feature sums
+    * ([[graft.operators.Decay.decayedSum]]): per-user recency-weighted
+    * value as of 2024-01-31, staircase 2^(−age_days) decay with a
+    * 20-halflife forgetting window — every term an exact integer
+    * shift, the sum order-free, one division at the edge. The
+    * float-exp/float-sum version of this is not reproducible across
+    * engines; this one hash-matches DuckDB bit for bit. */
+  private val decayFeatures = Q("q_decay_features",
+    (s, d) => graft.operators.Decay.decayedSum(
+        Tables.events(s, d), "user_id", "ts", "value",
+        asOfDate = "2024-01-31", halflifeDays = 1)
+      .orderBy(col("user_id")),
+    Some("""
+      WITH b AS (
+        SELECT user_id, CAST(round(value * 100.0) AS BIGINT) AS sv,
+               CAST(floor(CAST(datediff('day', CAST(ts AS DATE),
+                 DATE '2024-01-31') AS DOUBLE) / 1) AS BIGINT) AS e
+        FROM events
+        WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-31 00:00:00')
+      SELECT user_id,
+             CAST(sum(CASE WHEN e <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+             round(CAST(sum(CASE WHEN e <= 20
+                 THEN sv * (CAST(1 AS BIGINT) << CAST(20 - e AS INT))
+                 ELSE 0 END) AS DOUBLE) / 104857600.0, 6) AS decayed_sum
+      FROM b WHERE e >= 0
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** Hashing-trick audit: categorical crosses (event_type ×
+    * day-of-month) hashed into a fixed 64-bucket feature space — the
+    * classic fixed-dimension encoder for unbounded vocabularies —
+    * reported as the per-bucket load and collision profile (n_rows,
+    * n_distinct_feats). The bucket is the 48-bit md5 prefix mod dim
+    * (conv(hex) % 64 — one codegen'd O(1) expression; a
+    * CASE-over-64-hex-cuts chain à la foldId measured 5.8× the cpu,
+    * likely falling out of whole-stage codegen), and the distinct
+    * count is the two-level (bucket, feat) aggregate — no Expand. */
+  private val featureHash = Q("q_feature_hash",
+    (s, d) => Tables.events(s, d)
+      .select(concat_ws("|", col("event_type"),
+        dayofmonth(col("ts")).cast("string")).as("feat"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("fh"), col("feat"))), 1, 12), 16, 10)
+          .cast("long") % 64)
+      .groupBy(col("bucket"), col("feat")).agg(count(lit(1)).as("n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_feats"))
+      .orderBy(col("bucket")),
+    Some("""
+      WITH f AS (
+        SELECT event_type || '|' || CAST(day(ts) AS VARCHAR) AS feat
+        FROM events),
+      b AS (
+        SELECT feat,
+               CAST('0x' || substr(md5('fh' || feat), 1, 12) AS BIGINT) % 64
+                 AS bucket
+        FROM f),
+      g AS (SELECT bucket, feat, count(*) AS n FROM b GROUP BY 1, 2)
+      SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+             count(*) AS n_feats
+      FROM g GROUP BY bucket ORDER BY bucket"""))
+
   /** SemDeDup ([[Similarity.semDedupPairs]], Abbas et al. 2023):
     * semantic near-dup pairs via cluster-then-compare — the trained
     * IVF quantizer partitions the embedding space and only
@@ -4473,7 +4534,7 @@ $roundCtes"""
     lmPerplexity, lmDomain, lmInterpolated, kfold,
     countsIncremental,
     driftReport, spanDedup, spanScrub, temperatureSample, hardNegatives,
-    outlierMad, semDedup,
+    outlierMad, semDedup, decayFeatures, featureHash,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -180,6 +180,41 @@ class DriftMiningSpec extends SparkSpec {
     assert(r.count() == 0L)
   }
 
+  // ----- Decay.decayedSum ----------------------------------------------
+
+  test("decayedSum: hand-computed staircase weights, forgetting window, " +
+      "and future-row exclusion") {
+    val ev = Seq(
+      (1L, "2024-01-30 10:00:00", 4.0),   // age 1d → w=1/2 → 2.0
+      (1L, "2024-01-29 23:00:00", 8.0),   // age 2d → w=1/4 → 2.0
+      (1L, "2024-01-05 00:00:00", 100.0), // age 26d > 20 halflives → 0
+      (1L, "2024-02-01 00:00:00", 999.0), // after the anchor → excluded
+      (2L, "2024-01-31 00:00:00", 7.0),   // at the anchor → excluded
+      (2L, "2024-01-30 00:00:00", 6.0))   // age 1d → 3.0
+      .toDF("user_id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val r = graft.operators.Decay.decayedSum(
+        ev, "user_id", "ts", "v", asOfDate = "2024-01-31", halflifeDays = 1)
+      .orderBy("user_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 2L, 4.0), (2L, 1L, 3.0)))
+  }
+
+  test("decayedSum: halflife groups days into staircase steps") {
+    // halflife 2: ages 1..2 → e=0 (for age 2: floor(2/2)=1... age 1:
+    // floor(1/2)=0 → w=1; age 2: e=1 → w=1/2; age 4: e=2 → w=1/4
+    val ev = Seq(
+      (1L, "2024-01-30 00:00:00", 8.0),   // age 1 → e=0 → 8.0
+      (1L, "2024-01-29 00:00:00", 8.0),   // age 2 → e=1 → 4.0
+      (1L, "2024-01-27 00:00:00", 8.0))   // age 4 → e=2 → 2.0
+      .toDF("user_id", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val r = graft.operators.Decay.decayedSum(
+        ev, "user_id", "ts", "v", asOfDate = "2024-01-31", halflifeDays = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 3L, 14.0)))
+  }
+
   // ----- q_temperature_sample invariants -------------------------------
 
   test("temperature sampling: rates in (0, 1], kept within bounds, " +
