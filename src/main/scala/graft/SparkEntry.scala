@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.fs.{FeatureCatalog, FeatureDef, FeatureGroup, RecordLog, Serving}
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Bpe, Dedup, IncrementalAgg, Packing, Profile, Sampling, Scd2, Sessionize, Similarity, StableIds, ZOrder}
+import graft.operators.{Bpe, Dedup, IncrementalAgg, Labels, Packing, Profile, Sampling, Scd2, Sessionize, Similarity, StableIds, ZOrder}
 
 /** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2).
   *
@@ -4497,6 +4497,89 @@ $roundCtes"""
       WHERE abs(0.6745 * (value - med) / mad) > 3.5
       ORDER BY event_id"""))
 
+  /** Consensus-label aggregation ([[Labels.majorityVote]]): many votes
+    * per example collapse to one winner + an agreement ratio — the
+    * crowd/ensemble label reducer. Votes are reliability-weighted
+    * (here by l_quantity); the winner is picked from the SHRUNK
+    * (example × label) vote table by a struct-compare aggregate, not
+    * a window over raw votes. */
+  private val majorityVote = Q("q_majority_vote",
+    (s, d) => Labels.majorityVote(
+        Tables.lineitem(s, d), "l_orderkey", "l_returnflag",
+        weight = Some(col("l_quantity")))
+      .orderBy(col("l_orderkey")),
+    Some("""
+      WITH votes AS (
+        SELECT l_orderkey, l_returnflag AS label,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS votes
+        FROM lineitem GROUP BY 1, 2),
+      win AS (
+        SELECT l_orderkey, label, votes,
+               sum(votes) OVER (PARTITION BY l_orderkey) AS total,
+               row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY votes DESC, label ASC) AS rn
+        FROM votes)
+      SELECT l_orderkey, label,
+             CAST(votes AS DOUBLE) AS votes,
+             CAST(total AS DOUBLE) AS total_votes,
+             round(CAST(votes AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS agreement
+      FROM win WHERE rn = 1 ORDER BY l_orderkey"""))
+
+  /** DPO/RLHF preference-pair construction ([[Labels.preferencePairs]]):
+    * per prompt (user), the highest- and lowest-reward responses form a
+    * (chosen, rejected) pair, gated on a reward margin — near-tied
+    * pairs are annotation noise, not preference signal. One keyed
+    * max/min-struct aggregate; no candidate lists, no window sort. */
+  private val preferencePairs = Q("q_preference_pairs",
+    (s, d) => Labels.preferencePairs(
+        Tables.events(s, d), "user_id", "event_id", "value",
+        minMargin = 100.0)
+      .orderBy(col("user_id")),
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY value DESC, event_id DESC) AS rhi,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY value ASC, event_id ASC) AS rlo,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WHERE value IS NOT NULL AND event_id IS NOT NULL)
+      SELECT hi.user_id,
+             hi.event_id AS chosen_id, round(hi.value, 6) AS chosen_score,
+             lo.event_id AS rejected_id, round(lo.value, 6) AS rejected_score,
+             round(hi.value - lo.value, 6) AS margin
+      FROM (SELECT * FROM r WHERE rhi = 1) hi
+      JOIN (SELECT * FROM r WHERE rlo = 1) lo USING (user_id)
+      WHERE hi.n > 1 AND hi.event_id <> lo.event_id
+        AND round(hi.value - lo.value, 6) >= 100.0
+      ORDER BY user_id"""))
+
+  /** Length-bucketed padding-efficiency audit
+    * ([[Packing.paddingEfficiency]]): per 32-token length bucket, the
+    * tokens a pad-to-bucket-max dynamic batcher would burn — the
+    * "bucket or pack?" costing next to [[packGreedy]]'s zero-padding
+    * bins. Map-side bucketing + one tiny keyed aggregate. */
+  private val paddingEff = Q("q_padding_efficiency",
+    (s, d) => Packing.paddingEfficiency(
+        Tables.documents(s, d), TextFns.tokenCount(col("text")), 32)
+      .orderBy(col("bucket")),
+    Some("""
+      WITH t AS (
+        SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS len
+        FROM documents),
+      g AS (
+        SELECT len // 32 AS bucket, count(*) AS n_seqs,
+               CAST(sum(len) AS BIGINT) AS sum_len, max(len) AS max_len
+        FROM t GROUP BY 1)
+      SELECT bucket, n_seqs, sum_len, max_len,
+             n_seqs * max_len - sum_len AS padded,
+             round(CAST(n_seqs * max_len - sum_len AS DOUBLE) /
+                   CAST(n_seqs * max_len AS DOUBLE), 6) AS pad_ratio
+      FROM g ORDER BY bucket"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -4535,6 +4618,7 @@ $roundCtes"""
     countsIncremental,
     driftReport, spanDedup, spanScrub, temperatureSample, hardNegatives,
     outlierMad, semDedup, decayFeatures, featureHash,
+    majorityVote, preferencePairs, paddingEff,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

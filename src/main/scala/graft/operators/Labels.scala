@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Label aggregation + preference-pair construction — the two
+  * annotation-side primitives of a supervised / preference-tuning data
+  * pipeline. Crowd and model-ensemble labels arrive many-per-example
+  * and must collapse to one consensus label with an agreement measure
+  * (the quality dial for routing low-consensus examples back to
+  * review); reward- or score-annotated responses must collapse to
+  * (chosen, rejected) pairs with a margin gate (the DPO/RLHF pair
+  * builder — tiny margins are label noise, not preference signal).
+  *
+  * Both ops are single keyed aggregates with map-side partial combine:
+  * vote counting shrinks the stream to (example × label) rows before
+  * the winner is picked, and pair selection never materializes the
+  * per-example candidate list — `max_by`/`min_by` over a (score, id)
+  * struct keep one running champion per partition, so a 100 TB
+  * response log folds to one row per example in a single exchange with
+  * no window sort. Tie-breaks ride the struct compare (score, then id)
+  * and are therefore total and engine-replayable — an unordered
+  * `arg_max` would be nondeterministic under ties.
+  */
+object Labels {
+
+  /** Consensus label per `keyCol`: the `labelCol` value with the most
+    * votes (each row = one vote, optionally weighted by `weight` —
+    * annotator-reliability weighting), ties broken toward the SMALLEST
+    * label so the winner is a pure function of the data. Emits
+    * (key, label, votes, total_votes, agreement) with agreement =
+    * round(votes/total, 6); weights go through exact decimal sums so
+    * aggregation order can't drift the ratio.
+    *
+    * Plan: groupBy(key, label) counts votes (the big exchange, with
+    * map-side combine), then a groupBy(key) `max_by` over the shrunken
+    * vote table picks the winner — no window sort over raw votes.
+    */
+  def majorityVote(
+      df: DataFrame,
+      keyCol: String,
+      labelCol: String,
+      weight: Option[Column] = None): DataFrame = {
+    val w = weight.getOrElse(lit(1)).cast(DecimalType(18, 6))
+    val votes = df.where(col(labelCol).isNotNull)
+      .groupBy(col(keyCol), col(labelCol))
+      .agg(sum(w).as("votes"))
+    // "votes DESC, label ASC" as a min over struct(−votes, label):
+    // struct compare can't mix directions, and decimals negate exactly.
+    votes
+      .withColumn("__neg", col("votes") * lit(-1))
+      .groupBy(col(keyCol))
+      .agg(
+        min_by(struct(col(labelCol).as("label"), col("votes")),
+          struct(col("__neg"), col(labelCol))).as("__win"),
+        sum(col("votes")).as("total_votes"))
+      .select(col(keyCol), col("__win.label").as("label"),
+        col("__win.votes").cast(DoubleType).as("votes"),
+        col("total_votes").cast(DoubleType).as("total_votes"),
+        round(col("__win.votes").cast(DoubleType) /
+          col("total_votes").cast(DoubleType), 6).as("agreement"))
+  }
+
+  /** (chosen, rejected) pair per `keyCol` group: chosen = the row with
+    * the highest `scoreCol` (ties → highest `idCol`), rejected = the
+    * lowest (ties → lowest id), kept only when the two are different
+    * rows AND the margin clears `minMargin` (a pair whose rewards are
+    * indistinguishable teaches nothing and injects noise — the
+    * standard DPO pair-filter). Emits (key, chosen_id, chosen_score,
+    * rejected_id, rejected_score, margin) with margin rounded to 6 dp.
+    *
+    * One keyed aggregate: `max_by`/`min_by` over the (score, id)
+    * struct fold each partition to a single champion row per key —
+    * no per-key candidate list, no window sort.
+    */
+  def preferencePairs(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      scoreCol: String,
+      minMargin: Double = 0.0): DataFrame = {
+    val pick = struct(col(scoreCol).as("score"), col(idCol).as("id"))
+    df.where(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(pick).as("__hi"), min(pick).as("__lo"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__hi.id") =!= col("__lo.id"))
+      .select(col(keyCol),
+        col("__hi.id").as("chosen_id"),
+        round(col("__hi.score"), 6).as("chosen_score"),
+        col("__lo.id").as("rejected_id"),
+        round(col("__lo.score"), 6).as("rejected_score"),
+        round(col("__hi.score") - col("__lo.score"), 6).as("margin"))
+      .where(col("margin") >= lit(minMargin))
+  }
+}

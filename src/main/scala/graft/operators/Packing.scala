@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -119,5 +119,37 @@ object Packing {
           Row(g, sh, r.getLong(2), size, bin)
         }
       }(enc)
+  }
+
+  /** Length-bucketed padding-efficiency report — the "should we pack
+    * or just bucket?" audit of a dynamic-batching pipeline. Sequences
+    * batched together pad to the longest member; bucketing by length
+    * (bucket = floor(len / width)) bounds that waste to the in-bucket
+    * spread. Per bucket this reports n_seqs, token sums, the observed
+    * max length, the padded-token overhead (n·max − Σlen, the tokens a
+    * pad-to-bucket-max batcher would burn) and pad_ratio =
+    * round(padded / (n·max), 6) — compare against [[packGreedy]]'s
+    * zero-padding bins to price the packing pass.
+    *
+    * One map-side projection + one keyed aggregate over at most
+    * (max_len / width) bucket keys; no joins, no windows — safe at any
+    * corpus size. */
+  def paddingEfficiency(
+      df: DataFrame,
+      lenCol: Column,
+      bucketWidth: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    val len = lenCol.cast("long")
+    df.select((len / lit(bucketWidth.toLong)).cast("long").as("bucket"),
+        len.as("__len"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("__len")).as("sum_len"),
+        max(col("__len")).as("max_len"))
+      .withColumn("padded",
+        col("n_seqs") * col("max_len") - col("sum_len"))
+      .withColumn("pad_ratio",
+        round(col("padded").cast("double") /
+          (col("n_seqs") * col("max_len")).cast("double"), 6))
   }
 }

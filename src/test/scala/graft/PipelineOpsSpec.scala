@@ -484,4 +484,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(overlap == 0)
     assert(tr.count() + va.count() == 100)
   }
+
+  test("majority vote picks the heaviest label, ties break to the smallest") {
+    import graft.operators.Labels
+    val votes = Seq(
+      // ex 1: B wins 2-1
+      (1L, "A"), (1L, "B"), (1L, "B"),
+      // ex 2: tie A-B → smallest label A wins
+      (2L, "A"), (2L, "B"),
+      // ex 3: unanimous; a null vote is ignored
+      (3L, "C"), (3L, "C"), (3L, null))
+      .toDF("ex", "label")
+    val got = Labels.majorityVote(votes, "ex", "label")
+      .orderBy("ex")
+      .select("ex", "label", "votes", "total_votes", "agreement")
+      .as[(Long, String, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "B", 2.0, 3.0, 0.666667),
+      (2L, "A", 1.0, 2.0, 0.5),
+      (3L, "C", 2.0, 2.0, 1.0)), s"got $got")
+  }
+
+  test("weighted vote: reliability outweighs headcount") {
+    import graft.operators.Labels
+    val votes = Seq(
+      (1L, "A", 1.0), (1L, "A", 1.0), (1L, "B", 5.0))
+      .toDF("ex", "label", "w")
+    val got = Labels.majorityVote(votes, "ex", "label", Some(col("w")))
+      .select("label", "votes", "total_votes").as[(String, Double, Double)]
+      .head()
+    assert(got == (("B", 5.0, 7.0)))
+  }
+
+  test("preference pairs: margin gate and singleton groups drop out") {
+    import graft.operators.Labels
+    val responses = Seq(
+      // prompt 1: clear margin 9
+      (1L, 10L, 1.0), (1L, 11L, 5.0), (1L, 12L, 10.0),
+      // prompt 2: margin 0.5 < gate
+      (2L, 20L, 4.5), (2L, 21L, 5.0),
+      // prompt 3: singleton — no pair
+      (3L, 30L, 7.0),
+      // prompt 4: all-tied scores — ids break the tie, margin 0 < gate
+      (4L, 40L, 2.0), (4L, 41L, 2.0))
+      .toDF("prompt", "resp", "reward")
+    val got = Labels.preferencePairs(responses, "prompt", "resp", "reward",
+        minMargin = 1.0)
+      .select("prompt", "chosen_id", "rejected_id", "margin")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 12L, 10L, 9.0)), s"got $got")
+  }
+
+  test("padding efficiency: padded tokens equal n*max - sum per bucket") {
+    import graft.operators.Packing
+    val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
+    val got = Packing.paddingEfficiency(docs, col("len"), 10)
+      .orderBy("bucket")
+      .select("bucket", "n_seqs", "sum_len", "max_len", "padded", "pad_ratio")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // bucket 0: lens 3,5,8 → max 8, padded 24-16=8; bucket 1: 17,19 → 2
+    assert(got == Seq(
+      (0L, 3L, 16L, 8L, 8L, 0.333333),
+      (1L, 2L, 36L, 19L, 2L, 0.052632)), s"got $got")
+  }
 }
