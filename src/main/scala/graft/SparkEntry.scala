@@ -4580,6 +4580,154 @@ $roundCtes"""
                    CAST(n_seqs * max_len AS DOUBLE), 6) AS pad_ratio
       FROM g ORDER BY bucket"""))
 
+  /** DSIR importance resampling ([[graft.operators.LangModel.dsirWeights]],
+    * Xie et al. 2023): every document scored under a target LM (trained
+    * on a deterministic 25 % in-domain `hashKeep` sample) AND the raw
+    * corpus LM; kept with probability round(min(1, ½·e^(nll_raw −
+    * nll_target)), 6) via the `hashKeepWeighted` 48-bit cut — the
+    * "select crawl data that looks like the curated set" sampler. The
+    * 6-dp rounding BEFORE the cut is what keeps membership
+    * bit-identical across engines. Oracle replays both LM chains, the
+    * weight arithmetic and the printf hash cut. */
+  private val dsirSample = Q("q_dsir_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val target = docs.filter(Sampling.hashKeep(col("doc_id"), 0.25, "dsir"))
+      graft.operators.LangModel
+        .dsirWeights(docs, target, "doc_id", "text", baseRate = 0.5)
+        .where(Sampling.hashKeepWeighted(col("doc_id"), col("weight"), "dsirk"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           w -> regexp_full_match(w, '[a-z0-9]+')) AS ws
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+          FROM toks)),
+      runi AS (SELECT w1, count(*) AS cu
+               FROM (SELECT unnest(ws) AS w1 FROM toks) GROUP BY w1),
+      rvocab AS (SELECT count(*) AS v FROM runi),
+      rbi AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+      raw AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(round(-ln((cb + 1)
+                       / CAST(cu + v AS DOUBLE)), 6) AS DECIMAL(18,6)))
+                     AS DOUBLE) / count(*), 6) AS nll_raw
+        FROM pairs JOIN rbi USING (w1, w2) JOIN runi USING (w1)
+        CROSS JOIN rvocab GROUP BY doc_id),
+      tr AS (
+        SELECT ws FROM toks
+        WHERE substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 12)
+              < '400000000000'),
+      tuni AS (SELECT w1, count(*) AS cu
+               FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY w1),
+      tvocab AS (SELECT count(*) AS v FROM tuni),
+      tbi AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cb FROM (
+          SELECT unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+          FROM tr) GROUP BY 1, 2),
+      tgt AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(round(-ln((coalesce(cb, 0) + 1)
+                       / CAST(coalesce(cu, 0) + v AS DOUBLE)), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                 AS nll_target
+        FROM pairs LEFT JOIN tbi USING (w1, w2) LEFT JOIN tuni USING (w1)
+        CROSS JOIN tvocab GROUP BY doc_id),
+      w AS (
+        SELECT raw.doc_id AS doc_id, n_bigrams, nll_raw, nll_target,
+               round(nll_raw - nll_target, 6) AS logw,
+               round(least(1.0,
+                 0.5 * exp(round(nll_raw - nll_target, 6))), 6) AS weight
+        FROM raw JOIN tgt ON raw.doc_id = tgt.doc_id)
+      SELECT doc_id, n_bigrams, nll_raw, nll_target, logw, weight
+      FROM w
+      WHERE weight >= 1.0 OR (weight > 0.0 AND
+        substr(md5('dsirk' || CAST(doc_id AS VARCHAR)), 1, 12)
+          < printf('%012x', CAST(floor(weight * 281474976710656.0) AS BIGINT)))
+      ORDER BY doc_id"""))
+
+  /** JL signed random projection ([[VectorFns.randomProject]]): 64-dim
+    * float embeddings → 8 exact-BIGINT sketch coordinates via the
+    * md5-derived ±1 sign matrix (Achlioptas 2003). The sign matrix is
+    * driver-computed and rides the plan as ONE literal — per row the
+    * work is 8 integer dot products, map-side, zero shuffle; the
+    * fixed-point round keeps both engines bit-identical. Long format
+    * (vec_id, j, p) keeps the oracle pivot-free. */
+  private val randomProjection = Q("q_random_projection",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(VectorFns.randomProject(col("embedding"), 64, 8, "rp")))
+      .select(col("vec_id"), col("pos").cast("int").as("j"),
+        col("col").as("p"))
+      .orderBy(col("vec_id"), col("j")),
+    Some("""
+      WITH grid AS (
+        SELECT j, i,
+               CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+                      || CAST(i AS VARCHAR)), 1, 1)
+                    BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 7) t1(j), generate_series(0, 63) t2(i)),
+      fix AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS x
+        FROM embeddings, generate_series(0, 63) t(i))
+      SELECT vec_id, CAST(j AS INT) AS j, CAST(sum(s * x) AS BIGINT) AS p
+      FROM fix JOIN grid USING (i)
+      GROUP BY vec_id, j ORDER BY vec_id, j"""))
+
+  /** Sketch-space ANN ([[Similarity.projectedTopK]]): top-5 neighbors
+    * by INTEGER dot product in the 8-dim projected space — the cheap
+    * pre-ranking pass at outDim/inDim of the vector bytes. Corpus
+    * streams once against 5 broadcast projected queries into the
+    * k-bounded heap; scale=1e3 keeps the sketch dot inside double's 53
+    * exact bits so heap compares stay exact integer arithmetic. */
+  private val rpTopK = Q("q_rp_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.projectedTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", inDim = 64, outDim = 8, k = 5,
+          seed = "rp", scale = 1e3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH grid AS (
+        SELECT j, i,
+               CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+                      || CAST(i AS VARCHAR)), 1, 1)
+                    BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 7) t1(j), generate_series(0, 63) t2(i)),
+      fix AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000.0)
+                 AS BIGINT) AS x
+        FROM embeddings, generate_series(0, 63) t(i)),
+      proj AS (
+        SELECT vec_id, j, CAST(sum(s * x) AS BIGINT) AS p
+        FROM fix JOIN grid USING (i) GROUP BY vec_id, j),
+      pv AS (SELECT vec_id, list(p ORDER BY j) AS v FROM proj
+             GROUP BY vec_id),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, 9),
+                 jj -> q.v[jj] * c.v[jj])) AS DOUBLE) AS sim
+        FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      r AS (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, sim, rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -4619,6 +4767,7 @@ $roundCtes"""
     driftReport, spanDedup, spanScrub, temperatureSample, hardNegatives,
     outlierMad, semDedup, decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
+    dsirSample, randomProjection, rpTopK,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -62,4 +62,40 @@ object VectorFns {
       (when(element_at(dbl(v), i + 1) > 0, lit(1L)).otherwise(lit(0L)) *
         lit(1L << i))
     }.reduce(_ + _)
+
+  /** ±1 sign for projection cell (seed, j, i): the top bit of the first
+    * md5 nibble of "seed:j:i" — replays in SQL as
+    * `substr(md5(seed || ':' || j || ':' || i), 1, 1) BETWEEN '0' AND
+    * '7'`. Driver-side (the sign matrix is data-independent). */
+  private[graft] def projSign(seed: String, j: Int, i: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    if ((h(0) & 0x80) == 0) 1 else -1
+  }
+
+  /** Johnson-Lindenstrauss signed random projection: inDim floats →
+    * outDim exact integers, out[j] = Σᵢ s(j,i)·round(vᵢ·scale), with
+    * the ±1 sign matrix derived from md5 (Achlioptas 2003's database-
+    * friendly projection, the dimensionality-reduction step ahead of
+    * ANN/clustering at 100 TB — outDim/inDim of the vector bytes move
+    * through every downstream exchange).
+    *
+    * Engineering contract: the signs are computed DRIVER-side (m×d md5
+    * calls, data-independent) and ride the plan as one array literal,
+    * so the per-row cost is outDim integer dot products — map-side,
+    * codegen'd, zero shuffle, no per-row hashing. Fixed-point
+    * `round(v·scale)` keeps every output an exact BIGINT: float→double
+    * promotion is exact and a 24-bit float mantissa times a ≤2²⁰ scale
+    * stays inside double's 53 bits, so both engines round the SAME
+    * double and the projection is bit-identical cross-engine. */
+  def randomProject(v: Column, inDim: Int, outDim: Int, seed: String,
+      scale: Double = 1e6): Column = {
+    require(inDim > 0 && outDim > 0, s"dims $inDim->$outDim")
+    val signs = (0 until outDim).map(j =>
+      (0 until inDim).map(i => projSign(seed, j, i)))
+    val fixv = transform(dbl(v), x => round(x * lit(scale), 0).cast("long"))
+    transform(typedLit(signs), row =>
+      aggregate(zip_with(row, fixv, (s, x) => s.cast("long") * x),
+        lit(0L), (acc, x) => acc + x))
+  }
 }

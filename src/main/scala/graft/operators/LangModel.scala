@@ -139,4 +139,43 @@ object LangModel {
         round(col("__s").cast(DoubleType) / col("n_bigrams"), 6))
       .drop("__s")
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * under TWO n-gram LMs — one trained on an in-domain target sample,
+    * one on the raw corpus — and weight it by how much more likely the
+    * target model finds it. Per-token log importance ratio
+    * logw = avg_nll_raw − avg_nll_target (positive = target-like), and
+    * the resampling weight is round(min(1, base·e^logw), 6): the
+    * ROUNDING is load-bearing — downstream `hashKeepWeighted`
+    * membership derives a 48-bit cut from the weight, and two engines'
+    * `exp` may differ in the last ulp; rounding both to 6 dp first
+    * makes the cut (and therefore membership) bit-identical
+    * cross-engine, where a raw-double cut would disagree on ~% of rows.
+    *
+    * Both LM scorings inherit [[bigramNllAgainst]]'s shape:
+    * vocab-bounded count aggregates + word-keyed equi-joins, one
+    * tokenize pass each, no driver-side model. The in-domain sample is
+    * the caller's (typically a [[Sampling.hashKeep]] cut, so the whole
+    * pipeline — sample, two LMs, weights, membership — replays in SQL).
+    *
+    * Returns (idCol, n_bigrams, nll_raw, nll_target, logw, weight) for
+    * every document with ≥ 1 bigram. */
+  def dsirWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      baseRate: Double = 0.5): DataFrame = {
+    require(baseRate > 0.0 && baseRate <= 1.0, s"baseRate=$baseRate")
+    val raw = bigramNll(corpus, idCol, textCol)
+      .withColumnRenamed("avg_nll", "nll_raw")
+    val tgt = bigramNllAgainst(target, corpus, idCol, textCol)
+      .withColumnRenamed("avg_nll", "nll_target")
+      .drop("n_bigrams")
+    raw.join(tgt, Seq(idCol))
+      .withColumn("logw", round(col("nll_raw") - col("nll_target"), 6))
+      .withColumn("weight",
+        round(least(lit(1.0), lit(baseRate) * exp(col("logw"))), 6))
+  }
 }

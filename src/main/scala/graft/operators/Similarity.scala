@@ -794,4 +794,42 @@ object Similarity {
       .map { case ((id, _, rel, sc), ix) => (ix + 1, id, rel, sc) }
       .toDF("rank", "vec_id", "rel", "score")
   }
+
+  /** Top-k in a signed-random-projection sketch space
+    * ([[VectorFns.randomProject]]): both sides project to `outDim`
+    * exact-integer coordinates, similarity is the INTEGER dot product
+    * in the sketch space, and the per-query heap runs over the usual
+    * broadcast-queries / streamed-corpus plan (zero corpus shuffle,
+    * [[BoundedTopK]] fold). The JL guarantee makes the sketch dot an
+    * unbiased cosine-ordering proxy at outDim/inDim of the bytes — the
+    * cheap pre-ranking pass whose survivors a full-precision pass
+    * re-scores at 100 TB.
+    *
+    * `scale` is deliberately small (default 1e3): sketch coordinates
+    * are then ≤ inDim·scale·max|v| and the dot stays far inside
+    * double's 53 exact bits, so the heap's double compare is still
+    * EXACT integer arithmetic — bumping scale past ~1e5 at 64 dims
+    * would silently turn ties engine-dependent. */
+  def projectedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int,
+      k: Int,
+      seed: String,
+      scale: Double = 1e3): DataFrame = {
+    val pc = corpus.select(col(idCol).as("neighbor_id"),
+      VectorFns.randomProject(col(vecCol), inDim, outDim, seed, scale)
+        .as("pv"))
+    val pq = queries.select(col(idCol).as("query_id"),
+      VectorFns.randomProject(col(vecCol), inDim, outDim, seed, scale)
+        .as("qv"))
+    val scored = pc.join(broadcast(pq), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        aggregate(zip_with(col("pv"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double"))
+    topKPerQuery(scored, k)
+  }
 }

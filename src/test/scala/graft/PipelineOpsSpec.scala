@@ -535,6 +535,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 12L, 10L, 9.0)), s"got $got")
   }
 
+  test("dsir: target-like docs carry higher weights than off-domain docs") {
+    import graft.operators.LangModel
+    // target style: "a b" bigrams; off-domain: "x y" bigrams
+    val corpus = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b"), (3L, "x y x y x y"))
+      .toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") <= 2)
+    val w = LangModel.dsirWeights(corpus, target, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "weight").as[(Long, Double)].collect().toSeq
+    val byId = w.toMap
+    // docs 1-2 match the target LM → weight above the off-domain doc 3
+    assert(byId(1L) > byId(3L) && byId(2L) > byId(3L), s"got $w")
+    // weights are probabilities
+    assert(w.forall { case (_, p) => p > 0.0 && p <= 1.0 }, s"got $w")
+  }
+
+  test("dsir self-target degenerates to the base rate") {
+    import graft.operators.LangModel
+    val corpus = Seq((1L, "a b c"), (2L, "b c a")).toDF("doc_id", "text")
+    // target == corpus → nll_raw == nll_target → logw 0, weight = base·e⁰
+    val w = LangModel.dsirWeights(corpus, corpus, "doc_id", "text",
+        baseRate = 0.5)
+      .select("logw", "weight").as[(Double, Double)].collect().toSeq
+    assert(w.forall(_ == ((0.0, 0.5))), s"got $w")
+  }
+
+  test("random projection: hand-computed signs and exact integer output") {
+    import graft.functions.VectorFns
+    val vecs = Seq((1L, Seq(0.5f, -0.25f)), (2L, Seq(0.5f, -0.25f)))
+      .toDF("vec_id", "v")
+    val proj = vecs.select(col("vec_id"),
+        VectorFns.randomProject(col("v"), 2, 3, "t").as("p"))
+      .orderBy("vec_id")
+      .select("vec_id", "p").as[(Long, Seq[Long])].collect().toSeq
+    val signs = (0 until 3).map(j =>
+      (0 until 2).map(i => VectorFns.projSign("t", j, i)))
+    val fix = Seq(500000L, -250000L)
+    val expect = (0 until 3).map(j =>
+      signs(j)(0) * fix(0) + signs(j)(1) * fix(1))
+    // identical vectors project identically; values match the driver math
+    assert(proj.map(_._2) == Seq(expect, expect), s"got $proj vs $expect")
+  }
+
+  test("projected top-k ranks by exact sketch dot with id tie-breaks") {
+    import graft.operators.Similarity
+    // corpus of near-copies of the query + one far vector
+    val q = Seq((0L, Seq.fill(8)(1.0f))).toDF("id", "v")
+    val corpus = Seq(
+      (0L, Seq.fill(8)(1.0f)),
+      (1L, Seq.fill(8)(1.0f)),           // same as query
+      (2L, Seq.fill(8)(0.9f)),
+      (3L, Seq.fill(8)(-1.0f)))          // anti-aligned
+      .toDF("id", "v")
+    val got = Similarity.projectedTopK(corpus, q, "id", "v",
+        inDim = 8, outDim = 4, k = 3, seed = "t")
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+      .sortBy(_._2)
+    // self (id 0) is excluded; exact copy ranks first, anti-aligned last
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
