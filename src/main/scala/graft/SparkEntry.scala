@@ -4728,6 +4728,108 @@ $roundCtes"""
       SELECT query_id, neighbor_id, sim, rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Cross-source contamination matrix ([[Dedup.crossSourceOverlap]]):
+    * distinct shared word 3-grams per source pair, with
+    * ubiquitous grams (present in > 10 sources) dropped BEFORE the
+    * digest-keyed self-join — the "who copies from whom" audit; output
+    * bounded by sources². */
+  private val sourceOverlap = Q("q_source_overlap",
+    (s, d) => Dedup.crossSourceOverlap(
+        Tables.documents(s, d), "text", "source", n = 3, maxSources = 10)
+      .orderBy(col("source_a"), col("source_b")),
+    Some("""
+      WITH sh AS (
+        SELECT source, list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 END) AS sh
+        FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+')
+                AS toks
+              FROM documents)),
+      g AS (
+        SELECT DISTINCT source, md5(gram) AS g FROM (
+          SELECT source, unnest(sh) AS gram FROM sh)),
+      spread AS (SELECT g, count(*) AS ns FROM g GROUP BY g),
+      kept AS (SELECT source, g FROM g JOIN spread USING (g)
+               WHERE ns <= 10)
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Bradley-Terry preference ranking ([[Labels.bradleyTerry]], 3 MM
+    * rounds): per-user (best, worst) event types form the match log,
+    * and the MM iteration — denominator terms rounded at 6 dp, summed
+    * in exact decimals — estimates each event type's preference
+    * strength. The oracle replays all three rounds as chained CTEs. */
+  private val bradleyTerryQ = Q("q_bradley_terry",
+    (s, d) => {
+      val picks = Tables.events(s, d).groupBy(col("user_id")).agg(
+        max(struct(col("value"), col("event_id"), col("event_type")))
+          .as("hi"),
+        min(struct(col("value"), col("event_id"), col("event_type")))
+          .as("lo"),
+        count(lit(1)).as("n"))
+      val matches = picks.where(col("n") > 1)
+        .select(col("hi.event_type").as("winner"),
+          col("lo.event_type").as("loser"))
+      Labels.bradleyTerry(matches, "winner", "loser", iters = 3)
+        .orderBy(col("rating").desc, col("player"))
+    },
+    Some(s"""
+      WITH rr AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY value DESC, event_id DESC) AS rhi,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY value ASC, event_id ASC) AS rlo,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+      m AS (
+        SELECT hi.event_type AS w, lo.event_type AS l
+        FROM (SELECT * FROM rr WHERE rhi = 1) hi
+        JOIN (SELECT * FROM rr WHERE rlo = 1) lo USING (user_id)
+        WHERE hi.n > 1 AND hi.event_type <> lo.event_type),
+      wins AS (SELECT w AS player, count(*) AS wins FROM m GROUP BY 1),
+      losses AS (SELECT l AS player, count(*) AS losses FROM m GROUP BY 1),
+      players AS (
+        SELECT coalesce(wins.player, losses.player) AS player,
+               coalesce(wins, 0) AS wins, coalesce(losses, 0) AS losses
+        FROM wins FULL JOIN losses ON wins.player = losses.player),
+      pairs AS (SELECT w AS i, l AS j, count(*) AS nij FROM m GROUP BY 1, 2),
+      sym AS (
+        SELECT i, j, CAST(sum(nij) AS BIGINT) AS n FROM (
+          SELECT i, j, nij FROM pairs
+          UNION ALL SELECT j, i, nij FROM pairs) GROUP BY 1, 2),
+      r0 AS (SELECT player, 1.0 AS r FROM players),
+      ${btIterSql(3)}
+      SELECT p.player, p.wins, p.losses,
+             round(r3.r / (SELECT max(r) FROM r3), 6) AS rating
+      FROM players p JOIN r3 USING (player)
+      ORDER BY rating DESC, player"""))
+
+  /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
+    * round's denominator terms round at 6 dp and sum in DECIMAL, the
+    * same arithmetic [[Labels.bradleyTerry]] runs. */
+  private def btIterSql(iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""
+      d$k AS (
+        SELECT i AS player,
+               sum(CAST(round(CAST(n AS DOUBLE) / (ri.r + rj.r), 6)
+                   AS DECIMAL(18,6))) AS den
+        FROM sym JOIN $prev ri ON sym.i = ri.player
+                 JOIN $prev rj ON sym.j = rj.player
+        GROUP BY i),
+      r$k AS (
+        SELECT p.player,
+               greatest(round(CAST(p.wins AS DOUBLE)
+                   / CAST(den AS DOUBLE), 6), 0.000001) AS r
+        FROM players p JOIN d$k USING (player))"""
+    }.mkString(",")
+
   // ---------------------------------------------------------------------
 
   private def all: Seq[Q] = Seq(
@@ -4767,7 +4869,7 @@ $roundCtes"""
     driftReport, spanDedup, spanScrub, temperatureSample, hardNegatives,
     outlierMad, semDedup, decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
-    dsirSample, randomProjection, rpTopK,
+    dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -516,4 +516,43 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .drop("sh_a", "sh_b")
   }
+
+  /** Cross-source contamination matrix: for every source pair, how many
+    * DISTINCT word n-grams they share — the "who copies from whom"
+    * audit that decides which corpus slices need near-dup passes
+    * against each other (and the source-level cousin of benchmark
+    * [[contamination]]).
+    *
+    * Shape: one explode+distinct pass reduces the corpus to
+    * (md5(gram), source) rows — the 16-byte digest keys the exchange,
+    * never the gram text; a per-gram spread count drops grams present
+    * in more than `maxSources` sources BEFORE the self-join (ubiquitous
+    * stopword-grams carry no copying signal but would each fan out
+    * sources² pairs — the same degenerate-bucket reasoning as
+    * [[Guards.capBuckets]]); the surviving self-join is keyed on the
+    * digest with per-key fan-out ≤ maxSources², and the output is at
+    * most sources² rows. Never all-pairs over documents. */
+  def crossSourceOverlap(
+      df: DataFrame,
+      textCol: String,
+      srcCol: String,
+      n: Int = 3,
+      maxSources: Int = 10): DataFrame = {
+    require(maxSources >= 2, s"maxSources=$maxSources")
+    val grams = df
+      .select(col(srcCol).as("source"),
+        explode(shingles(col(textCol), n)).as("gram"))
+      .select(md5(col("gram")).as("g"), col("source"))
+      .distinct()
+    val spread = grams.groupBy(col("g")).agg(count(lit(1)).as("ns"))
+    val kept = grams
+      .join(spread.filter(col("ns") <= maxSources), Seq("g"))
+      .select("g", "source")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

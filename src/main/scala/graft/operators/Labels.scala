@@ -94,4 +94,65 @@ object Labels {
         round(col("__hi.score") - col("__lo.score"), 6).as("margin"))
       .where(col("margin") >= lit(minMargin))
   }
+
+  /** Bradley-Terry strength ratings from pairwise outcomes (Hunter
+    * 2004's MM iteration) — the preference-strength model behind
+    * reward-data analysis: given (winner, loser) match rows, estimate
+    * per-player strengths r with P(i beats j) = rᵢ/(rᵢ+rⱼ). Each MM
+    * round computes rᵢ ← Wᵢ / Σⱼ nᵢⱼ/(rᵢ+rⱼ) from the previous round's
+    * ratings; `iters` rounds are unrolled into the plan and the final
+    * ratings are normalized by the max (BT is scale-free) and rounded.
+    *
+    * Determinism contract: each denominator TERM rounds to 6 dp and
+    * the per-player sum runs in exact decimals, so the iteration — and
+    * therefore the whole trajectory — is aggregation-order-independent
+    * and replays in SQL as `iters` chained CTEs. Zero-win players
+    * floor at 1e-6 instead of collapsing the next round's divisions.
+    *
+    * Scale shape: matches fold to (i, j, nᵢⱼ) and (player, wins) once
+    * — both player-bounded — and every iteration joins the tiny
+    * ratings frame back by broadcast; the corpus-sized match log is
+    * never re-shuffled. */
+  def bradleyTerry(
+      matches: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters")
+    val m = matches
+      .select(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .where(col("w") =!= col("l") &&
+        col("w").isNotNull && col("l").isNotNull)
+    val wins = m.groupBy(col("w").as("player"))
+      .agg(count(lit(1)).as("wins"))
+    val losses = m.groupBy(col("l").as("player"))
+      .agg(count(lit(1)).as("losses"))
+    val players = wins.join(losses, Seq("player"), "full")
+      .na.fill(0L, Seq("wins", "losses"))
+    val pairs = m.groupBy(col("w").as("i"), col("l").as("j"))
+      .agg(count(lit(1)).as("nij"))
+    val sym = pairs
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j"),
+        col("nij")))
+      .groupBy(col("i"), col("j")).agg(sum(col("nij")).as("n"))
+    var ratings = players.select(col("player"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      val ri = ratings.select(col("player").as("i"), col("r").as("ri"))
+      val rj = ratings.select(col("player").as("j"), col("r").as("rj"))
+      val denom = sym
+        .join(broadcast(ri), Seq("i")).join(broadcast(rj), Seq("j"))
+        .withColumn("t",
+          round(col("n").cast(DoubleType) / (col("ri") + col("rj")), 6)
+            .cast(DecimalType(18, 6)))
+        .groupBy(col("i").as("player")).agg(sum(col("t")).as("den"))
+      ratings = players.join(denom, Seq("player"))
+        .select(col("player"),
+          greatest(round(col("wins").cast(DoubleType) /
+            col("den").cast(DoubleType), 6), lit(1e-6)).as("r"))
+    }
+    val mx = ratings.agg(max(col("r")).as("rmax"))
+    players.join(ratings, Seq("player")).crossJoin(broadcast(mx))
+      .select(col("player"), col("wins"), col("losses"),
+        round(col("r") / col("rmax"), 6).as("rating"))
+  }
 }

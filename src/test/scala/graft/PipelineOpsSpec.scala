@@ -597,6 +597,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
   }
 
+  test("cross-source overlap counts shared distinct grams, capped grams drop") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta"),   // grams: abg, bgd
+      ("s2", "alpha beta gamma other"),   // shares "alpha beta gamma"
+      ("s3", "unrelated words entirely x"))
+      .toDF("source", "text")
+    val got = Dedup.crossSourceOverlap(docs, "text", "source")
+      .select("source_a", "source_b", "n_shared")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 1L)), s"got $got")
+    // a gram in every source vanishes at maxSources = 2
+    val all3 = Seq(("s1", "x y z"), ("s2", "x y z"), ("s3", "x y z"))
+      .toDF("source", "text")
+    assert(Dedup.crossSourceOverlap(all3, "text", "source",
+      maxSources = 2).count() == 0)
+    assert(Dedup.crossSourceOverlap(all3, "text", "source",
+      maxSources = 3).count() == 3) // all three pairs share the gram
+  }
+
+  test("bradley-terry: undefeated player tops, winless player floors") {
+    import graft.operators.Labels
+    // a beats b twice, b beats c twice, a beats c once
+    val m = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"), ("a", "c"))
+      .toDF("w", "l")
+    val got = Labels.bradleyTerry(m, "w", "l", iters = 3)
+      .orderBy(col("rating").desc, col("player"))
+      .select("player", "wins", "losses", "rating")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b", "c"), s"got $got")
+    assert(got.head._4 == 1.0, s"max-normalized top rating: $got")
+    val byP = got.map(g => g._1 -> g).toMap
+    assert(byP("a")._2 == 3 && byP("a")._3 == 0)
+    assert(byP("c")._2 == 0 && byP("c")._3 == 3)
+    // winless rating collapses to the floor (may round to 0 at 6 dp
+    // after max-normalization — the 1e-6 floor protects the MID-
+    // iteration divisions, not the display value)
+    assert(byP("c")._4 >= 0.0 && byP("c")._4 < byP("b")._4)
+    assert(byP("b")._4 < byP("a")._4)
+  }
+
+  test("bradley-terry self-matches and nulls are ignored") {
+    import graft.operators.Labels
+    val m = Seq(("a", "a"), ("a", "b"), (null, "b"), ("b", null))
+      .toDF("w", "l")
+    val got = Labels.bradleyTerry(m, "w", "l", iters = 2)
+      .select("player", "wins", "losses").as[(String, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq(("a", 1L, 0L), ("b", 0L, 1L)), s"got $got")
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
