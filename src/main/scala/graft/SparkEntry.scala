@@ -4809,6 +4809,93 @@ $roundCtes"""
       FROM players p JOIN r3 USING (player)
       ORDER BY rating DESC, player"""))
 
+  /** Label propagation ([[Labels.labelPropagate]], 2 rounds): a 30 %
+    * hashKeep seed fraction carries ground truth; every unlabeled
+    * vector takes the majority label of its 5 in-bucket nearest
+    * neighbors, seeds clamped. The oracle replays bucket assignment,
+    * the cap window, the kNN window and both vote rounds. */
+  private val labelProp = Q("q_label_prop",
+    (s, d) => Labels.labelPropagate(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        Sampling.hashKeep(col("vec_id"), 0.3, "lp"),
+        k = 5, nBits = 8, rounds = 2, maxBucket = 2000)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id")),
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN substr(md5('lp' || CAST(vec_id AS VARCHAR)), 1, 12)
+                    < '${Sampling.thresholdHex(0.3)}' THEN label END AS seed
+        FROM embeddings),
+      bk AS (
+        SELECT *,
+               (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) +
+               (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) +
+               (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) +
+               (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) +
+               (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        FROM base),
+      capped AS (
+        SELECT id, v, bucket FROM (
+          SELECT id, v, bucket,
+                 count(*) OVER (PARTITION BY bucket) AS bn FROM bk)
+        WHERE bn <= 2000),
+      e AS (
+        SELECT src, dst FROM (
+          SELECT a.id AS src, c.id AS dst,
+                 row_number() OVER (PARTITION BY a.id ORDER BY
+                   round(list_cosine_similarity(a.v, c.v), 6) DESC,
+                   c.id) AS rn
+          FROM capped a JOIN capped c
+            ON a.bucket = c.bucket AND a.id <> c.id)
+        WHERE rn <= 5),
+      l0 AS (SELECT id, seed AS label FROM base),
+      ${lpIterSql(2)}
+      SELECT b.id AS vec_id, b.seed IS NOT NULL AS is_seed, l2.label
+      FROM base b JOIN l2 USING (id) ORDER BY vec_id"""))
+
+  /** The unrolled label-propagation vote rounds: votes over the edge
+    * join, winner by (votes DESC, label ASC), seeds clamped via
+    * coalesce — the arithmetic [[Labels.labelPropagate]] runs. */
+  private def lpIterSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = s"l${r - 1}"
+      s"""
+      v$r AS (
+        SELECT e.src, l.label, count(*) AS n
+        FROM e JOIN $prev l ON e.dst = l.id
+        WHERE l.label IS NOT NULL GROUP BY 1, 2),
+      w$r AS (
+        SELECT src AS id, label FROM (
+          SELECT src, label, row_number() OVER (PARTITION BY src
+            ORDER BY n DESC, label) AS rn FROM v$r) WHERE rn = 1),
+      l$r AS (
+        SELECT b.id, coalesce(b.seed, w.label) AS label
+        FROM base b LEFT JOIN w$r w USING (id))"""
+    }.mkString(",")
+
+  /** Cross-domain score calibration: raw quality scores are not
+    * comparable across sources (each domain has its own length/style
+    * distribution), so curation thresholds cut on the WITHIN-source
+    * percentile instead — percent_rank over a total (score, id) order.
+    * Per-source window sort, the per-stream parallelism contract of
+    * sessionize/packing; no global sort. */
+  private val scoreCalibration = Q("q_score_calibration",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("pct", round(percent_rank().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))), 6))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, source, n_chars,
+             round(percent_rank() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id), 6) AS pct
+      FROM documents ORDER BY doc_id"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -4870,6 +4957,7 @@ $roundCtes"""
     outlierMad, semDedup, decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
+    labelProp, scoreCalibration,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -1,8 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.functions.VectorFns
 
 /** Label aggregation + preference-pair construction — the two
   * annotation-side primitives of a supervised / preference-tuning data
@@ -154,5 +157,73 @@ object Labels {
     players.join(ratings, Seq("player")).crossJoin(broadcast(mx))
       .select(col("player"), col("wins"), col("losses"),
         round(col("r") / col("rmax"), 6).as("rating"))
+  }
+
+  /** Label propagation over an LSH-bucketed kNN graph (Zhu & Ghahramani
+    * 2002's iterative scheme, hard labels) — the semi-supervised
+    * labeler: a small seeded fraction carries ground-truth labels, and
+    * each round every unlabeled node takes the majority label of its k
+    * nearest neighbors (ties toward the smallest label; seeds are
+    * clamped and never change). `rounds` rounds are unrolled into the
+    * plan.
+    *
+    * Graph construction never goes all-pairs: nodes bucket by
+    * [[VectorFns.signBucket]] sign bits (map-side), degenerate buckets
+    * are capped ([[Guards.capBuckets]] — same skew guard as SemDeDup;
+    * capped-out nodes keep their seed or stay unlabeled), and the
+    * within-bucket self-join + per-node top-k window is Σ bucket²
+    * work. Each vote round is one edge⋈label equi-join + a keyed count
+    * aggregate; the winner comes from the SHRUNK (node × label) vote
+    * table via `min_by` over (−votes, label) — total tie-break, no
+    * window over raw votes (the [[majorityVote]] shape). */
+  def labelPropagate(
+      nodes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      seedPred: Column,
+      k: Int = 5,
+      nBits: Int = 8,
+      rounds: Int = 2,
+      maxBucket: Int = 2000): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds=$rounds")
+    val base = nodes.select(col(idCol).as("id"), col(vecCol).as("v"),
+      when(seedPred, col(labelCol)).otherwise(lit(null)).as("seed"))
+    val capped = Guards.capBuckets(
+      base.withColumn("bucket", VectorFns.signBucket(col("v"), nBits)),
+      Seq("bucket"), maxBucket)
+    val a = capped.select(col("id").as("src"), col("v").as("av"),
+      col("bucket"))
+    val c = capped.select(col("id").as("dst"), col("v").as("cv"),
+      col("bucket"))
+    val edges = a.join(c, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim",
+        round(VectorFns.cosineFast(col("av"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("sim").desc, col("dst"))))
+      .filter(col("rn") <= k)
+      .select("src", "dst")
+    var lab = base.select(col("id"), col("seed").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(lab.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .where(col("label").isNotNull)
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val win = votes
+        .withColumn("__neg", -col("n"))
+        .groupBy(col("src"))
+        .agg(min_by(col("label"), struct(col("__neg"), col("label")))
+          .as("vlabel"))
+        .withColumnRenamed("src", "id")
+      lab = base.select(col("id"), col("seed"))
+        .join(win, Seq("id"), "left")
+        .select(col("id"), coalesce(col("seed"), col("vlabel")).as("label"))
+    }
+    base.select(col("id"), col("seed").isNotNull.as("is_seed"))
+      .join(lab, Seq("id"))
+      .select(col("id"), col("is_seed"), col("label"))
   }
 }

@@ -648,6 +648,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(("a", 1L, 0L), ("b", 0L, 1L)), s"got $got")
   }
 
+  test("label propagation fills unlabeled nodes from seeded neighbors") {
+    import graft.operators.Labels
+    // two tight clusters in 2D; one seed per cluster
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.1f), 7),  (2L, Seq(1.0f, 0.2f), 7),
+      (3L, Seq(0.9f, 0.1f), 7),
+      (10L, Seq(-1.0f, -0.1f), 3), (11L, Seq(-1.0f, -0.2f), 3),
+      (12L, Seq(-0.9f, -0.1f), 3))
+      .toDF("id", "v", "label")
+    // seed only ids 1 and 10
+    val got = Labels.labelPropagate(pts, "id", "v", "label",
+        col("id") === 1L || col("id") === 10L,
+        k = 2, nBits = 2, rounds = 2)
+      .orderBy("id")
+      .select("id", "is_seed", "label")
+      .as[(Long, Boolean, Option[Int])].collect().toSeq
+    assert(got == Seq(
+      (1L, true, Some(7)), (2L, false, Some(7)), (3L, false, Some(7)),
+      (10L, true, Some(3)), (11L, false, Some(3)), (12L, false, Some(3))),
+      s"got $got")
+  }
+
+  test("label propagation clamps seeds against hostile neighborhoods") {
+    import graft.operators.Labels
+    // a seeded node surrounded by opposite-labeled seeds keeps its label
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(1.0f, 0.01f), 2),
+      (3L, Seq(1.0f, -0.01f), 2), (4L, Seq(0.99f, 0.0f), 2))
+      .toDF("id", "v", "label")
+    val got = Labels.labelPropagate(pts, "id", "v", "label",
+        lit(true), k = 3, nBits = 2, rounds = 2)
+      .filter(col("id") === 1L)
+      .select("label").as[Int].head()
+    assert(got == 1)
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
