@@ -4896,6 +4896,115 @@ $roundCtes"""
                ORDER BY n_chars, doc_id), 6) AS pct
       FROM documents ORDER BY doc_id"""))
 
+  /** Okapi BM25 retrieval ([[graft.operators.Retrieval.bm25Search]]):
+    * tf saturation + length normalization over the tfidf plan — same
+    * broadcast-terms / one-tokenize shape plus the (N, Σdl) totals
+    * row. Per-term contributions round at 6 dp and sum in exact
+    * decimals; (k1+1) stays a RUNTIME addition so both engines run
+    * identical double arithmetic. */
+  private val bm25Q = Q("q_bm25",
+    (s, d) => graft.operators.Retrieval.bm25Search(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("vector", "hash", "window", "stream"), k = 20)
+      .select(col("doc_id"), col("score")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      ftoks AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+      dl AS (SELECT doc_id, count(*) AS dl FROM ftoks GROUP BY doc_id),
+      tot AS (SELECT (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+                     (SELECT count(*) FROM documents) AS n_docs),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM ftoks
+             WHERE term IN ('vector', 'hash', 'window', 'stream')
+             GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      terms AS (
+        SELECT tf.doc_id AS doc_id,
+               round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                 * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+                     0.75 * (dl.dl * n_docs / CAST(sum_dl AS DOUBLE))))),
+                 6) AS t
+        FROM tf JOIN dfreq USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM terms GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""))
+
+  /** N-gram novelty ([[graft.operators.CorpusStats.ngramNovelty]]):
+    * per doc, the fraction of its distinct 3-grams occurring in no
+    * other document — the memorization/boilerplate dial from the
+    * opposite side of dedup. Two keyed exchanges over 16-byte
+    * digests. */
+  private val noveltyQ = Q("q_novelty",
+    (s, d) => graft.operators.CorpusStats
+      .ngramNovelty(Tables.documents(s, d), "doc_id", "text", 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 END) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                AS toks
+              FROM documents)),
+      g AS (SELECT doc_id, md5(gram) AS g FROM (
+              SELECT doc_id, unnest(sh) AS gram FROM sh)),
+      spread AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             round(CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS novelty
+      FROM g JOIN spread USING (g)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Near-dup-aware split ([[Sampling.splitDedupAware]]): membership
+    * keyed on the connected near-dup CLUSTER (q_dedup_cc's synthetic
+    * md5 edge set), so near-copies never straddle train/eval — the
+    * leak doc-keyed splitting permits. Oracle replays the recursive
+    * CC, the coalesce to singleton keys, and the hash cut. */
+  private val splitDedupAwareQ = Q("q_split_dedup_aware",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") + 1 +
+            ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 5)
+            .as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      Sampling.splitDedupAware(docs.select("doc_id", "source"), "doc_id",
+          pairs, "a", "b", leftFraction = 0.8, seed = "sp")
+        .select(col("doc_id"), col("source"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      e0 AS (
+        SELECT doc_id AS a,
+               doc_id + 1 + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5) AS b
+        FROM documents WHERE doc_id < 300),
+      e AS (SELECT a, b FROM e0 WHERE b IN (SELECT doc_id FROM documents)),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      v AS (SELECT DISTINCT a AS id FROM sym),
+      walk(id, reach) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT w.id, s.b FROM walk w JOIN sym s ON w.reach = s.a),
+      cc AS (SELECT id, min(reach) AS component FROM walk GROUP BY id)
+      SELECT d.doc_id, d.source,
+             coalesce(cc.component, d.doc_id) AS split_key,
+             CASE WHEN substr(md5('sp' ||
+                    CAST(coalesce(cc.component, d.doc_id) AS VARCHAR)), 1, 12)
+                  < '${Sampling.thresholdHex(0.8)}'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+      ORDER BY d.doc_id"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -4957,7 +5066,7 @@ $roundCtes"""
     outlierMad, semDedup, decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
-    labelProp, scoreCalibration,
+    labelProp, scoreCalibration, bm25Q, noveltyQ, splitDedupAwareQ,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

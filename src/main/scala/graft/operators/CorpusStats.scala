@@ -134,4 +134,32 @@ object CorpusStats {
         round(col("cnt").cast("double") / col("n_total"), 6))
       .select("rank", "term", "cnt", "corpus_frac")
   }
+
+  /** N-gram novelty score — the memorization/boilerplate dial from the
+    * opposite side of dedup: per document, the fraction of its
+    * DISTINCT word n-grams that occur in NO other document. 1.0 =
+    * fully novel text; low scores flag template soup and near-copies
+    * that survived doc-level dedup.
+    *
+    * [[Dedup.shingles]] already emits per-doc-distinct grams, so the
+    * exploded (md5(gram), doc) stream needs no extra distinct: one
+    * digest-keyed aggregate counts each gram's document spread, and
+    * one doc-keyed aggregate folds the novel fraction — two keyed
+    * exchanges over gram instances, never all-pairs, digests (16
+    * bytes) riding the shuffle instead of gram text. */
+  def ngramNovelty(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col("id"), md5(col("gram")).as("g"))
+    val spread = grams.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    grams.join(spread, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .withColumn("novelty", round(
+        col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Rank-fusion for hybrid retrieval: combine rankings produced by
   * different scorers (BM25-ish keyword rank, embedding cosine rank,
@@ -67,6 +68,62 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(sum(col("tf") * expr("(n_docs + 1) * 1000000L div (df + 1)"))
         .cast("long").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Okapi BM25 (Robertson et al.) — [[tfidfSearch]] plus the two
+    * things production keyword retrieval actually needs: tf
+    * SATURATION (k1 — the 50th occurrence of a term shouldn't count
+    * like the 1st) and document-length normalization (b — long docs
+    * accumulate tf for free). score(d) = Σ_t idf(t) ·
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), idf = ln(1 + (N−df+0.5)/
+    * (df+0.5)).
+    *
+    * Determinism: each term's contribution rounds at 6 dp (idf first,
+    * then the product) and the per-doc score is an exact decimal sum
+    * of those terms — aggregation-order-independent; dl/avgdl is
+    * computed as dl·N/Σdl in a fixed operation order so both engines
+    * run identical double arithmetic. Scale shape is [[tfidfSearch]]'s
+    * — broadcast query terms, one corpus tokenize (reused for BOTH the
+    * per-doc lengths and the query-term tf), keyed aggregates — plus
+    * one broadcast (N, Σdl) totals row. */
+  def bm25Search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search: need at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    val toks = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(lower(col(textCol))))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint(false) // feeds dl AND tf (diamond DAG)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("sum_dl"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    val tfq = toks.join(broadcast(q), Seq("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = round(log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    // (k1 + 1) as a RUNTIME addition, not a Scala-folded literal: the
+    // folded double can land on the exact midpoint between two
+    // representable values of the SQL literal (1.2 + 1.0 does), and
+    // the oracle must replay the identical arithmetic
+    val norm = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * (col("dl") * col("n_docs") /
+          col("sum_dl").cast(DoubleType))))
+    tfq.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("t", round(idf * norm, 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(sum(col("t")).cast(DoubleType).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

@@ -684,6 +684,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == 1)
   }
 
+  test("bm25 saturates tf and penalizes long documents") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "cat"),                                        // short, tf 1
+      (2L, "cat cat cat cat cat cat cat cat cat cat"),    // tf 10
+      (3L, ("cat " + "filler " * 99).trim))               // tf 1, long
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25Search(docs, "doc_id", "text", Seq("cat"), 3)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val byId = got.toMap
+    // tf 10 beats tf 1, but at far less than 10x (saturation)
+    assert(byId(2L) > byId(1L) && byId(2L) < 10 * byId(1L), s"got $got")
+    // same tf, longer doc scores lower (length normalization)
+    assert(byId(3L) < byId(1L), s"got $got")
+  }
+
+  test("ngram novelty: unique text scores 1, a copy zeroes both twins") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),     // exact copy of 1
+      (3L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(docs, "doc_id", "text", 3)
+      .orderBy("id").select("id", "novelty")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.0), (2L, 0.0), (3L, 1.0)), s"got $got")
+  }
+
+  test("dedup-aware split keeps every paired doc on one side") {
+    import graft.operators.Sampling
+    val docs = (1L to 40L).toDF("doc_id")
+    // chain pairs (1,2)(2,3) → cluster {1,2,3}; (10,11); rest singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Sampling.splitDedupAware(docs, "doc_id", pairs, "a", "b",
+        leftFraction = 0.5, seed = "t")
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = got.map(g => g._1 -> g).toMap
+    // whole cluster shares the min-id key and therefore the side
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(byId(10L)._3 == byId(11L)._3 && byId(10L)._2 == 10L)
+    // unpaired docs key on themselves and both sides are populated
+    assert(byId(40L)._2 == 40L)
+    assert(got.map(_._3).distinct.toSet == Set("train", "eval"))
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
