@@ -1938,9 +1938,10 @@ $steps
     * 2 training iterations on the 0.25 hashKeep sample → full-corpus
     * `assign` (vec_id AS neighbor_id, v AS cv, cell). Tails append
     * their own probing/pairing logic. */
-  private def lloydAssignSql(nCells: Int): String = s"""
+  private def lloydAssignSql(nCells: Int, corpusWhere: String = ""): String = s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                        md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+                        md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+                 $corpusWhere),
       cent0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
                 ORDER BY h, vec_id LIMIT $nCells),
       tr AS (SELECT vec_id, v FROM e WHERE substr(h, 1, 12) < '400000000000'),
@@ -5005,6 +5006,132 @@ $roundCtes"""
       FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
       ORDER BY d.doc_id"""))
 
+  /** Incremental IVF maintenance ([[Similarity.appendToIvfIndex]]):
+    * the index is built (and its quantizer FROZEN) on the vec_id ≥ 50
+    * corpus, the vec_id < 50 batch appends against the frozen
+    * centroids with no retraining, and the probe then sees old and
+    * new vectors identically under partition pruning — the
+    * daily-ingest shape of production ANN. Oracle replays the Lloyd
+    * train on the build corpus only, assigns both sides against the
+    * frozen cent2, and probes the union. */
+  private val ivfAppend = Q("q_ivf_append",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val indexDir = s"/tmp/graft_ivf_append/$tag"
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 50),
+        "vec_id", "embedding", indexDir,
+        nCells = 16, trainIters = 2, trainFraction = 0.25)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", indexDir)
+      Similarity.ivfTopKFromIndex(
+          emb.filter(col("vec_id") < 5), indexDir, "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(lloydAssignSql(16, "WHERE vec_id >= 50") + """,
+      newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 50),
+      assign_new AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT n.vec_id, n.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM newb n CROSS JOIN cent2 c) WHERE rn = 1),
+      all_assign AS (
+        SELECT * FROM assign UNION ALL SELECT * FROM assign_new),
+      probes AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM newb q CROSS JOIN cent2 c
+          WHERE q.vec_id < 5) WHERE rn <= 2)
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT p.query_id, a.neighbor_id,
+               round(list_cosine_similarity(p.qv, a.cv), 6) AS sim,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_cosine_similarity(p.qv, a.cv), 6) DESC,
+                 a.neighbor_id) AS rank
+        FROM probes p JOIN all_assign a ON p.cell = a.cell
+        WHERE a.neighbor_id <> p.query_id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Embedding-table health audit: per DIMENSION mean/min/max plus a
+    * dead-dimension flag (a dimension whose fixed-point values never
+    * vary carries no information — the classic symptom of a broken
+    * encoder export). Means run in the exact fixed-point space the
+    * centroid path uses; posexplode inflates ×dim map-side only and
+    * partial aggregation folds to dim-keyed rows before the one
+    * exchange. */
+  private val embedAudit = Q("q_embed_audit",
+    (s, d) => Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .withColumn("fx", floor(col("v") * lit(1048576.0)).cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("fx")).as("__s"),
+        min(col("fx")).as("__lo"), max(col("fx")).as("__hi"))
+      .select(col("pos"),
+        round(col("__s").cast(DoubleType) / col("n") / lit(1048576.0), 6)
+          .as("mean"),
+        round(col("__lo").cast(DoubleType) / lit(1048576.0), 6).as("vmin"),
+        round(col("__hi").cast(DoubleType) / lit(1048576.0), 6).as("vmax"),
+        (col("__lo") === col("__hi")).as("dead"))
+      .orderBy(col("pos")),
+    Some("""
+      WITH x AS (
+        SELECT i - 1 AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+                 AS BIGINT) AS fx
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i))
+      SELECT pos,
+             round(CAST(sum(fx) AS DOUBLE) / count(*) / 1048576.0, 6)
+               AS mean,
+             round(CAST(min(fx) AS DOUBLE) / 1048576.0, 6) AS vmin,
+             round(CAST(max(fx) AS DOUBLE) / 1048576.0, 6) AS vmax,
+             min(fx) = max(fx) AS dead
+      FROM x GROUP BY pos ORDER BY pos"""))
+
+  /** Tokenizer fertility audit: per (source, lang), characters per
+    * BPE-ish token and whitespace-words per token — the multilingual
+    * tokenizer-efficiency report (a language paying 2× the
+    * tokens/char gets half the effective context window). Exact
+    * integer sums, one keyed aggregate. */
+  private val tokenizerFertility = Q("q_tokenizer_fertility",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("words"),
+        sum(TextFns.bpeishCount(col("text")).cast("long")).as("toks"))
+      .withColumn("chars_per_tok",
+        round(col("chars").cast(DoubleType) /
+          col("toks").cast(DoubleType), 6))
+      .withColumn("toks_per_word",
+        round(col("toks").cast(DoubleType) /
+          col("words").cast(DoubleType), 6))
+      .orderBy(col("source"), col("lang")),
+    Some("""
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(sum(len(string_split_regex(trim(text), '\s+')))
+               AS BIGINT) AS words,
+             CAST(sum(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS toks,
+             round(CAST(sum(n_chars) AS DOUBLE) /
+               CAST(sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE), 6)
+               AS chars_per_tok,
+             round(CAST(sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE) /
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                 AS DOUBLE), 6) AS toks_per_word
+      FROM documents GROUP BY source, lang ORDER BY source, lang"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -5067,6 +5194,7 @@ $roundCtes"""
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
     labelProp, scoreCalibration, bm25Q, noveltyQ, splitDedupAwareQ,
+    ivfAppend, embedAudit, tokenizerFertility,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

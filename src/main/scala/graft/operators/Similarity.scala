@@ -388,6 +388,38 @@ object Similarity {
       .parquet(s"$indexDir/assigned")
   }
 
+  /** Append a NEW vector batch to a persisted [[buildIvfIndex]] index
+    * WITHOUT retraining — the daily-ingest half of index maintenance
+    * (the production shape: the quantizer is FROZEN at build time and
+    * batches stream in against it; retraining is a rare offline event,
+    * re-assignment of petabytes per shard is not an option). The
+    * persisted centroids (nCells rows, bounded by construction) come
+    * back to the driver, the batch assigns cells with the same
+    * zero-shuffle native argmax the build used, and the rows land as
+    * an APPEND into the cell-partitioned layout — probes afterwards
+    * see old and new vectors identically, still under partition
+    * pruning.
+    *
+    * The quantizer-drift trade is SemDeDup's recall trade restated:
+    * batches far from the training distribution crowd few cells
+    * (watch cell occupancy; `Guards.oversizedBuckets` over the
+    * assigned table is the monitor) until the next offline retrain. */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    batch.select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"),
+        cellOf(cent, col(vecCol)).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/assigned")
+  }
+
   /** Probe a persisted [[buildIvfIndex]] index. Identical ranking
     * semantics to [[ivfTopK]]; the difference is the plan — the
     * assigned scan carries a partition filter over the probed cells

@@ -732,6 +732,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.toSet == Set("train", "eval"))
   }
 
+  test("ivf append: probes find appended vectors without retraining") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val mk = (id: Long, x: Double, y: Double) => (id, Seq(x.toFloat, y.toFloat))
+    // two obvious clusters; index built WITHOUT vector 100
+    val corpus = Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1), mk(3, 0.95, 0.05),
+      mk(10, 0.0, 1.0), mk(11, 0.1, 0.9), mk(12, 0.05, 0.95))
+      .toDF("id", "v")
+    Similarity.buildIvfIndex(corpus, "id", "v", dir, nCells = 2,
+      trainIters = 2)
+    // new batch lands in the x-cluster's cell
+    val batch = Seq(mk(100, 0.98, 0.02)).toDF("id", "v")
+    Similarity.appendToIvfIndex(batch, "id", "v", dir)
+    val got = Similarity.ivfTopKFromIndex(
+        Seq(mk(1, 1.0, 0.0)).toDF("id", "v"), dir, "id", "v",
+        k = 4, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.contains(100L), s"appended vector missing from probe: $got")
+    assert(!got.contains(1L), "self must stay excluded")
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
