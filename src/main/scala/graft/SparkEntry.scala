@@ -5132,6 +5132,186 @@ $roundCtes"""
                  AS DOUBLE), 6) AS toks_per_word
       FROM documents GROUP BY source, lang ORDER BY source, lang"""))
 
+  /** Conversation packing: sessionized event streams fold to
+    * (user, session, n_events) training examples, then each user's
+    * sessions pack greedily into 64-event context windows — the
+    * chat-data prep composition (sessionize ⇒ pack), each stage on its
+    * already-proven plan. */
+  private val sessionPack = Q("q_session_pack",
+    (s, d) => {
+      val sess = Sessionize.sessionStats(
+          Tables.events(s, d), "user_id", "ts", "value", 1800L,
+          tieBreak = Seq("event_id"))
+        .select(col("user_id").cast("string").as("user"),
+          col("session_id"), col("n_events"))
+      Packing.packGreedy(sess, "user", "session_id", "n_events",
+          budget = 64)
+        .groupBy(col("user"), col("bin"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("bin_events"))
+        .orderBy(col("user"), col("bin"))
+    },
+    Some("""
+      WITH RECURSIVE gg AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      ss AS (
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+          AS session_id
+        FROM gg),
+      sess AS (
+        SELECT CAST(user_id AS VARCHAR) AS u, session_id,
+               count(*) AS n_events
+        FROM ss GROUP BY user_id, session_id),
+      d2 AS (
+        SELECT u, session_id, n_events,
+               row_number() OVER (PARTITION BY u ORDER BY session_id) AS rn
+        FROM sess),
+      p AS (
+        SELECT u, session_id, rn, n_events,
+               CAST(1 AS BIGINT) AS bin, n_events AS fill
+        FROM d2 WHERE rn = 1
+        UNION ALL
+        SELECT d2.u, d2.session_id, d2.rn, d2.n_events,
+               CASE WHEN p.fill + d2.n_events > 64 THEN p.bin + 1
+                    ELSE p.bin END,
+               CASE WHEN p.fill + d2.n_events > 64 THEN d2.n_events
+                    ELSE p.fill + d2.n_events END
+        FROM d2 JOIN p ON d2.u = p.u AND d2.rn = p.rn + 1)
+      SELECT u AS user, bin, count(*) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS bin_events
+      FROM p GROUP BY u, bin ORDER BY user, bin"""))
+
+  /** Ingest dedup-rate trend: batches = doc_id blocks of 100; per
+    * batch, how many docs duplicate an EARLIER batch (index hits) vs
+    * an earlier row of the SAME batch — the rolling dedup monitor a
+    * daily-shard pipeline charts. One fingerprint-keyed window pass;
+    * a row duplicating both classifies as prior (the index would have
+    * caught it first). */
+  private val dedupTrend = Q("q_dedup_trend",
+    (s, d) => {
+      val w = Window.partitionBy(col("fp"))
+      val docs = Tables.documents(s, d)
+        .withColumn("batch", (col("doc_id") / lit(100L)).cast("long"))
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+        .where(col("fp").isNotNull)
+      docs
+        .withColumn("first_batch", min(col("batch")).over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("batch"), col("doc_id"))))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") > 1 && col("first_batch") < col("batch"),
+            lit(1L)).otherwise(lit(0L))).as("dup_prior"),
+          sum(when(col("rn") > 1 && col("first_batch") === col("batch"),
+            lit(1L)).otherwise(lit(0L))).as("dup_inbatch"))
+        .withColumn("dup_rate", round(
+          (col("dup_prior") + col("dup_inbatch")).cast(DoubleType) /
+            col("n_docs").cast(DoubleType), 6))
+        .orderBy(col("batch"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, doc_id // 100 AS batch,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+        WHERE md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+              IS NOT NULL),
+      m AS (
+        SELECT batch,
+               min(batch) OVER (PARTITION BY fp) AS first_batch,
+               row_number() OVER (PARTITION BY fp
+                 ORDER BY batch, doc_id) AS rn
+        FROM f)
+      SELECT batch, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rn > 1 AND first_batch < batch
+               THEN 1 ELSE 0 END) AS BIGINT) AS dup_prior,
+             CAST(sum(CASE WHEN rn > 1 AND first_batch = batch
+               THEN 1 ELSE 0 END) AS BIGINT) AS dup_inbatch,
+             round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS dup_rate
+      FROM m GROUP BY batch ORDER BY batch"""))
+
+  /** Two-phase exact weighted median
+    * ([[graft.operators.WeightedStats.weightedMedian]]): the bucket
+    * histogram locates the crossing bucket from bucket-count-sized
+    * running sums, and only THAT bucket's rows pay a window — no
+    * per-group full sort (3 return flags would otherwise funnel the
+    * whole table through 3 window tasks). */
+  private val weightedMedianQ = Q("q_weighted_median",
+    (s, d) => graft.operators.WeightedStats.weightedMedian(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        "l_quantity", bucketWidth = 1000.0,
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+      .orderBy(col("l_returnflag")),
+    Some("""
+      WITH base AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+               CAST(l_quantity AS DECIMAL(18,2)) AS w,
+               l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket
+        FROM lineitem),
+      hist AS (SELECT g, bucket, sum(w) AS bw FROM base GROUP BY 1, 2),
+      tot AS (SELECT g, sum(bw) AS tot FROM hist GROUP BY g),
+      run AS (
+        SELECT g, bucket, bw, tot,
+               sum(bw) OVER (PARTITION BY g ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist JOIN tot USING (g)),
+      med AS (
+        SELECT g, min(bucket) AS bucket FROM run
+        WHERE cum * 2 >= tot GROUP BY g),
+      medx AS (
+        SELECT run.g, run.bucket, run.cum - run.bw AS below, run.tot
+        FROM run JOIN med ON run.g = med.g AND run.bucket = med.bucket),
+      inb AS (
+        SELECT b.g, b.v, b.w, mx.below, mx.tot,
+               sum(b.w) OVER (PARTITION BY b.g
+                 ORDER BY b.v, b.l_orderkey, b.l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM base b JOIN medx mx ON b.g = mx.g AND b.bucket = mx.bucket)
+      SELECT g AS l_returnflag, round(min(v), 6) AS wmedian,
+             CAST(max(tot) AS DOUBLE) AS total_w
+      FROM inb WHERE (below + cum2) * 2 >= tot
+      GROUP BY g ORDER BY l_returnflag"""))
+
+  /** Asymmetric n-gram containment ([[Dedup.ngramContainment]]): the
+    * quote/subset detector — a short doc embedded in a long one scores
+    * containment ≈ 1 where Jaccard stays tiny. Same candidate-pair
+    * plan as q_ngram_jaccard. */
+  private val containmentQ = Q("q_ngram_containment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramContainment(pairs, docs, "text", "doc_id", 3)
+        .select(col("id_a"), col("id_b"),
+          col("containment_a"), col("containment_b"))
+        .orderBy(col("id_a"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+               / len(a.sh), 6) AS containment_a,
+             round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+               / len(b.sh), 6) AS containment_b
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id < 200
+      ORDER BY id_a"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -5195,6 +5375,7 @@ $roundCtes"""
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
     labelProp, scoreCalibration, bm25Q, noveltyQ, splitDedupAwareQ,
     ivfAppend, embedAudit, tokenizerFertility,
+    sessionPack, dedupTrend, weightedMedianQ, containmentQ,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

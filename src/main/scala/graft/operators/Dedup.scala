@@ -517,6 +517,36 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Asymmetric n-gram CONTAINMENT per candidate pair — the
+    * quote/subset detector Jaccard can't express: a short doc fully
+    * embedded in a long one scores containment_a ≈ 1 while its Jaccard
+    * stays tiny (the union is dominated by the long side). Emits both
+    * directions: containment_a = |A∩B|/|A|, containment_b = |A∩B|/|B|.
+    * Same scale shape as [[ngramJaccard]]: shingle only the candidate
+    * ids (left-semi), one shingle pass feeds both pair sides, map-side
+    * set ops per pair. */
+  def ngramContainment(
+      pairs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val candIds = pairs.select(col("id_a").as("cid"))
+      .union(pairs.select(col("id_b").as("cid")))
+      .distinct()
+    val sh = docs
+      .join(candIds, col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint(false)
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("__i",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("containment_a", round(col("__i") / size(col("sh_a")), 6))
+      .withColumn("containment_b", round(col("__i") / size(col("sh_b")), 6))
+      .drop("sh_a", "sh_b", "__i")
+  }
+
   /** Cross-source contamination matrix: for every source pair, how many
     * DISTINCT word n-grams they share — the "who copies from whom"
     * audit that decides which corpus slices need near-dup passes

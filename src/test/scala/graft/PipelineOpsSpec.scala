@@ -753,6 +753,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.contains(1L), "self must stay excluded")
   }
 
+  test("two-phase weighted median matches the hand-computed crossing row") {
+    import graft.operators.WeightedStats
+    // group A: values 1..4 with weights 1,1,1,5 → total 8, half 4;
+    // cum: 1,2,3,8 → crossing at v=4. group B: uniform weights → v=2
+    // (cum 1,2,3; 2*2 >= 3 first at v=2)
+    val rows = Seq(
+      ("A", 1.0, 1.0, 1L), ("A", 2.0, 1.0, 2L), ("A", 3.0, 1.0, 3L),
+      ("A", 4.0, 5.0, 4L),
+      ("B", 1.0, 1.0, 5L), ("B", 2.0, 1.0, 6L), ("B", 3.0, 1.0, 7L))
+      .toDF("g", "v", "w", "id")
+    val got = WeightedStats.weightedMedian(rows, "g", "v", "w",
+        bucketWidth = 2.0, tieBreak = Seq("id"))
+      .orderBy("g").select("g", "wmedian", "total_w")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", 4.0, 8.0), ("B", 2.0, 3.0)), s"got $got")
+    // a crossing INSIDE a bucket: one bucket holds everything
+    val one = WeightedStats.weightedMedian(rows, "g", "v", "w",
+        bucketWidth = 100.0, tieBreak = Seq("id"))
+      .orderBy("g").select("wmedian").as[Double].collect().toSeq
+    assert(one == Seq(4.0, 2.0), s"got $one")
+  }
+
+  test("ngram containment flags a quote the jaccard misses") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox " +
+        "jumped over many lazy dogs in a very long unrelated story " +
+        "that keeps going with fresh words"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramContainment(pairs, docs, "text", "doc_id", 3)
+      .select("containment_a", "containment_b")
+      .as[(Double, Double)].head()
+    assert(got._1 == 1.0, s"short side fully contained: $got")
+    assert(got._2 < 0.2, s"long side barely overlaps: $got")
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
