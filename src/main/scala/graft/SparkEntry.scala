@@ -5312,6 +5312,119 @@ $roundCtes"""
       WHERE a.doc_id < 200
       ORDER BY id_a"""))
 
+  /** Chunk-level language purity: langId per 120-char chunk, per doc
+    * the majority chunk-language and its fraction — the mixed-language
+    * detector doc-level langId masks (a half-English half-German page
+    * IDs as one or the other; purity ≈ 0.5 exposes it). Map-side
+    * chunk+ID, one (doc × lang) vote aggregate, winner from the shrunk
+    * vote table (the majorityVote shape). */
+  private val langPurity = Q("q_lang_purity",
+    (s, d) => {
+      val votes = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.chunkText(col("text"), 120, 20)).as("chunk"))
+        .select(col("doc_id"), TextFns.langId(col("chunk")).as("cl"))
+        .groupBy(col("doc_id"), col("cl")).agg(count(lit(1)).as("n"))
+      votes
+        .withColumn("__neg", -col("n"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(col("cl"), struct(col("__neg"), col("cl")))
+          .as("major_lang"),
+          max(col("n")).as("__m"), sum(col("n")).as("n_chunks"))
+        .withColumn("purity", round(
+          col("__m").cast(DoubleType) / col("n_chunks").cast(DoubleType), 6))
+        .drop("__m")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH ch AS (
+        SELECT doc_id, substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk
+        FROM documents,
+             unnest(range(greatest(1,
+               CAST(ceil((length(text) - 20) / 100.0) AS INT)))) AS t(i)),
+      tt AS (SELECT doc_id,
+                    string_split_regex(trim(lower(chunk)), '\s+') AS toks
+             FROM ch),
+      sc AS (
+        SELECT doc_id,
+          len(list_distinct(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for']))) AS s_en,
+          len(list_distinct(list_intersect(toks, ['der','die','das','und','ist','ein','nicht','mit','auf','zu']))) AS s_de,
+          len(list_distinct(list_intersect(toks, ['el','la','de','que','y','en','un','es','no','por']))) AS s_es,
+          len(list_distinct(list_intersect(toks, ['le','la','de','et','est','un','une','dans','que','pas']))) AS s_fr
+        FROM tt),
+      cl AS (
+        SELECT doc_id, CASE
+          WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+          WHEN s_fr > 0 THEN 'fr'
+          ELSE 'und' END AS cl
+        FROM sc),
+      v AS (SELECT doc_id, cl, count(*) AS n FROM cl GROUP BY 1, 2),
+      w AS (
+        SELECT doc_id, cl AS major_lang, n,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n DESC, cl) AS rn,
+               sum(n) OVER (PARTITION BY doc_id) AS n_chunks
+        FROM v)
+      SELECT doc_id, major_lang, CAST(n_chunks AS BIGINT) AS n_chunks,
+             round(CAST(n AS DOUBLE) / n_chunks, 6) AS purity
+      FROM w WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** Quality drift over ingest batches: the LM trained on batch 0
+    * scores every batch; rising mean NLL = the crawl is drifting from
+    * the curated distribution — the alarm before a bad shard trains.
+    * One LM chain + a batch-keyed exact-decimal mean. */
+  private val qualityDrift = Q("q_quality_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") < 100)
+      graft.operators.LangModel
+        .bigramNllAgainst(train, docs, "doc_id", "text")
+        .withColumn("batch", (col("doc_id") / lit(100L)).cast("long"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("avg_nll").cast(DecimalType(18, 6))).as("__s"))
+        .withColumn("mean_nll",
+          round(col("__s").cast(DoubleType) / col("n_docs"), 6))
+        .drop("__s")
+        .orderBy(col("batch"))
+    },
+    Some("""
+      WITH tr AS (
+        SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           w -> regexp_full_match(w, '[a-z0-9]+')) AS ws
+        FROM documents WHERE doc_id < 100),
+      uni AS (SELECT w1, count(*) AS cu
+              FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY w1),
+      vocab AS (SELECT count(*) AS v FROM uni),
+      bi AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cb FROM (
+          SELECT unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+          FROM tr) GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              w -> regexp_full_match(w, '[a-z0-9]+')) AS ws
+                FROM documents))),
+      scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(round(-ln((coalesce(cb, 0) + 1)
+                       / CAST(coalesce(cu, 0) + v AS DOUBLE)), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM pairs
+        LEFT JOIN bi USING (w1, w2)
+        LEFT JOIN uni USING (w1) CROSS JOIN vocab
+        GROUP BY doc_id)
+      SELECT doc_id // 100 AS batch, count(*) AS n_docs,
+             round(CAST(sum(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS mean_nll
+      FROM scored GROUP BY 1 ORDER BY batch"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -5376,6 +5489,7 @@ $roundCtes"""
     labelProp, scoreCalibration, bm25Q, noveltyQ, splitDedupAwareQ,
     ivfAppend, embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,
+    langPurity, qualityDrift,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -243,6 +243,41 @@ object StreamingFeatures {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming ingest NEAR-dup gate — the `foreachBatch` body that
+    * puts [[graft.operators.Dedup.minhashNearDupsAgainst]] on the
+    * ingest path: each micro-batch bands against the (static or
+    * incrementally-maintained) corpus, and batch rows whose verified
+    * Jaccard clears `threshold` are dropped before the sink. Exact
+    * streaming dedup ([[dedupStream]]) catches byte-identical
+    * re-deliveries in-stream; this gate catches the near-copies a
+    * crawler re-fetches with new boilerplate — the two compose:
+    * dedupStream upstream, this gate in `foreachBatch`.
+    *
+    * Scale contract is the batch-vs-corpus MinHash one: a daily shard
+    * pays O(batch + corpus) through the single (band, bucket)
+    * exchange, and production holds the corpus side as precomputed
+    * sketches. Usage:
+    * {{{
+    * stream.writeStream.foreachBatch { (b, _) =>
+    *   StreamingFeatures.nearDupGateBatch(b, corpus, "text", "doc_id")
+    *     .write.mode("append").parquet(out)
+    * }
+    * }}}
+    */
+  def nearDupGateBatch(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val dups = graft.operators.Dedup
+      .minhashNearDupsAgainst(batch, corpus, textCol, idCol,
+        threshold = threshold)
+      .select(col("id_a").as("__dup_id"))
+      .distinct()
+    batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
   def maintainLatest(features: DataFrame, outDir: String,
       checkpoint: String, entityKey: String,
       tsCol: String = "ts", tieBreak: Seq[String] = Seq.empty)

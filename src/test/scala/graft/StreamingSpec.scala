@@ -269,4 +269,30 @@ class StreamingSpec extends SparkSpec {
       assert(served == Seq((1L, 2L, 30.0)))
     } finally q.stop()
   }
+
+  test("foreachBatch near-dup gate drops corpus near-copies, keeps novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingFeatures.nearDupGateBatch(b, corpus, "text", "doc_id",
+            threshold = 0.5)
+          .select("doc_id").collect().foreach(r => kept += r.getLong(0))
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), corpusText + " rho"), // near-copy
+        Doc(2L, ts("2024-01-01 10:01:00"),
+          "completely different words about streams windows and joins " +
+            "with nothing shared at all in any shingle"))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(2L), s"got $kept")
+    } finally q.stop()
+  }
 }
