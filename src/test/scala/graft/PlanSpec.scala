@@ -263,4 +263,58 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(spans.nonEmpty, s"no codegen span in:\n${physical(df)}")
   }
+
+  test("random projection is map-side: zero exchanges before any sort") {
+    // the sign matrix rides the plan as a literal; per row the work is
+    // outDim integer dots — no shuffle may appear
+    val df = Tables.embeddings(spark, sf).select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      graft.functions.VectorFns.randomProject(
+        org.apache.spark.sql.functions.col("embedding"), 64, 8, "rp"))
+    df.collect()
+    // the loader's deliberate round-robin rebalance (single-row-group
+    // testdata) is not the projection's doing — count only the
+    // shuffles the PLAN required
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.shuffleOrigin ==
+          org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
+    }
+    assert(shuffles.isEmpty,
+      s"projection must not shuffle:\n${physical(df)}")
+  }
+
+  test("champion-selection aggregates never window the raw stream") {
+    // preference pairs and majority vote fold via max/min-by struct
+    // aggregates; a WindowExec would mean the raw rows are being
+    // sorted per key — the skew shape these ops exist to avoid
+    for (name <- Seq("q_preference_pairs", "q_majority_vote")) {
+      val df = run(name)
+      df.collect()
+      val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"$name must not plan a window:\n${physical(df)}")
+    }
+  }
+
+  test("bm25 broadcasts the query terms against the corpus tokens") {
+    val df = run("q_bm25")
+    df.collect()
+    assert(physical(df).contains("BroadcastHashJoin"),
+      s"terms join must broadcast:\n${physical(df)}")
+  }
+
+  test("weighted median pays exactly two windows, both off the raw stream") {
+    // phase 1 windows the bucket histogram (bucket-count-sized); phase
+    // 2 windows only the crossing bucket's rows — never the full table
+    val df = run("q_weighted_median")
+    df.collect()
+    val windows = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2,
+      s"expected the two bounded windows:\n${physical(df)}")
+  }
 }
