@@ -5425,6 +5425,108 @@ $roundCtes"""
                / count(*), 6) AS mean_nll
       FROM scored GROUP BY 1 ORDER BY batch"""))
 
+  /** Deterministic uniform negative sampling
+    * ([[Similarity.uniformNegativesTopK]]): per query, the 5 corpus
+    * rows with the smallest md5(seed:qid:cid) — RNG-free draws a
+    * restarted training job re-derives exactly; the hash rides the
+    * broadcast-queries / streamed-corpus BoundedTopK plan. */
+  private val uniformNegatives = Q("q_uniform_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.uniformNegativesTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", k = 5,
+          seed = "neg")
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id FROM embeddings
+                 WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id FROM embeddings),
+      s AS (
+        SELECT query_id, neighbor_id,
+               CAST('0x' || substr(md5('neg:' || CAST(query_id AS VARCHAR)
+                 || ':' || CAST(neighbor_id AS VARCHAR)), 1, 12) AS BIGINT)
+                 AS h
+        FROM c, q WHERE query_id <> neighbor_id),
+      r AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY h, neighbor_id) AS INT) AS rank
+        FROM s)
+      SELECT query_id, neighbor_id, rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Feature-staleness report: per entity the age of its latest
+    * feature at serve time, bucketed by hour — the freshness audit
+    * that prices a TTL ([[fs.Serving.asOfJoinWithin]]'s maxAge dial)
+    * before turning it on. One serve + a map-side age bucket + a tiny
+    * keyed aggregate. */
+  private val stalenessReport = Q("q_staleness_report",
+    (s, d) => {
+      val served = Serving.latestAsOf(Tables.events(s, d), "user_id", "ts",
+        Some(to_timestamp(lit(AsOf))), Seq(col("event_id")))
+      served
+        .withColumn("age_s",
+          to_timestamp(lit(AsOf)).cast("long") - col("ts").cast("long"))
+        .withColumn("age_h", (col("age_s") / lit(3600L)).cast("long"))
+        .groupBy(col("age_h"))
+        .agg(count(lit(1)).as("n_entities"),
+          min(col("age_s")).as("min_age_s"),
+          max(col("age_s")).as("max_age_s"))
+        .orderBy(col("age_h"))
+    },
+    Some(s"""
+      WITH latest AS (
+        SELECT user_id, ts FROM (
+          SELECT user_id, ts, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '$AsOf')
+        WHERE rn = 1),
+      aged AS (
+        SELECT CAST(floor(epoch(TIMESTAMP '$AsOf')) AS BIGINT)
+                 - CAST(floor(epoch(ts)) AS BIGINT) AS age_s
+        FROM latest)
+      SELECT age_s // 3600 AS age_h, count(*) AS n_entities,
+             min(age_s) AS min_age_s, max(age_s) AS max_age_s
+      FROM aged GROUP BY 1 ORDER BY age_h"""))
+
+  /** Restartable epoch shuffle: per-epoch global order by
+    * md5(epoch:id) — reproducible data ordering across training
+    * restarts and engines, where an RNG shuffle is partition-layout-
+    * dependent. A range-partitioned sort per epoch (the one global
+    * sort the semantics genuinely require); successive epochs decorrelate
+    * by seed. */
+  private val epochShuffle = Q("q_epoch_shuffle",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+      val epochs = Seq(0, 1).map { e =>
+        docs.withColumn("epoch", lit(e))
+          .withColumn("__h", md5(concat_ws(":",
+            lit("ep"), col("epoch").cast("string"),
+            col("doc_id").cast("string"))))
+      }.reduce(_ unionByName _)
+      epochs
+        .withColumn("position", row_number().over(
+          Window.partitionBy(col("epoch"))
+            .orderBy(col("__h"), col("doc_id"))).cast("int"))
+        .select(col("epoch"), col("position"), col("doc_id"))
+        .orderBy(col("epoch"), col("position"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+      e AS (
+        SELECT 0 AS epoch, doc_id,
+               md5('ep:0:' || CAST(doc_id AS VARCHAR)) AS h FROM d
+        UNION ALL
+        SELECT 1 AS epoch, doc_id,
+               md5('ep:1:' || CAST(doc_id AS VARCHAR)) AS h FROM d)
+      SELECT epoch,
+             CAST(row_number() OVER (PARTITION BY epoch
+               ORDER BY h, doc_id) AS INT) AS position,
+             doc_id
+      FROM e ORDER BY epoch, position"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -5489,7 +5591,8 @@ $roundCtes"""
     labelProp, scoreCalibration, bm25Q, noveltyQ, splitDedupAwareQ,
     ivfAppend, embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,
-    langPurity, qualityDrift,
+    langPurity, qualityDrift, uniformNegatives, stalenessReport,
+    epochShuffle,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -97,6 +97,34 @@ object Similarity {
         col("n_label"), col("sim"), col("rank"))
   }
 
+  /** Deterministic UNIFORM negative sampling — the contrastive-
+    * training counterpart of [[hardNegativesTopK]]: per query, k
+    * pseudo-random corpus rows chosen by smallest md5(seed:qid:cid) —
+    * no RNG, so the sample is a pure function of the data (the
+    * [[Sampling.hashKeep]] philosophy applied to per-pair draws:
+    * resumable training jobs re-derive the SAME negatives after a
+    * restart, any engine replays them). The hash rides the usual
+    * broadcast-queries / streamed-corpus BoundedTopK plan — corpus
+    * streams once, k·|queries| heap rows reach the exchange. */
+  def uniformNegativesTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, k: Int, seed: String = "neg",
+      maxQueries: Int = MaxBroadcastQueries): DataFrame = {
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"uniformNegativesTopK: query side exceeds $maxQueries rows")
+    val q = queries.select(col(idCol).as("query_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        -conv(substring(md5(concat_ws(":", lit(seed),
+          col("query_id").cast("string"),
+          col("neighbor_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long").cast("double"))
+    topKPerQuery(scored, k).drop("sim")
+  }
+
   /** Incremental top-k maintenance — the ingest-time shape of a served
     * similarity index (cf. the incremental top-k session search idea,
     * EDBT 2020, PAPERS.md): when a new corpus shard lands, the served
