@@ -5527,6 +5527,110 @@ $roundCtes"""
              doc_id
       FROM e ORDER BY epoch, position"""))
 
+  /** Ordered-step funnel ([[graft.operators.Funnel.funnelCounts]]):
+    * signup → view → click → purchase completion counts, each stage
+    * one filtered equi-join + keyed min — the event log streams once
+    * per step, no per-entity sequence sort. */
+  private val funnelQ = Q("q_funnel",
+    (s, d) => graft.operators.Funnel.funnelCounts(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("step")),
+    Some("""
+      WITH t1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'click' AND e.ts > t2.t GROUP BY 1),
+      t4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN t3 ON e.user_id = t3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t3.t GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS step_type, count(*) AS n_entities
+        FROM t1
+        UNION ALL SELECT 2, 'view', count(*) FROM t2
+        UNION ALL SELECT 3, 'click', count(*) FROM t3
+        UNION ALL SELECT 4, 'purchase', count(*) FROM t4)
+      ORDER BY step"""))
+
+  /** Weekly cohort retention ([[graft.operators.Funnel.cohortRetention]]):
+    * entities cohort by epoch-week of first activity; active-week
+    * membership counts once per (entity, week). Two keyed aggregates
+    * + one join; output is cohorts × offsets. */
+  private val cohortQ = Q("q_cohort_retention",
+    (s, d) => graft.operators.Funnel.cohortRetention(
+        Tables.events(s, d), "user_id", "ts")
+      .orderBy(col("cohort"), col("offset")),
+    Some("""
+      WITH base AS (
+        SELECT user_id AS k,
+               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+        FROM events),
+      first AS (SELECT k, min(wk) AS cohort FROM base GROUP BY k),
+      sizes AS (SELECT cohort, count(*) AS cohort_size FROM first
+                GROUP BY cohort),
+      act AS (
+        SELECT DISTINCT cohort, wk - cohort AS offset, k
+        FROM base JOIN first USING (k))
+      SELECT cohort, "offset", count(*) AS n_active, cohort_size,
+             round(CAST(count(*) AS DOUBLE) / cohort_size, 6) AS retention
+      FROM act JOIN sizes USING (cohort)
+      GROUP BY cohort, "offset", cohort_size
+      ORDER BY cohort, "offset""""))
+
+  /** Behavioral sequence n-grams: per (user, session) the
+    * time-ordered event-type sequence, its trigrams counted globally,
+    * top 20 — text n-gram machinery on event streams (the "what do
+    * users do before purchasing" mining query). Sequences
+    * materialize per session only (bounded by session length, the
+    * sessionize contract). */
+  private val behaviorTrigrams = Q("q_behavior_trigrams",
+    (s, d) => {
+      val se = Sessionize.assign(Tables.events(s, d), "user_id", "ts",
+        1800L, tieBreak = Seq("event_id"))
+      val seqs = se.groupBy(col("user_id"), col("session_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("__evs"))
+        .select(expr("transform(__evs, x -> x.event_type)").as("sq"))
+        .filter(size(col("sq")) >= 3)
+      seqs
+        .select(explode(expr(
+          "transform(sequence(1, size(sq) - 2), " +
+            "i -> concat_ws('>', sq[i-1], sq[i], sq[i+1]))")).as("trigram"))
+        .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(20)
+    },
+    Some("""
+      WITH gg AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      ss AS (
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+          AS session_id
+        FROM gg),
+      seqs AS (
+        SELECT list(event_type ORDER BY ts, event_id) AS sq
+        FROM ss GROUP BY user_id, session_id),
+      tg AS (
+        SELECT unnest(list_transform(range(1, len(sq) - 1),
+          i -> sq[i] || '>' || sq[i+1] || '>' || sq[i+2])) AS trigram
+        FROM seqs WHERE len(sq) >= 3)
+      SELECT trigram, count(*) AS n FROM tg
+      GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -5592,7 +5696,7 @@ $roundCtes"""
     ivfAppend, embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,
     langPurity, qualityDrift, uniformNegatives, stalenessReport,
-    epochShuffle,
+    epochShuffle, funnelQ, cohortQ, behaviorTrigrams,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -791,6 +791,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got._2 < 0.2, s"long side barely overlaps: $got")
   }
 
+  test("funnel requires strictly-ordered steps; out-of-order never counts") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // user 1 completes a -> b -> c in order
+      (1L, "a", 100L), (1L, "b", 200L), (1L, "c", 300L),
+      // user 2 has b BEFORE a: reaches a, never b-after-a
+      (2L, "b", 100L), (2L, "a", 200L),
+      // user 3 same-timestamp b (not strictly after a): excluded
+      (3L, "a", 100L), (3L, "b", 100L))
+      .toDF("u", "t", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val got = Funnel.funnelCounts(ev, "u", "ts", "t", Seq("a", "b", "c"))
+      .orderBy("step").select("step", "n_entities")
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 3L), (2, 1L), (3, 1L)), s"got $got")
+  }
+
+  test("cohort retention counts an entity once per active week") {
+    import graft.operators.Funnel
+    val wk = 604800L
+    val ev = Seq(
+      (1L, 0L), (1L, 10L), (1L, wk + 5L),     // cohort 0, active wks 0,1
+      (2L, 5L),                               // cohort 0, active wk 0
+      (3L, wk + 1L), (3L, wk + 2L))           // cohort 1, active wk 0
+      .toDF("u", "s").withColumn("ts", timestamp_seconds(col("s")))
+    val got = Funnel.cohortRetention(ev, "u", "ts")
+      .orderBy("cohort", "offset")
+      .select("cohort", "offset", "n_active", "cohort_size", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0)), s"got $got")
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
