@@ -5631,6 +5631,188 @@ $roundCtes"""
       SELECT trigram, count(*) AS n FROM tg
       GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20"""))
 
+  /** A/B experiment analysis: deterministic arm assignment via
+    * `foldId` (entities, not events, randomize — no user straddles
+    * arms), per-metric Welch t-statistic from EXACT decimal moment
+    * sums (Σx, Σx² of 6-dp-rounded terms are aggregation-order-free;
+    * the t arithmetic is one fixed double chain both engines run
+    * identically). One keyed aggregate per arm. */
+  private val abTest = Q("q_ab_test",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("arm", Sampling.foldId(col("user_id"), 2, "ab"))
+        .withColumn("x", round(col("value"), 6).cast(DecimalType(18, 6)))
+        .withColumn("x2", round(col("value") * col("value"), 6)
+          .cast(DecimalType(24, 6)))
+      val agg = ev.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x2")).as("sx2"))
+        .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
+        .withColumn("vr",
+          (col("sx2").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType) /
+              col("n")) / (col("n") - 1))
+      val a = agg.filter(col("arm") === 0)
+        .select(col("event_type"), col("n").as("n_a"),
+          col("mean").as("mean_a"), col("vr").as("var_a"))
+      val b = agg.filter(col("arm") === 1)
+        .select(col("event_type"), col("n").as("n_b"),
+          col("mean").as("mean_b"), col("vr").as("var_b"))
+      a.join(b, Seq("event_type"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round((col("mean_a") - col("mean_b")) /
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+            .as("t_welch"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type, value,
+               CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 12)
+                    < '${Sampling.foldCuts(2).head}' THEN 0 ELSE 1 END AS arm,
+               CAST(round(value, 6) AS DECIMAL(18,6)) AS x,
+               CAST(round(value * value, 6) AS DECIMAL(24,6)) AS x2
+        FROM events),
+      agg AS (
+        SELECT event_type, arm, count(*) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x2) AS DOUBLE) AS sx2
+        FROM e GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, arm, n, sx / n AS mean,
+               (sx2 - sx * sx / n) / (n - 1) AS vr
+        FROM agg)
+      SELECT a.event_type AS event_type, a.n AS n_a, b.n AS n_b,
+             round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+             round((a.mean - b.mean) /
+               sqrt(a.vr / a.n + b.vr / b.n), 6) AS t_welch
+      FROM (SELECT * FROM m WHERE arm = 0) a
+      JOIN (SELECT * FROM m WHERE arm = 1) b USING (event_type)
+      ORDER BY event_type"""))
+
+  /** Information gain of `source` predicting `lang` — the categorical
+    * feature-selection score: H(lang) − Σ_s p(s)·H(lang|s). Entropy
+    * terms round at 6 dp and sum in exact decimals (the LM determinism
+    * contract applied to ln p); everything computes from one
+    * (source × lang) count table. */
+  private val infoGain = Q("q_info_gain",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cnt = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds per-source, global and total aggs
+      val perSrc = cnt.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+      val tot = perSrc.agg(sum(col("ns")).as("nt"))
+      val hCond = cnt.join(perSrc, Seq("source"))
+        .withColumn("term", round(-(col("n").cast(DoubleType) / col("ns")) *
+          log(col("n").cast(DoubleType) / col("ns")), 6)
+          .cast(DecimalType(18, 6)))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("ns"), sum(col("term")).as("hs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("w", round(col("ns").cast(DoubleType) / col("nt") *
+          col("hs").cast(DoubleType), 6).cast(DecimalType(18, 6)))
+        .agg(sum(col("w")).as("h_cond"))
+      val hGlobal = cnt.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", round(-(col("nl").cast(DoubleType) / col("nt")) *
+          log(col("nl").cast(DoubleType) / col("nt")), 6)
+          .cast(DecimalType(18, 6)))
+        .agg(sum(col("term")).as("h_lang"))
+      hGlobal.crossJoin(hCond)
+        .select(round(col("h_lang").cast(DoubleType), 6).as("h_lang"),
+          round(col("h_cond").cast(DoubleType), 6).as("h_cond"),
+          round(col("h_lang").cast(DoubleType) -
+            col("h_cond").cast(DoubleType), 6).as("info_gain"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+      per_src AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cnt
+                  GROUP BY source),
+      tot AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM per_src),
+      hs AS (
+        SELECT source, max(ns) AS ns,
+               sum(CAST(round(-(CAST(n AS DOUBLE) / ns)
+                     * ln(CAST(n AS DOUBLE) / ns), 6) AS DECIMAL(18,6)))
+                 AS hs
+        FROM cnt JOIN per_src USING (source) GROUP BY source),
+      hcond AS (
+        SELECT sum(CAST(round(CAST(ns AS DOUBLE) / nt
+                 * CAST(hs AS DOUBLE), 6) AS DECIMAL(18,6))) AS h_cond
+        FROM hs, tot),
+      hl AS (
+        SELECT sum(CAST(round(-(CAST(nl AS DOUBLE) / nt)
+                 * ln(CAST(nl AS DOUBLE) / nt), 6) AS DECIMAL(18,6)))
+                 AS h_lang
+        FROM (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cnt
+              GROUP BY lang), tot)
+      SELECT round(CAST(h_lang AS DOUBLE), 6) AS h_lang,
+             round(CAST(h_cond AS DOUBLE), 6) AS h_cond,
+             round(CAST(h_lang AS DOUBLE) - CAST(h_cond AS DOUBLE), 6)
+               AS info_gain
+      FROM hl, hcond"""))
+
+  /** Rendezvous-hash shard placement ([[Sampling.rendezvousShard]]):
+    * per-shard occupancy under highest-random-weight assignment — the
+    * consistent-placement scheme where removing a shard moves ONLY
+    * that shard's keys. Map-side CASE over nShards md5 columns. */
+  private val rendezvousQ = Q("q_rendezvous_shards",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("shard", Sampling.rendezvousShard(col("doc_id"), 4, "rv"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard")),
+    Some("""
+      WITH h AS (
+        SELECT md5('rv0:' || CAST(doc_id AS VARCHAR)) AS h0,
+               md5('rv1:' || CAST(doc_id AS VARCHAR)) AS h1,
+               md5('rv2:' || CAST(doc_id AS VARCHAR)) AS h2,
+               md5('rv3:' || CAST(doc_id AS VARCHAR)) AS h3
+        FROM documents),
+      a AS (
+        SELECT CASE
+          WHEN h0 >= h1 AND h0 >= h2 AND h0 >= h3 THEN 0
+          WHEN h1 >= h2 AND h1 >= h3 THEN 1
+          WHEN h2 >= h3 THEN 2
+          ELSE 3 END AS shard
+        FROM h)
+      SELECT shard, count(*) AS n_docs FROM a
+      GROUP BY shard ORDER BY shard"""))
+
+  /** Referential-integrity audit over the star schema: orphan counts
+    * per foreign-key relationship via anti-join probes — the data-
+    * contract check an ingest pipeline runs before publishing a
+    * snapshot. Each probe is one semi/anti join; dims broadcast. */
+  private val refIntegrity = Q("q_ref_integrity",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      def probe(name: String, bad: DataFrame) =
+        bad.agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("relation"), col("n_orphans"))
+      probe("lineitem->orders",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionByName(probe("orders->customer",
+          o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionByName(probe("lineitem->part",
+          li.join(Tables.part(s, d),
+            col("l_partkey") === col("p_partkey"), "left_anti")))
+        .orderBy(col("relation"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'lineitem->orders' AS relation, count(*) AS n_orphans
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders->customer', count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'lineitem->part', count(*) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+      ORDER BY relation"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -5697,6 +5879,7 @@ $roundCtes"""
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,
     langPurity, qualityDrift, uniformNegatives, stalenessReport,
     epochShuffle, funnelQ, cohortQ, behaviorTrigrams,
+    abTest, infoGain, rendezvousQ, refIntegrity,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

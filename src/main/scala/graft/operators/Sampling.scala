@@ -167,6 +167,26 @@ object Sampling {
     * One CC run over the PAIR set (pair-sized, not corpus-sized) + one
     * left join of the corpus against the cluster map + the map-side
     * hash predicate. Emits the input rows plus (split_key, split). */
+  /** Rendezvous (highest-random-weight) shard assignment: a key lands
+    * on the shard whose md5(shard:key) is LARGEST — the consistent-
+    * placement scheme whose removal property `foldId` lacks: deleting
+    * a shard moves ONLY that shard's keys (each survivor's winning
+    * hash is unchanged), where a mod-N scheme reshuffles nearly
+    * everything. Map-side: one md5 per (key, shard) against a
+    * compile-time shard list, a CASE chain picks the argmax (ties —
+    * md5 collisions — break toward the smaller shard id). Replays in
+    * SQL as the same hash columns + CASE. */
+  def rendezvousShard(key: Column, nShards: Int, seed: String = ""): Column = {
+    require(nShards >= 1 && nShards <= 64, s"nShards=$nShards")
+    val hs = (0 until nShards).map(i =>
+      md5(concat(lit(s"$seed$i:"), key.cast("string"))))
+    (0 until nShards).foldRight(lit(nShards - 1): Column) { (i, acc) =>
+      if (i == nShards - 1) acc
+      else when((i until nShards).drop(1).map(j => hs(i) >= hs(j))
+        .reduce(_ && _), lit(i)).otherwise(acc)
+    }
+  }
+
   def splitDedupAware(
       df: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,

@@ -825,6 +825,23 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, 0L, 1L, 1L, 1.0)), s"got $got")
   }
 
+  test("rendezvous hashing: removing a shard moves only that shard's keys") {
+    import graft.operators.Sampling
+    val keys = (1L to 300L).toDF("k")
+    val with4 = keys.withColumn("s",
+        Sampling.rendezvousShard(col("k"), 4, "rv"))
+      .as[(Long, Int)].collect().toMap
+    // re-assign over shards 0..2 (shard 3 removed): survivors' argmax
+    // among the remaining hashes is unchanged for keys not on shard 3
+    val with3 = keys.withColumn("s",
+        Sampling.rendezvousShard(col("k"), 3, "rv"))
+      .as[(Long, Int)].collect().toMap
+    val moved = with4.filter { case (k, s) => s != 3 && with3(k) != s }
+    assert(moved.isEmpty, s"non-removed keys moved: $moved")
+    // all shards are populated (sanity on the hash spread)
+    assert(with4.values.toSet == Set(0, 1, 2, 3))
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
