@@ -5813,6 +5813,207 @@ $roundCtes"""
         WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
       ORDER BY relation"""))
 
+  /** Last-touch attribution: each purchase joins as-of to the most
+    * recent preceding click/view, purchases with no prior touch
+    * attribute to 'none' — the marketing-attribution query expressed
+    * on the PIT as-of machinery (one union-tag exchange, the
+    * q_asof_join plan). */
+  private val attributionQ = Q("q_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts").as("t_ts"),
+          col("event_id").as("touch_id"),
+          col("event_type").as("channel"))
+      Serving.asOfJoin(purchases, touches, "user_id", "p_ts", "t_ts",
+          Seq("touch_id", "channel"), Seq("t_ts", "touch_id"))
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      SELECT coalesce(t.channel, 'none') AS channel,
+             count(*) AS n_purchases
+      FROM (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN LATERAL (
+        SELECT event_type AS channel FROM events e
+        WHERE e.user_id = p.user_id
+          AND e.event_type IN ('click', 'view') AND e.ts <= p.ts
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+      ) t ON true
+      GROUP BY 1 ORDER BY channel"""))
+
+  /** First-order Markov model of session behavior: adjacent
+    * event-type transitions within sessions, row-normalized to
+    * transition probabilities — the behavioral model behind funnels
+    * (same per-session sequence bound as q_behavior_trigrams). */
+  private val markovTransitions = Q("q_markov_transitions",
+    (s, d) => {
+      val se = Sessionize.assign(Tables.events(s, d), "user_id", "ts",
+        1800L, tieBreak = Seq("event_id"))
+      val seqs = se.groupBy(col("user_id"), col("session_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("__evs"))
+        .select(expr("transform(__evs, x -> x.event_type)").as("sq"))
+        .filter(size(col("sq")) >= 2)
+      val trans = seqs.select(explode(expr(
+          "transform(sequence(1, size(sq) - 1), " +
+            "i -> struct(sq[i-1] AS f, sq[i] AS t))")).as("p"))
+        .select(col("p.f").as("from_type"), col("p.t").as("to_type"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("nf"))
+      trans.join(broadcast(totals), Seq("from_type"))
+        .withColumn("p", round(
+          col("n").cast(DoubleType) / col("nf").cast(DoubleType), 6))
+        .select(col("from_type"), col("to_type"), col("n"), col("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH gg AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      ss AS (
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+          AS session_id
+        FROM gg),
+      seqs AS (
+        SELECT list(event_type ORDER BY ts, event_id) AS sq
+        FROM ss GROUP BY user_id, session_id),
+      tr AS (
+        SELECT p.f AS from_type, p.t AS to_type FROM (
+          SELECT unnest(list_transform(range(1, len(sq)),
+            i -> {'f': sq[i], 't': sq[i+1]})) AS p
+          FROM seqs WHERE len(sq) >= 2)),
+      cnt AS (SELECT from_type, to_type, count(*) AS n FROM tr
+              GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM cnt
+              GROUP BY from_type)
+      SELECT from_type, to_type, n,
+             round(CAST(n AS DOUBLE) / CAST(nf AS DOUBLE), 6) AS p
+      FROM cnt JOIN tot USING (from_type)
+      ORDER BY from_type, to_type"""))
+
+  /** Inverted-index build: per term, document frequency + the first 20
+    * postings — the offline index BM25 probes at serve time. Postings
+    * cap BEFORE the collect (a per-term window over the distinct
+    * (term, doc) stream), so a stopword's million-doc posting list
+    * never materializes. Top-30 terms by df. */
+  private val invertedIndex = Q("q_inverted_index",
+    (s, d) => {
+      val td = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+        .distinct()
+        .localCheckpoint(false) // feeds df AND the capped postings
+      val dfs = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val capped = td
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 20)
+        .groupBy(col("term"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+      dfs.join(capped, Seq("term"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(30)
+    },
+    Some("""
+      WITH td AS (
+        SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents)
+        WHERE length(term) > 0),
+      dfs AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+      capped AS (
+        SELECT term,
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        FROM (SELECT term, doc_id, row_number() OVER (
+                PARTITION BY term ORDER BY doc_id) AS rn FROM td)
+        WHERE rn <= 20 GROUP BY term)
+      SELECT term, df, postings FROM dfs JOIN capped USING (term)
+      ORDER BY df DESC, term LIMIT 30"""))
+
+  /** Jensen-Shannon vocabulary divergence per source pair — "which
+    * domains speak differently": JS(p,q) = 0.5·Σpₐln(pₐ/m) +
+    * 0.5·Σp_bln(p_b/m), m the mixture. Only SHARED terms join; the
+    * single-source mass contributes in closed form 0.5·ln2·(2−sa−sb)
+    * (for an a-only term m = pₐ/2, so its KL term is exactly
+    * pₐ·ln 2 — no outer join needed). Terms round 6 dp into decimal
+    * sums; 0.5·ln2 rides as the 6-dp constant 0.346574. One
+    * term-keyed join + a pair-keyed aggregate; output ≤ sources². */
+  private val jsDivergence = Q("q_vocab_divergence",
+    (s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFns.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+      val p = cnt.join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("term"),
+          (col("n").cast(DoubleType) / col("nt").cast(DoubleType)).as("p"))
+      val a = p.select(col("source").as("source_a"), col("term"),
+        col("p").as("pa"))
+      val b = p.select(col("source").as("source_b"), col("term"),
+        col("p").as("pb"))
+      a.join(b, Seq("term"))
+        .where(col("source_a") < col("source_b"))
+        .withColumn("term_js", round(
+          lit(0.5) * col("pa") * log(lit(2.0) * col("pa") /
+            (col("pa") + col("pb"))) +
+          lit(0.5) * col("pb") * log(lit(2.0) * col("pb") /
+            (col("pa") + col("pb"))), 6).cast(DecimalType(18, 6)))
+        .withColumn("spa", round(col("pa"), 9).cast(DecimalType(18, 9)))
+        .withColumn("spb", round(col("pb"), 9).cast(DecimalType(18, 9)))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("term_js")).as("shared_js"),
+          sum(col("spa")).as("sa"), sum(col("spb")).as("sb"))
+        .withColumn("js", round(
+          col("shared_js").cast(DoubleType) +
+            lit(0.346574) * (lit(2.0) - col("sa").cast(DoubleType) -
+              col("sb").cast(DoubleType)), 6))
+        .select(col("source_a"), col("source_b"), col("js"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, term, count(*) AS n FROM (
+          SELECT source,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          FROM documents)
+        WHERE length(term) > 0 GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM cnt
+              GROUP BY source),
+      p AS (
+        SELECT source, term, CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS p
+        FROM cnt JOIN tot USING (source)),
+      pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(round(0.5 * a.p * ln(2.0 * a.p / (a.p + b.p)) +
+                          0.5 * b.p * ln(2.0 * b.p / (a.p + b.p)), 6)
+                 AS DECIMAL(18,6)) AS term_js,
+               CAST(round(a.p, 9) AS DECIMAL(18,9)) AS spa,
+               CAST(round(b.p, 9) AS DECIMAL(18,9)) AS spb
+        FROM p a JOIN p b ON a.term = b.term AND a.source < b.source)
+      SELECT source_a, source_b,
+             round(CAST(sum(term_js) AS DOUBLE) +
+               0.346574 * (2.0 - CAST(sum(spa) AS DOUBLE)
+                 - CAST(sum(spb) AS DOUBLE)), 6) AS js
+      FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -5880,6 +6081,7 @@ $roundCtes"""
     langPurity, qualityDrift, uniformNegatives, stalenessReport,
     epochShuffle, funnelQ, cohortQ, behaviorTrigrams,
     abTest, infoGain, rendezvousQ, refIntegrity,
+    attributionQ, markovTransitions, invertedIndex, jsDivergence,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 
