@@ -6014,6 +6014,151 @@ $roundCtes"""
                  - CAST(sum(spb) AS DOUBLE)), 6) AS js
       FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b"""))
 
+  /** Deterministic HyperLogLog (Flajolet et al. 2007, p=8/m=256) —
+    * approx-distinct that HASH-MATCHES across engines: registers come
+    * from md5 (bucket = first byte, ρ = leading-zero bits of the next
+    * 48 + 1, a hex CASE table — no float log), and the harmonic-mean
+    * denominator Σ2^(−M_b) is a sum of single-bit doubles spanning
+    * < 53 bits, so it is EXACT regardless of aggregation order — the
+    * rare approximate sketch with a bit-reproducible estimate. α_256
+    * rides as the 6-dp constant. `approx_count_distinct` stays the
+    * production path; this is the engine-exact audit twin (paired
+    * with the exact count + relative error). */
+  private val hllDistinct = Q("q_hll_distinct",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val h = md5(col("l_orderkey").cast("string"))
+      val w = substring(h, 3, 12)
+      val zh = length(regexp_extract(w, "^0*", 0))
+      val dgt = w.substr(zh + 1, lit(1))
+      val lz = when(dgt.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+        .when(dgt.isin("4", "5", "6", "7"), 1)
+        .when(dgt.isin("2", "3"), 2)
+        .otherwise(3)
+      val rho = when(zh === 12, lit(49)).otherwise(zh * 4 + lz + 1)
+      val regs = li.select(
+          conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+          rho.as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("mreg"))
+      val sums = regs.agg(
+        sum(pow(lit(2.0), -col("mreg"))).as("s_nonempty"),
+        count(lit(1)).as("n_buckets"))
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      sums.crossJoin(exact)
+        .withColumn("estimate", round(
+          lit(0.718272) * lit(65536.0) /
+            (col("s_nonempty") + (lit(256) - col("n_buckets"))), 6))
+        .select(col("n_buckets"), col("estimate"), col("n_exact"),
+          round(abs(col("estimate") - col("n_exact")) /
+            col("n_exact"), 6).as("rel_error"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+      x AS (
+        SELECT CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+               length(regexp_extract(substr(h, 3, 12), '^0*', 0)) AS zh,
+               substr(substr(h, 3, 12),
+                 CAST(length(regexp_extract(substr(h, 3, 12), '^0*', 0)) + 1
+                   AS INT), 1) AS d
+        FROM r),
+      rho AS (
+        SELECT CAST(bucket AS INT) AS bucket,
+               CASE WHEN zh = 12 THEN 49
+                    ELSE zh * 4 + (CASE
+                      WHEN d IN ('8','9','a','b','c','d','e','f') THEN 0
+                      WHEN d IN ('4','5','6','7') THEN 1
+                      WHEN d IN ('2','3') THEN 2
+                      ELSE 3 END) + 1 END AS rho
+        FROM x),
+      regs AS (SELECT bucket, max(rho) AS mreg FROM rho GROUP BY bucket),
+      sums AS (
+        SELECT sum(power(2.0, -mreg)) AS s_nonempty,
+               count(*) AS n_buckets
+        FROM regs),
+      exact AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+      SELECT n_buckets,
+             round(0.718272 * 65536.0 /
+               (s_nonempty + (256 - n_buckets)), 6) AS estimate,
+             n_exact,
+             round(abs(round(0.718272 * 65536.0 /
+                 (s_nonempty + (256 - n_buckets)), 6) - n_exact)
+               / n_exact, 6) AS rel_error
+      FROM sums, exact"""))
+
+  /** Trending report: per day, the top-3 event types by count — the
+    * dashboard staple; the window runs over the tiny (day × type)
+    * count table, never raw events. */
+  private val trendingQ = Q("q_trending",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("day"))
+            .orderBy(col("n").desc, col("event_type"))).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("rank"), col("event_type"), col("n"))
+        .orderBy(col("day"), col("rank"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT day,
+             CAST(row_number() OVER (PARTITION BY day
+               ORDER BY n DESC, event_type) AS INT) AS rank,
+             event_type, n
+      FROM c QUALIFY rank <= 3 ORDER BY day, rank"""))
+
+  /** Triangle counting (node-iterator join) over the deterministic
+    * md5-successor edge set — the clustering-coefficient numerator
+    * next to PageRank/CC in the graph toolbox. Edges are oriented
+    * a < b by construction, so two equi-joins enumerate each triangle
+    * exactly once; at scale the first join keys the low-degree
+    * endpoint (the standard skew discipline). */
+  private val trianglesQ = Q("q_triangles",
+    (s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val src = ids.filter(col("doc_id") < 300)
+      // chain + skip edges guarantee triangles (i, i+1, i+2); the
+      // md5-offset edge adds irregular longer-range closure
+      val e = src.select(col("doc_id").as("a"),
+          (col("doc_id") + 1).as("b"))
+        .unionByName(src.select(col("doc_id").as("a"),
+          (col("doc_id") + 2).as("b")))
+        .unionByName(src.select(col("doc_id").as("a"),
+          (col("doc_id") + 1 +
+            ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 5)
+            .as("b")))
+        .distinct()
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(false) // three self-join consumers
+      val t = e.select(col("a"), col("b"))
+        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      t.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT doc_id AS a, doc_id + 1 AS b
+        FROM documents WHERE doc_id < 300
+        UNION
+        SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id < 300
+        UNION
+        SELECT doc_id,
+               doc_id + 1 + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5)
+        FROM documents WHERE doc_id < 300),
+      e AS (SELECT a, b FROM e0 WHERE b IN (SELECT doc_id FROM documents))
+      SELECT (SELECT count(*) FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+             (SELECT count(*) FROM e) AS n_edges"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -6082,6 +6227,7 @@ $roundCtes"""
     epochShuffle, funnelQ, cohortQ, behaviorTrigrams,
     abTest, infoGain, rendezvousQ, refIntegrity,
     attributionQ, markovTransitions, invertedIndex, jsDivergence,
+    hllDistinct, trendingQ, trianglesQ,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 
