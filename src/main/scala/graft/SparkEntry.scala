@@ -6159,6 +6159,141 @@ $roundCtes"""
               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
              (SELECT count(*) FROM e) AS n_edges"""))
 
+  /** Deterministic Count-Min sketch audit (Cormode & Muthukrishnan,
+    * d=4 × w=256, md5-derived row hashes): build the sketch over the
+    * key stream, then point-query the top-10 exact keys and report
+    * the one-sided overcount — the frequency-sketch twin of
+    * q_hll_distinct (exact heavy hitters stay the small-SF path; the
+    * sketch is the fixed-memory scale path, and here it is
+    * hash-auditable cross-engine). Build = ×d map-side explode into a
+    * (d × w)-bounded count table; probes join d cells per key. */
+  private val cmsAudit = Q("q_cms_audit",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      def cell(r: Column) = conv(substring(md5(concat(
+        r.cast("string"), lit(":"), col("l_partkey").cast("string"))),
+        1, 12), 16, 10).cast("long") % 256
+      val rows = (0 until 4).map(i => li.select(lit(i).as("r"),
+        cell(lit(i)).as("c"))).reduce(_ unionByName _)
+      val cms = rows.groupBy(col("r"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey")).limit(10)
+      exact
+        .withColumn("r", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("c", cell(col("r")))
+        .join(cms, Seq("r", "c"))
+        .groupBy(col("l_partkey"), col("n_exact"))
+        .agg(min(col("cnt")).as("n_est"))
+        .withColumn("overcount", col("n_est") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey"))
+    },
+    Some("""
+      WITH inst AS (SELECT l_partkey FROM lineitem),
+      cells AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                 CAST(l_partkey AS VARCHAR)), 1, 12) AS BIGINT) % 256 AS c
+        FROM inst, generate_series(0, 3) AS g(r)),
+      cms AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2),
+      exact AS (
+        SELECT l_partkey, count(*) AS n_exact FROM inst
+        GROUP BY 1 ORDER BY n_exact DESC, l_partkey LIMIT 10),
+      probes AS (
+        SELECT e.l_partkey, e.n_exact, g.r,
+               CAST('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' ||
+                 CAST(e.l_partkey AS VARCHAR)), 1, 12) AS BIGINT) % 256 AS c
+        FROM exact e, generate_series(0, 3) AS g(r))
+      SELECT p.l_partkey, p.n_exact, min(cms.cnt) AS n_est,
+             min(cms.cnt) - p.n_exact AS overcount
+      FROM probes p JOIN cms ON p.r = cms.r AND p.c = cms.c
+      GROUP BY p.l_partkey, p.n_exact
+      ORDER BY p.n_exact DESC, p.l_partkey"""))
+
+  /** Ranking-quality evaluation of the sketch ANN: per query, MRR and
+    * binary nDCG@5 of [[Similarity.projectedTopK]] against the exact
+    * cosine top-5 — retrieval eval metrics as first-class oracled
+    * operators (the recall audit production runs after every index
+    * change). log2 discounts round at 6 dp into decimal sums; the
+    * binary-relevance IDCG@5 is the 6-dp constant 2.948460. */
+  private val rankingEval = Q("q_ranking_eval",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val ideal = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val got = Similarity.projectedTopK(emb, q, "vec_id", "embedding",
+          inDim = 64, outDim = 8, k = 5, seed = "rp", scale = 1e3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val hits = got.join(ideal, Seq("query_id", "neighbor_id"))
+      val perQ = hits.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          round(lit(1.0) / min(col("rank")), 6).as("mrr"),
+          sum(round(lit(1.0) / log2(col("rank") + 1), 6)
+            .cast(DecimalType(18, 6))).as("__dcg"))
+        .withColumn("ndcg",
+          round(col("__dcg").cast(DoubleType) / lit(2.948460), 6))
+        .drop("__dcg")
+      q.select(col("vec_id").as("query_id"))
+        .join(perQ, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_hits")).na.fill(0.0, Seq("mrr", "ndcg"))
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      ideal AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                   c.vec_id) AS rnk
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10) WHERE rnk <= 5),
+      grid AS (
+        SELECT j, i,
+               CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+                      || CAST(i AS VARCHAR)), 1, 1)
+                    BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 7) t1(j), generate_series(0, 63) t2(i)),
+      fix AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000.0)
+                 AS BIGINT) AS x
+        FROM embeddings, generate_series(0, 63) t(i)),
+      proj AS (
+        SELECT vec_id, j, CAST(sum(s * x) AS BIGINT) AS p
+        FROM fix JOIN grid USING (i) GROUP BY vec_id, j),
+      pv AS (SELECT vec_id, list(p ORDER BY j) AS v FROM proj
+             GROUP BY vec_id),
+      got AS (
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, 9),
+                     jj -> qq.v[jj] * c.v[jj])) AS DOUBLE) DESC,
+                   c.vec_id) AS rank
+          FROM pv qq JOIN pv c ON c.vec_id <> qq.vec_id
+          WHERE qq.vec_id < 10) WHERE rank <= 5),
+      hits AS (
+        SELECT g.query_id, g.rank FROM got g
+        JOIN ideal i ON g.query_id = i.query_id
+                    AND g.neighbor_id = i.neighbor_id),
+      perq AS (
+        SELECT query_id, count(*) AS n_hits,
+               round(1.0 / min(rank), 6) AS mrr,
+               round(CAST(sum(CAST(round(1.0 / log2(rank + 1), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) / 2.948460, 6) AS ndcg
+        FROM hits GROUP BY query_id)
+      SELECT q.vec_id AS query_id,
+             coalesce(p.n_hits, 0) AS n_hits,
+             coalesce(p.mrr, 0.0) AS mrr,
+             coalesce(p.ndcg, 0.0) AS ndcg
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+      LEFT JOIN perq p ON q.vec_id = p.query_id
+      ORDER BY query_id"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -6227,7 +6362,7 @@ $roundCtes"""
     epochShuffle, funnelQ, cohortQ, behaviorTrigrams,
     abTest, infoGain, rendezvousQ, refIntegrity,
     attributionQ, markovTransitions, invertedIndex, jsDivergence,
-    hllDistinct, trendingQ, trianglesQ,
+    hllDistinct, trendingQ, trianglesQ, cmsAudit, rankingEval,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 
