@@ -6294,6 +6294,141 @@ $roundCtes"""
       LEFT JOIN perq p ON q.vec_id = p.query_id
       ORDER BY query_id"""))
 
+  /** Market-basket co-occurrence with lift: event-type PAIRS that
+    * appear for the same user, support + lift = P(ab)/(P(a)P(b)) —
+    * association mining where the self-join runs over the DISTINCT
+    * (user, type) frame (≤ types per user), never raw events; output
+    * ≤ types². Lift arithmetic is one fixed double chain. */
+  private val itemsetPairs = Q("q_itemset_pairs",
+    (s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(false) // feeds singles AND both pair sides
+      val nUsers = ut.select(col("user_id")).distinct().count()
+      val singles = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = ut.as("a")
+        .join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(singles.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          round(col("n_ab").cast(DoubleType) / nUsers, 6).as("support"),
+          round(col("n_ab").cast(DoubleType) * nUsers /
+            (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)), 6)
+            .as("lift"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+      singles AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_ab
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n_ab,
+             round(CAST(n_ab AS DOUBLE) / n_users, 6) AS support,
+             round(CAST(n_ab AS DOUBLE) * n_users /
+               (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6) AS lift
+      FROM pairs
+      JOIN singles sa ON sa.event_type = type_a
+      JOIN singles sb ON sb.event_type = type_b
+      CROSS JOIN nu
+      ORDER BY type_a, type_b"""))
+
+  /** Latency-band report: per day, exact p50/p95/p99 of the metric —
+    * the SLO dashboard staple, one percentile aggregate per day
+    * partition. */
+  private val latencyBands = Q("q_latency_bands",
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("day")),
+    Some("""
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.95), 6) AS p95,
+             round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** Seasonality profile: the (day-of-week × hour) load matrix with
+    * exact-decimal mean value — the capacity-planning heatmap. One
+    * keyed aggregate over 168 cells. */
+  private val seasonality = Q("q_seasonality",
+    (s, d) => Tables.events(s, d)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        Tables.dmean(col("value")).as("mean_value"))
+      .orderBy(col("dow"), col("hr")),
+    Some("""
+      SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hr, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(value), 6) AS mean_value
+      FROM events GROUP BY 1, 2 ORDER BY dow, hr"""))
+
+  /** Partition publish manifest: per date partition, row count + an
+    * ORDER-FREE content checksum (sum of 32-bit md5 slices — exact
+    * BIGINT addition commutes, so the checksum is independent of scan
+    * order/parallelism) — the data-contract manifest an ingest signs
+    * before downstream reads. */
+  private val partitionManifest = Q("q_partition_manifest",
+    (s, d) => Tables.events(s, d)
+      .withColumn("__h", conv(substring(md5(concat_ws("|",
+        col("event_id").cast("string"), col("event_type"),
+        col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("checksum"))
+      .orderBy(col("day")),
+    Some("""
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             count(*) AS n_rows,
+             CAST(sum(CAST('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+               CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+               AS checksum
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** JSON-quarantine audit: per event type, props payloads that fail
+    * to parse against the declared schema (from_json null on non-null
+    * input) — the malformed-row dead-letter count a PERMISSIVE ingest
+    * reports. Map-side parse + tiny keyed aggregate. */
+  private val jsonQuarantine = Q("q_json_quarantine",
+    (s, d) => Tables.events(s, d)
+      .withColumn("__p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("device",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("country",
+            org.apache.spark.sql.types.StringType)))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("props").isNotNull && col("__p").isNull, 1L)
+          .otherwise(0L)).as("n_malformed"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN props IS NOT NULL
+                    AND try_cast(props AS JSON) IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+             CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null
+      FROM events GROUP BY 1 ORDER BY event_type"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -6363,6 +6498,8 @@ $roundCtes"""
     abTest, infoGain, rendezvousQ, refIntegrity,
     attributionQ, markovTransitions, invertedIndex, jsDivergence,
     hllDistinct, trendingQ, trianglesQ, cmsAudit, rankingEval,
+    itemsetPairs, latencyBands, seasonality, partitionManifest,
+    jsonQuarantine,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 
