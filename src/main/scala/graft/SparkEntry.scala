@@ -4766,12 +4766,17 @@ $roundCtes"""
     * strength. The oracle replays all three rounds as chained CTEs. */
   private val bradleyTerryQ = Q("q_bradley_terry",
     (s, d) => {
-      val picks = Tables.events(s, d).groupBy(col("user_id")).agg(
-        max(struct(col("value"), col("event_id"), col("event_type")))
-          .as("hi"),
-        min(struct(col("value"), col("event_id"), col("event_type")))
-          .as("lo"),
-        count(lit(1)).as("n"))
+      // null metric rows are excluded BEFORE the struct min/max: Spark
+      // sorts a null struct field first where the oracle's ORDER BY
+      // defaults NULLS LAST (review r9f finding)
+      val picks = Tables.events(s, d)
+        .where(col("value").isNotNull && col("event_id").isNotNull)
+        .groupBy(col("user_id")).agg(
+          max(struct(col("value"), col("event_id"), col("event_type")))
+            .as("hi"),
+          min(struct(col("value"), col("event_id"), col("event_type")))
+            .as("lo"),
+          count(lit(1)).as("n"))
       val matches = picks.where(col("n") > 1)
         .select(col("hi.event_type").as("winner"),
           col("lo.event_type").as("loser"))
@@ -4786,7 +4791,8 @@ $roundCtes"""
                row_number() OVER (PARTITION BY user_id
                  ORDER BY value ASC, event_id ASC) AS rlo,
                count(*) OVER (PARTITION BY user_id) AS n
-        FROM events),
+        FROM events
+        WHERE value IS NOT NULL AND event_id IS NOT NULL),
       m AS (
         SELECT hi.event_type AS w, lo.event_type AS l
         FROM (SELECT * FROM rr WHERE rhi = 1) hi
@@ -5017,6 +5023,9 @@ $roundCtes"""
   private val ivfAppend = Q("q_ivf_append",
     (s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + full rebuild each run (the build's
+      // overwrite clears prior appends); single-writer by harness
+      // contract — one Verify/Bench at a time — like q_ivf_index
       val indexDir = s"/tmp/graft_ivf_append/$tag"
       val emb = Tables.embeddings(s, d)
       Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 50),
@@ -6387,9 +6396,15 @@ $roundCtes"""
     * before downstream reads. */
   private val partitionManifest = Q("q_partition_manifest",
     (s, d) => Tables.events(s, d)
-      .withColumn("__h", conv(substring(md5(concat_ws("|",
-        col("event_id").cast("string"), col("event_type"),
-        col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      // concat, not concat_ws: the ws form silently DROPS null fields
+      // (making distinct rows collide and diverging from the oracle's
+      // null-propagating `||` — review r9f finding); with concat a
+      // null field nulls the hash and the row drops from the checksum
+      // on both engines identically
+      .withColumn("__h", conv(substring(md5(concat(
+        col("event_id").cast("string"), lit("|"), col("event_type"),
+        lit("|"), col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"))
       .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("checksum"))
       .orderBy(col("day")),
@@ -6402,18 +6417,21 @@ $roundCtes"""
                AS checksum
       FROM events GROUP BY 1 ORDER BY day"""))
 
-  /** JSON-quarantine audit: per event type, props payloads that fail
-    * to parse against the declared schema (from_json null on non-null
-    * input) — the malformed-row dead-letter count a PERMISSIVE ingest
-    * reports. Map-side parse + tiny keyed aggregate. */
+  /** JSON-quarantine audit: per event type, props payloads that are
+    * not valid JSON OBJECTS — the malformed-row dead-letter count an
+    * ingest reports before publishing. Spark 4's PERMISSIVE
+    * `from_json` with a STRUCT schema never returns a null struct
+    * (malformed input yields a struct of nulls — review r9f finding),
+    * so the detector parses with a MAP schema, which DOES null out
+    * anything that isn't an object; the oracle's predicate is the
+    * matching `json_valid AND json_type = 'OBJECT'`. Map-side parse +
+    * tiny keyed aggregate. */
   private val jsonQuarantine = Q("q_json_quarantine",
     (s, d) => Tables.events(s, d)
       .withColumn("__p", from_json(col("props"),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("device",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("country",
-            org.apache.spark.sql.types.StringType)))))
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("props").isNotNull && col("__p").isNull, 1L)
@@ -6422,8 +6440,9 @@ $roundCtes"""
       .orderBy(col("event_type")),
     Some("""
       SELECT event_type, count(*) AS n,
-             CAST(sum(CASE WHEN props IS NOT NULL
-                    AND try_cast(props AS JSON) IS NULL
+             CAST(sum(CASE WHEN props IS NOT NULL AND NOT coalesce(
+                    json_valid(props) AND
+                    json_type(try_cast(props AS JSON)) = 'OBJECT', false)
                THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
              CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS n_null

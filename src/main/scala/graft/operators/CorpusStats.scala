@@ -153,6 +153,7 @@ object CorpusStats {
     val grams = docs.select(col(idCol).as("id"),
         explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .select(col("id"), md5(col("gram")).as("g"))
+      .localCheckpoint(false) // feeds the spread agg AND the join side
     val spread = grams.groupBy(col("g")).agg(count(lit(1)).as("nd"))
     grams.join(spread, Seq("g"))
       .groupBy(col("id"))

@@ -205,6 +205,9 @@ object Labels {
           .orderBy(col("sim").desc, col("dst"))))
       .filter(col("rn") <= k)
       .select("src", "dst")
+      // the edge build (bucket self-join + top-k window) is the op's
+      // dominant cost and every vote round consumes it — pin it once
+      .localCheckpoint(false)
     var lab = base.select(col("id"), col("seed").as("label"))
     for (_ <- 1 to rounds) {
       val votes = edges

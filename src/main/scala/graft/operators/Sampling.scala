@@ -153,20 +153,6 @@ object Sampling {
       substring(md5(concat(lit(seed), key.cast("string"))), 1, 12) < cut)
   }
 
-  /** Near-dup-aware train/eval split: [[splitByHash]] keyed on the
-    * NEAR-DUP CLUSTER instead of the document, so a document and its
-    * near-copies can never straddle the split boundary (the leak
-    * doc-keyed splitting silently permits — an eval doc whose
-    * near-twin sits in train is contamination, not generalization).
-    * `pairs` is any near-dup pair frame (MinHash, SimHash, winnowing,
-    * semantic); clusters come from the large/small-star connected
-    * components, unpaired docs key on their own id via coalesce.
-    * Membership stays a pure function of the data: same pairs, same
-    * split, any engine, any partitioning.
-    *
-    * One CC run over the PAIR set (pair-sized, not corpus-sized) + one
-    * left join of the corpus against the cluster map + the map-side
-    * hash predicate. Emits the input rows plus (split_key, split). */
   /** Rendezvous (highest-random-weight) shard assignment: a key lands
     * on the shard whose md5(shard:key) is LARGEST — the consistent-
     * placement scheme whose removal property `foldId` lacks: deleting
@@ -187,6 +173,20 @@ object Sampling {
     }
   }
 
+  /** Near-dup-aware train/eval split: [[splitByHash]] keyed on the
+    * NEAR-DUP CLUSTER instead of the document, so a document and its
+    * near-copies can never straddle the split boundary (the leak
+    * doc-keyed splitting silently permits — an eval doc whose
+    * near-twin sits in train is contamination, not generalization).
+    * `pairs` is any near-dup pair frame (MinHash, SimHash, winnowing,
+    * semantic); clusters come from the large/small-star connected
+    * components, unpaired docs key on their own id via coalesce.
+    * Membership stays a pure function of the data: same pairs, same
+    * split, any engine, any partitioning.
+    *
+    * One CC run over the PAIR set (pair-sized, not corpus-sized) + one
+    * left join of the corpus against the cluster map + the map-side
+    * hash predicate. Emits the input rows plus (split_key, split). */
   def splitDedupAware(
       df: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,

@@ -880,6 +880,12 @@ object Similarity {
       k: Int,
       seed: String,
       scale: Double = 1e3): DataFrame = {
+    // enforced, not advisory (the bruteForceTopK broadcast contract):
+    // the projected queries ride a broadcast
+    val nq = queries.limit(MaxBroadcastQueries + 1).count()
+    require(nq <= MaxBroadcastQueries,
+      s"projectedTopK: query side exceeds $MaxBroadcastQueries rows — " +
+        "a broadcast this size is an executor-memory killer")
     val pc = corpus.select(col(idCol).as("neighbor_id"),
       VectorFns.randomProject(col(vecCol), inDim, outDim, seed, scale)
         .as("pv"))

@@ -842,6 +842,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(with4.values.toSet == Set(0, 1, 2, 3))
   }
 
+  test("json quarantine detector fires on non-object payloads") {
+    // Spark 4's PERMISSIVE from_json(STRUCT) never nulls — the MAP
+    // schema is what makes the dead-letter counter live (review r9f)
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val rows = Seq("""{"k": 1}""", "not json", "[1,2]", "123", null)
+      .toDF("props")
+    val got = rows
+      .withColumn("__p", from_json(col("props"),
+        MapType(StringType, StringType)))
+      .agg(
+        sum(when(col("props").isNotNull && col("__p").isNull, 1L)
+          .otherwise(0L)).as("malformed"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("nulls"))
+      .as[(Long, Long)].head()
+    assert(got == ((3L, 1L)), s"got $got")
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
