@@ -6448,6 +6448,142 @@ $roundCtes"""
                AS BIGINT) AS n_null
       FROM events GROUP BY 1 ORDER BY event_type"""))
 
+  /** Perceptual image dHash ([[graft.multimodal.Multimodal.imageDHash]]):
+    * REAL per-partition BMP decode → 9×8 integer-floor downsample →
+    * 64 gradient bits — the image-near-dup sketch. The synthetic
+    * pixel formula replays the whole sampled grid and bit pack in
+    * SQL, so the REAL decode path is hash-verified end to end. */
+  private val mediaDHash = Q("q_media_dhash",
+    (s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticImages(
+        Tables.documents(s, d))
+      // the 64-bit hash splits into 32-bit halves for the compare —
+      // a signed-BIGINT oracle cannot form 1 << 63
+      graft.multimodal.Multimodal.imageDHash(s, media).toDF()
+        .select(col("media_id"),
+          expr("dhash & 4294967295").as("dhash_lo"),
+          expr("shiftrightunsigned(dhash, 32)").as("dhash_hi"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH bits AS (
+        SELECT doc_id, i,
+               CASE WHEN
+                 ((doc_id * 31 + ((i // 8) * (3 + doc_id % 7) // 8)
+                    * (4 + doc_id % 13)
+                    + ((i % 8) * (4 + doc_id % 13) // 9)) % 256)
+                 >
+                 ((doc_id * 31 + ((i // 8) * (3 + doc_id % 7) // 8)
+                    * (4 + doc_id % 13)
+                    + (((i % 8) + 1) * (4 + doc_id % 13) // 9)) % 256)
+               THEN 1 ELSE 0 END AS b
+        FROM documents, generate_series(0, 63) AS g(i))
+      SELECT doc_id AS media_id,
+             CAST(sum(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i)
+               ELSE 0 END) AS BIGINT) AS dhash_lo,
+             CAST(sum(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32))
+               ELSE 0 END) AS BIGINT) AS dhash_hi
+      FROM bits GROUP BY doc_id ORDER BY media_id"""))
+
+  /** Conversion-window funnel ([[graft.operators.Funnel.funnelCounts]]
+    * windowed overload): the q_funnel steps under a 7-day window from
+    * the signup anchor — conversions outside the window are drop-off.
+    * Same per-step join plan plus one map-side window predicate. */
+  private val funnelWindowed = Q("q_funnel_windowed",
+    (s, d) => graft.operators.Funnel.funnelCounts(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        maxSpanSeconds = Some(7L * 86400L))
+      .orderBy(col("step")),
+    Some("""
+      WITH t1 AS (
+        SELECT user_id, min(ts) AS t, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, min(e.ts) AS t, min(t1.t1) AS t1 FROM events e
+        JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'view' AND e.ts > t1.t
+          AND CAST(floor(epoch(e.ts)) AS BIGINT)
+              <= CAST(floor(epoch(t1.t1)) AS BIGINT) + 604800
+        GROUP BY 1),
+      t3 AS (
+        SELECT e.user_id, min(e.ts) AS t, min(t2.t1) AS t1 FROM events e
+        JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'click' AND e.ts > t2.t
+          AND CAST(floor(epoch(e.ts)) AS BIGINT)
+              <= CAST(floor(epoch(t2.t1)) AS BIGINT) + 604800
+        GROUP BY 1),
+      t4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN t3 ON e.user_id = t3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t3.t
+          AND CAST(floor(epoch(e.ts)) AS BIGINT)
+              <= CAST(floor(epoch(t3.t1)) AS BIGINT) + 604800
+        GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS step_type, count(*) AS n_entities
+        FROM t1
+        UNION ALL SELECT 2, 'view', count(*) FROM t2
+        UNION ALL SELECT 3, 'click', count(*) FROM t3
+        UNION ALL SELECT 4, 'purchase', count(*) FROM t4)
+      ORDER BY step"""))
+
+  /** Per-segment OLS trend: slope/intercept of the daily metric over
+    * a day index, from EXACT decimal/integer moment sums (x integer
+    * days, y 6-dp decimals — Σx, Σx², Σy, Σxy all order-free) with
+    * the closed-form arithmetic one fixed double chain — the
+    * trend-detection dial of a metrics pipeline. */
+  private val trendSlope = Q("q_trend_slope",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("x", datediff(to_date(col("ts")),
+          to_date(lit("2024-01-01"))).cast("long"))
+        .withColumn("y", round(col("value"), 6).cast(DecimalType(18, 6)))
+        .withColumn("xy", (col("x") * round(col("value"), 6))
+          .cast(DecimalType(24, 6)))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"), sum(col("xy")).as("sxy"))
+        .withColumn("slope", round(
+          (col("n") * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          (col("n") * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 6))
+        .withColumn("intercept", round(
+          (col("sy").cast(DoubleType) -
+            col("slope") * col("sx").cast(DoubleType)) / col("n"), 6))
+        .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS BIGINT) AS x,
+               CAST(round(value, 6) AS DECIMAL(18,6)) AS y,
+               CAST(CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS BIGINT) * round(value, 6) AS DECIMAL(24,6)) AS xy
+        FROM events),
+      m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               sum(y) AS sy, sum(xy) AS sxy
+        FROM e GROUP BY 1)
+      SELECT event_type, n,
+             round((n * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (n * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+             round((CAST(sy AS DOUBLE) -
+                 round((n * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+      FROM m ORDER BY event_type"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -6518,7 +6654,7 @@ $roundCtes"""
     attributionQ, markovTransitions, invertedIndex, jsDivergence,
     hllDistinct, trendingQ, trianglesQ, cmsAudit, rankingEval,
     itemsetPairs, latencyBands, seasonality, partitionManifest,
-    jsonQuarantine,
+    jsonQuarantine, mediaDHash, funnelWindowed, trendSlope,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

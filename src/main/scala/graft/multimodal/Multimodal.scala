@@ -88,6 +88,59 @@ object Multimodal {
   final case class ImageFeature(
       media_id: Long, width: Int, height: Int, n_px: Int, sum_gray: Long)
 
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** Perceptual difference-hash (dHash): REAL decode, nearest-neighbor
+    * sample to a 9×8 gray grid (integer floor index arithmetic — the
+    * [[resizeImages]] convention, no interpolation-library variance),
+    * then 64 bits of left-vs-right gradient comparisons — the
+    * image-near-dup key (re-encoded/resized copies keep a small
+    * Hamming distance where byte-level fingerprints see different
+    * files). Pairs come from composing with the usual bucketed joins
+    * (exact dhash equality, or [[graft.functions.VectorFns.signBucket]]-style
+    * multi-probe over hash prefixes); this op is the map-side sketch.
+    * Same per-partition reader lifecycle as [[decodeImages]]. */
+  def imageDHash(spark: SparkSession, media: DataFrame,
+      format: String = "bmp"): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName(format).next()
+        rows.map { case (id, payload) =>
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload)), true, true)
+          val img = reader.read(0)
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val g = Array.ofDim[Int](8, 9)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val sx = x * img.getWidth / 9
+              val sy = y * img.getHeight / 8
+              g(y)(x) = img.getRGB(sx, sy) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          var bits = 0L
+          var i = 0
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (g(y)(x) > g(y)(x + 1)) bits |= (1L << i)
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(id, bits)
+        }
+      }
+  }
+
   /** Minimal 24-bit bottom-up BMP encoder (BITMAPINFOHEADER, rows
     * padded to 4 bytes). `pixel(x, y)` returns a gray level 0-255
     * stored as B=G=R. Used to mint real, decodable image payloads from

@@ -27,18 +27,39 @@ object Funnel {
       keyCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String]): DataFrame =
+    funnelCounts(events, keyCol, tsCol, typeCol, steps, None)
+
+  /** As [[funnelCounts]], with an optional CONVERSION WINDOW: when
+    * `maxSpanSeconds` is set, step k only counts if it lands within
+    * the window of the step-1 completion — the "purchased within 7
+    * days of signup" semantics; entities converting outside the
+    * window are drop-off, not conversion. The funnel anchor time t1
+    * rides each stage frame, so the window check stays one map-side
+    * predicate per step. */
+  def funnelCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxSpanSeconds: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnelCounts: need at least one step")
     var stage = events.filter(col(typeCol) === steps.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t"))
+      .withColumn("t1", col("t"))
     var out = stage.agg(count(lit(1)).as("n_entities"))
       .select(lit(1).as("step"), lit(steps.head).as("step_type"),
         col("n_entities"))
     for ((st, i) <- steps.tail.zipWithIndex) {
+      val within = maxSpanSeconds.fold(lit(true))(w =>
+        col(tsCol).cast("long") <= col("__t1").cast("long") + lit(w))
       stage = events.filter(col(typeCol) === st)
-        .join(stage.select(col(keyCol), col("t").as("__tp")), Seq(keyCol))
-        .where(col(tsCol) > col("__tp"))
-        .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t"))
+        .join(stage.select(col(keyCol), col("t").as("__tp"),
+          col("t1").as("__t1")), Seq(keyCol))
+        .where(col(tsCol) > col("__tp") && within)
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t"),
+          min(col("__t1")).as("t1"))
       out = out.unionByName(stage.agg(count(lit(1)).as("n_entities"))
         .select(lit(i + 2).as("step"), lit(st).as("step_type"),
           col("n_entities")))

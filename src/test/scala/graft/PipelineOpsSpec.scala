@@ -859,6 +859,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == ((3L, 1L)), s"got $got")
   }
 
+  test("image dHash: near-copies stay close, different content far") {
+    import graft.multimodal.Multimodal
+    def img(id: Long, f: (Int, Int) => Int) =
+      (id, Multimodal.encodeBmpGray(36, 24, f))
+    val base = (x: Int, y: Int) => (x * 7 + y * 3) % 256
+    val media = Seq(
+      img(1L, base),
+      img(2L, (x, y) => (base(x, y) + 2) % 256),      // mild brightness
+      img(3L, (x, y) => (255 - x * 11 + y * 5) % 256 match {
+        case v if v < 0 => v + 256
+        case v => v
+      }))                                             // reversed gradient
+      .toDF("media_id", "payload")
+    val hs = Multimodal.imageDHash(spark, media).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 8,
+      s"near-copy distance ${ham(hs(1L), hs(2L))}")
+    assert(ham(hs(1L), hs(3L)) >= 16,
+      s"different-content distance ${ham(hs(1L), hs(3L))}")
+  }
+
+  test("windowed funnel: conversions outside the window are drop-off") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      (1L, "a", 0L), (1L, "b", 100L),        // inside window
+      (2L, "a", 0L), (2L, "b", 5000L))       // outside 1000s window
+      .toDF("u", "t", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val got = Funnel.funnelCounts(ev, "u", "ts", "t", Seq("a", "b"),
+        maxSpanSeconds = Some(1000L))
+      .orderBy("step").select("step", "n_entities")
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 2L), (2, 1L)), s"got $got")
+  }
+
   test("padding efficiency: padded tokens equal n*max - sum per bucket") {
     import graft.operators.Packing
     val docs = Seq(3L, 5L, 8L, 17L, 19L).toDF("len")
