@@ -6584,6 +6584,142 @@ $roundCtes"""
                  * CAST(sx AS DOUBLE)) / n, 6) AS intercept
       FROM m ORDER BY event_type"""))
 
+  /** General exact weighted quantile at rational p
+    * ([[graft.operators.WeightedStats.weightedQuantile]], p = 9/10):
+    * same two-phase bucket plan as q_weighted_median; the crossing
+    * test cum·pDen ≥ tot·pNum stays in exact decimal×integer
+    * arithmetic — no float probability in the decision. */
+  private val weightedP90 = Q("q_weighted_p90",
+    (s, d) => graft.operators.WeightedStats.weightedQuantile(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        "l_quantity", bucketWidth = 1000.0,
+        tieBreak = Seq("l_orderkey", "l_linenumber"), pNum = 9, pDen = 10)
+      .orderBy(col("l_returnflag")),
+    Some("""
+      WITH base AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+               CAST(l_quantity AS DECIMAL(18,2)) AS w,
+               l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket
+        FROM lineitem),
+      hist AS (SELECT g, bucket, sum(w) AS bw FROM base GROUP BY 1, 2),
+      tot AS (SELECT g, sum(bw) AS tot FROM hist GROUP BY g),
+      run AS (
+        SELECT g, bucket, bw, tot,
+               sum(bw) OVER (PARTITION BY g ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist JOIN tot USING (g)),
+      med AS (
+        SELECT g, min(bucket) AS bucket FROM run
+        WHERE cum * 10 >= tot * 9 GROUP BY g),
+      medx AS (
+        SELECT run.g, run.bucket, run.cum - run.bw AS below, run.tot
+        FROM run JOIN med ON run.g = med.g AND run.bucket = med.bucket),
+      inb AS (
+        SELECT b.g, b.v, b.w, mx.below, mx.tot,
+               sum(b.w) OVER (PARTITION BY b.g
+                 ORDER BY b.v, b.l_orderkey, b.l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM base b JOIN medx mx ON b.g = mx.g AND b.bucket = mx.bucket)
+      SELECT g AS l_returnflag, round(min(v), 6) AS wquantile,
+             CAST(max(tot) AS DOUBLE) AS total_w
+      FROM inb WHERE (below + cum2) * 10 >= tot * 9
+      GROUP BY g ORDER BY l_returnflag"""))
+
+  /** Max-concurrency sweep: per day, the peak number of simultaneous
+    * sessions — the classic interval question answered WITHOUT an
+    * interval self-join: each session contributes a (+1 start, −1 end)
+    * boundary, and a running sum over the per-day boundary stream
+    * (2 rows/session, ordered (ts, delta, user, session) so ends at
+    * the same instant close before starts open) peaks at the answer. */
+  private val concurrencyQ = Q("q_concurrency",
+    (s, d) => {
+      val se = Sessionize.assign(Tables.events(s, d), "user_id", "ts",
+          1800L, tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+      val bounds = se.select(col("user_id"), col("session_id"),
+          col("t_start").as("ts"), lit(1).as("delta"))
+        .unionByName(se.select(col("user_id"), col("session_id"),
+          col("t_end").as("ts"), lit(-1).as("delta")))
+      bounds
+        .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+        .withColumn("cur", sum(col("delta")).over(
+          Window.partitionBy(col("day"))
+            .orderBy(col("ts"), col("delta"), col("user_id"),
+              col("session_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("day"))
+        .agg(max(col("cur")).as("peak_concurrent"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH gg AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      ss AS (
+        SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+          AS session_id
+        FROM gg),
+      se AS (
+        SELECT user_id, session_id, min(ts) AS t_start, max(ts) AS t_end
+        FROM ss GROUP BY 1, 2),
+      bounds AS (
+        SELECT user_id, session_id, t_start AS ts, 1 AS delta FROM se
+        UNION ALL
+        SELECT user_id, session_id, t_end, -1 FROM se),
+      r AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               sum(delta) OVER (
+                 PARTITION BY strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                 ORDER BY ts, delta, user_id, session_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+        FROM bounds)
+      SELECT day, CAST(max(cur) AS BIGINT) AS peak_concurrent
+      FROM r GROUP BY day ORDER BY day"""))
+
+  /** Time-to-convert distribution: for every user completing the
+    * signup→purchase funnel, seconds from first signup to the funnel
+    * purchase; per-cohortless p50/p90 — the "how long does conversion
+    * take" readout priced off the q_funnel stage frames. */
+  private val timeToConvert = Q("q_time_to_convert",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "purchase")
+        .join(t1, Seq("user_id"))
+        .where(col("ts") > col("t1"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1m"))
+        .withColumn("secs",
+          col("t2").cast("long") - col("t1m").cast("long"))
+      t2.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(secs, 0.5)"), 6).as("p50_secs"),
+        round(expr("percentile(secs, 0.9)"), 6).as("p90_secs"))
+    },
+    Some("""
+      WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(t1.t1) AS t1m
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t1.t1 GROUP BY 1),
+      s AS (
+        SELECT CAST(floor(epoch(t2)) AS BIGINT)
+                 - CAST(floor(epoch(t1m)) AS BIGINT) AS secs
+        FROM t2)
+      SELECT count(*) AS n_converted,
+             round(quantile_cont(secs, 0.5), 6) AS p50_secs,
+             round(quantile_cont(secs, 0.9), 6) AS p90_secs
+      FROM s"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -6655,6 +6791,7 @@ $roundCtes"""
     hllDistinct, trendingQ, trianglesQ, cmsAudit, rankingEval,
     itemsetPairs, latencyBands, seasonality, partitionManifest,
     jsonQuarantine, mediaDHash, funnelWindowed, trendSlope,
+    weightedP90, concurrencyQ, timeToConvert,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

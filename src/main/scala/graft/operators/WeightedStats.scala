@@ -35,8 +35,28 @@ object WeightedStats {
       valueCol: String,
       weightCol: String,
       bucketWidth: Double,
-      tieBreak: Seq[String]): DataFrame = {
+      tieBreak: Seq[String]): DataFrame =
+    weightedQuantile(df, groupCol, valueCol, weightCol, bucketWidth,
+      tieBreak, 1, 2)
+      .withColumnRenamed("wquantile", "wmedian")
+
+  /** General exact weighted quantile at the RATIONAL probability
+    * pNum/pDen (1/2 = median, 9/10 = p90 …): the smallest value whose
+    * cumulative weight reaches p·total, under the same two-phase
+    * bucket-histogram plan as [[weightedMedian]] — the crossing
+    * comparison `cum·pDen ≥ tot·pNum` stays in exact decimal×integer
+    * arithmetic, so no float probability ever enters the decision. */
+  def weightedQuantile(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      bucketWidth: Double,
+      tieBreak: Seq[String],
+      pNum: Int,
+      pDen: Int): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth")
+    require(pDen > 0 && pNum > 0 && pNum <= pDen, s"p=$pNum/$pDen")
     val w = col(weightCol).cast(DecimalType(18, 2))
     val base = df.select(
       (col(groupCol).as("g") +:
@@ -55,7 +75,7 @@ object WeightedStats {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(totals, Seq("g"))
     val medBucket = running
-      .where(col("cum") * 2 >= col("tot"))
+      .where(col("cum") * pDen >= col("tot") * pNum)
       .groupBy(col("g"))
       .agg(min(struct(col("bucket"), col("cum"), col("bw"), col("tot")))
         .as("m"))
@@ -68,11 +88,11 @@ object WeightedStats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     inBucket
       .withColumn("cum2", sum(col("w")).over(ord))
-      .where((col("below") + col("cum2")) * 2 >= col("tot"))
+      .where((col("below") + col("cum2")) * pDen >= col("tot") * pNum)
       .groupBy(col("g"))
-      .agg(min(col("v")).as("wmedian"),
+      .agg(min(col("v")).as("wq"),
         max(col("tot")).as("__t"))
-      .select(col("g").as(groupCol), round(col("wmedian"), 6).as("wmedian"),
+      .select(col("g").as(groupCol), round(col("wq"), 6).as("wquantile"),
         col("__t").cast(DoubleType).as("total_w"))
   }
 }
