@@ -6720,6 +6720,114 @@ $roundCtes"""
              round(quantile_cont(secs, 0.9), 6) AS p90_secs
       FROM s"""))
 
+  /** Behavioral diversity: per-user Shannon entropy of the event-type
+    * distribution (the q_info_gain arithmetic applied per entity) —
+    * low-entropy users are bots/single-purpose, high-entropy users
+    * explore. 6-dp ln terms in decimal sums; output one row per user
+    * from the (user × type) count table. */
+  private val behaviorEntropy = Q("q_behavior_entropy",
+    (s, d) => {
+      val cnt = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("user_id")).agg(sum(col("n")).as("nt"))
+      cnt.join(tot, Seq("user_id"))
+        .withColumn("term", round(
+          -(col("n").cast(DoubleType) / col("nt")) *
+            log(col("n").cast(DoubleType) / col("nt")), 6)
+          .cast(DecimalType(18, 6)))
+        .groupBy(col("user_id"))
+        .agg(max(col("nt")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          round(sum(col("term")).cast(DoubleType), 6).as("entropy"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT user_id, event_type, count(*) AS n FROM events
+        GROUP BY 1, 2),
+      tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nt FROM cnt
+              GROUP BY user_id)
+      SELECT user_id, max(nt) AS n_events, count(*) AS n_types,
+             round(CAST(sum(CAST(round(-(CAST(n AS DOUBLE) / nt)
+                 * ln(CAST(n AS DOUBLE) / nt), 6) AS DECIMAL(18,6)))
+               AS DOUBLE), 6) AS entropy
+      FROM cnt JOIN tot USING (user_id)
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** Movers report: event-type counts week 1 vs week 2 with delta and
+    * 6-dp relative change — the "what changed" diff every metrics
+    * review starts from. Two filtered aggregates + one full outer
+    * join on a types-sized frame. */
+  private val moversQ = Q("q_movers",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("wk", weekofyear(col("ts")))
+      val w1 = ev.filter(col("wk") === 1).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_w1"))
+      val w2 = ev.filter(col("wk") === 2).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_w2"))
+      w1.join(w2, Seq("event_type"), "full")
+        .na.fill(0L, Seq("n_w1", "n_w2"))
+        .withColumn("delta", col("n_w2") - col("n_w1"))
+        .withColumn("rel_change", when(col("n_w1") === 0, lit(null))
+          .otherwise(round((col("n_w2") - col("n_w1")).cast(DoubleType) /
+            col("n_w1").cast(DoubleType), 6)))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type, weekofyear(ts) AS wk FROM events),
+      w1 AS (SELECT event_type, count(*) AS n_w1 FROM e WHERE wk = 1
+             GROUP BY 1),
+      w2 AS (SELECT event_type, count(*) AS n_w2 FROM e WHERE wk = 2
+             GROUP BY 1)
+      SELECT coalesce(w1.event_type, w2.event_type) AS event_type,
+             coalesce(n_w1, 0) AS n_w1, coalesce(n_w2, 0) AS n_w2,
+             coalesce(n_w2, 0) - coalesce(n_w1, 0) AS delta,
+             CASE WHEN coalesce(n_w1, 0) = 0 THEN NULL
+                  ELSE round(CAST(coalesce(n_w2, 0) - coalesce(n_w1, 0)
+                      AS DOUBLE) / coalesce(n_w1, 0), 6) END AS rel_change
+      FROM w1 FULL JOIN w2 ON w1.event_type = w2.event_type
+      ORDER BY event_type"""))
+
+  /** Readability proxy: per doc, words/sentence (period-split) and
+    * chars/word plus the ARI-style grade line 4.71·(chars/word) +
+    * 0.5·(words/sentence) − 21.43 — the cheap text-difficulty feature
+    * (exact constants, one fixed double chain, map-side). */
+  private val readabilityQ = Q("q_readability",
+    (s, d) => {
+      val words = size(TextFns.tokens(col("text"))).cast(DoubleType)
+      val sentences = greatest(
+        size(expr("filter(split(text, '\\\\.'), s -> length(trim(s)) > 0)")),
+        lit(1)).cast(DoubleType)
+      val chars = length(regexp_replace(col("text"), "\\s", ""))
+        .cast(DoubleType)
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          round(words / sentences, 6).as("words_per_sentence"),
+          round(chars / words, 6).as("chars_per_word"),
+          round(lit(4.71) * (chars / words) +
+            lit(0.5) * (words / sentences) - lit(21.43), 6).as("ari_grade"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                 AS words,
+               CAST(greatest(len(list_filter(string_split(text, '.'),
+                 s -> length(trim(s)) > 0)), 1) AS DOUBLE) AS sentences,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                 AS chars
+        FROM documents WHERE doc_id < 300)
+      SELECT doc_id,
+             round(words / sentences, 6) AS words_per_sentence,
+             round(chars / words, 6) AS chars_per_word,
+             round(4.71 * (chars / words) + 0.5 * (words / sentences)
+               - 21.43, 6) AS ari_grade
+      FROM t ORDER BY doc_id"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -6792,6 +6900,7 @@ $roundCtes"""
     itemsetPairs, latencyBands, seasonality, partitionManifest,
     jsonQuarantine, mediaDHash, funnelWindowed, trendSlope,
     weightedP90, concurrencyQ, timeToConvert,
+    behaviorEntropy, moversQ, readabilityQ,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 
