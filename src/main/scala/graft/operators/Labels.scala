@@ -120,10 +120,14 @@ object Labels {
       matches: DataFrame,
       winnerCol: String,
       loserCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      maxPlayers: Int = 100000): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters=$iters")
+    val spark = matches.sparkSession
+    import spark.implicits._
     val m = matches
-      .select(col(winnerCol).as("w"), col(loserCol).as("l"))
+      .select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
       .where(col("w") =!= col("l") &&
         col("w").isNotNull && col("l").isNotNull)
     val wins = m.groupBy(col("w").as("player"))
@@ -138,25 +142,39 @@ object Labels {
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j"),
         col("nij")))
       .groupBy(col("i"), col("j")).agg(sum(col("nij")).as("n"))
-    var ratings = players.select(col("player"), lit(1.0).as("r"))
+    // The corpus-sized work ends here: the match log folded ONCE to
+    // player-bounded (player, wins, losses) and (i, j, n) frames. The
+    // MM rounds themselves run DRIVER-side over those bounded rows —
+    // the CC-local-finish / BPE-argmax pattern: a distributed version
+    // of 3 rounds × (two broadcasts + a 25-row aggregate) costs ~12
+    // near-empty stages of pure scheduler latency (measured 3.1 s
+    // wall at 7 cpu s). The arithmetic mirrors the SQL oracle
+    // operation for operation: HALF_UP 6-dp rounds, exact BigDecimal
+    // term sums, the same double division chain.
+    val p = players.as[(String, Long, Long)].collect()
+    require(p.length <= maxPlayers,
+      s"bradleyTerry: ${p.length} players exceed maxPlayers=$maxPlayers")
+    if (p.isEmpty)
+      return Seq.empty[(String, Long, Long, Double)]
+        .toDF("player", "wins", "losses", "rating")
+    val s = sym.as[(String, String, Long)].collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = p.map { case (pl, _, _) => pl -> 1.0 }.toMap
     for (_ <- 1 to iters) {
-      val ri = ratings.select(col("player").as("i"), col("r").as("ri"))
-      val rj = ratings.select(col("player").as("j"), col("r").as("rj"))
-      val denom = sym
-        .join(broadcast(ri), Seq("i")).join(broadcast(rj), Seq("j"))
-        .withColumn("t",
-          round(col("n").cast(DoubleType) / (col("ri") + col("rj")), 6)
-            .cast(DecimalType(18, 6)))
-        .groupBy(col("i").as("player")).agg(sum(col("t")).as("den"))
-      ratings = players.join(denom, Seq("player"))
-        .select(col("player"),
-          greatest(round(col("wins").cast(DoubleType) /
-            col("den").cast(DoubleType), 6), lit(1e-6)).as("r"))
+      val den = s.groupBy(_._1).map { case (pl, terms) =>
+        pl -> terms.map { case (_, j, n) =>
+          BigDecimal(r6(n.toDouble / (r(pl) + r(j)))) }.sum
+      }
+      r = p.map { case (pl, w, _) =>
+        pl -> den.get(pl).fold(1e-6)(d =>
+          math.max(r6(w.toDouble / d.toDouble), 1e-6))
+      }.toMap
     }
-    val mx = ratings.agg(max(col("r")).as("rmax"))
-    players.join(ratings, Seq("player")).crossJoin(broadcast(mx))
-      .select(col("player"), col("wins"), col("losses"),
-        round(col("r") / col("rmax"), 6).as("rating"))
+    val rmax = r.values.max
+    p.map { case (pl, w, l) => (pl, w, l, r6(r(pl) / rmax)) }
+      .toSeq
+      .toDF("player", "wins", "losses", "rating")
   }
 
   /** Label propagation over an LSH-bucketed kNN graph (Zhu & Ghahramani
