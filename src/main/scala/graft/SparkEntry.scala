@@ -6828,6 +6828,113 @@ $roundCtes"""
                - 21.43, 6) AS ari_grade
       FROM t ORDER BY doc_id"""))
 
+  /** RFM segmentation: per user, recency (days since last event at
+    * the as-of), frequency, monetary value — each ntile(5)-scored
+    * over a TOTAL deterministic order — the classic customer-value
+    * grid. The windows run over the users-sized aggregate frame,
+    * never raw events. */
+  private val rfmQ = Q("q_rfm",
+    (s, d) => {
+      val rfm = Tables.events(s, d)
+        .filter(col("ts") <= to_timestamp(lit(AsOf)))
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          Tables.dsum(col("value")).as("monetary"))
+        .withColumn("recency_days",
+          ((to_timestamp(lit(AsOf)).cast("long") -
+            col("last_ts").cast("long")) / lit(86400L)).cast("long"))
+      rfm
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("user_id"))).cast("int"))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("frequency").desc, col("user_id"))).cast("int"))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))).cast("int"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          round(col("monetary"), 2).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH rfm AS (
+        SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS monetary
+        FROM events WHERE ts <= TIMESTAMP '$AsOf' GROUP BY user_id),
+      x AS (
+        SELECT user_id,
+               (CAST(floor(epoch(TIMESTAMP '$AsOf')) AS BIGINT)
+                 - CAST(floor(epoch(last_ts)) AS BIGINT)) // 86400
+                 AS recency_days,
+               frequency, monetary
+        FROM rfm)
+      SELECT user_id, recency_days, frequency,
+             round(monetary, 2) AS monetary,
+             CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT)
+               AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT)
+               AS m_score
+      FROM x ORDER BY user_id"""))
+
+  /** Daily anomaly detection: each day's total against the mean/σ of
+    * the 7 PRECEDING days (a rolling frame over the tiny daily
+    * table), |z| > 2 flags — the metrics-alerting query. Daily sums
+    * are exact decimals; σ from exact moments in one fixed double
+    * chain. */
+  private val dailyAnomaly = Q("q_daily_anomaly",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(round(col("value"), 6).cast(DecimalType(18, 6)))
+          .as("total"))
+      val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      // moment sums run in DOUBLE over the ≤7-row frame: both engines
+      // fold the frame in ORDER BY day order, so the sums are
+      // bit-identical without decimal-multiply type games (whose
+      // precision-clamp rules DIVERGE cross-engine at (28,6)²)
+      daily
+        .withColumn("td", col("total").cast(DoubleType))
+        .withColumn("n_prev", count(col("td")).over(w))
+        .withColumn("s1", sum(col("td")).over(w))
+        .withColumn("s2", sum(col("td") * col("td")).over(w))
+        .where(col("n_prev") >= 7)
+        .withColumn("mean", col("s1") / col("n_prev"))
+        .withColumn("sd", sqrt((col("s2") -
+          col("s1") * col("s1") / col("n_prev")) / (col("n_prev") - 1)))
+        .withColumn("z", round(
+          (col("total").cast(DoubleType) - col("mean")) / col("sd"), 6))
+        .select(col("day"), round(col("total").cast(DoubleType), 6)
+          .as("total"), round(col("mean"), 6).as("mean_prev7"),
+          col("z"), (abs(col("z")) > 2.0).as("anomaly"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS total
+        FROM events GROUP BY 1),
+      r AS (
+        SELECT day, total,
+               count(td) OVER w AS n_prev,
+               sum(td) OVER w AS s1,
+               sum(td * td) OVER w AS s2
+        FROM (SELECT day, total, CAST(total AS DOUBLE) AS td FROM daily)
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      x AS (
+        SELECT day, total, n_prev,
+               s1 / n_prev AS mean,
+               sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1)) AS sd
+        FROM r WHERE n_prev >= 7)
+      SELECT day, round(CAST(total AS DOUBLE), 6) AS total,
+             round(mean, 6) AS mean_prev7,
+             round((CAST(total AS DOUBLE) - mean) / sd, 6) AS z,
+             abs(round((CAST(total AS DOUBLE) - mean) / sd, 6)) > 2.0
+               AS anomaly
+      FROM x ORDER BY day"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -6900,7 +7007,7 @@ $roundCtes"""
     itemsetPairs, latencyBands, seasonality, partitionManifest,
     jsonQuarantine, mediaDHash, funnelWindowed, trendSlope,
     weightedP90, concurrencyQ, timeToConvert,
-    behaviorEntropy, moversQ, readabilityQ,
+    behaviorEntropy, moversQ, readabilityQ, rfmQ, dailyAnomaly,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 
