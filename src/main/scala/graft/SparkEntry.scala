@@ -6935,6 +6935,44 @@ $roundCtes"""
                AS anomaly
       FROM x ORDER BY day"""))
 
+  /** Survival curve: for each day offset k, the fraction of users
+    * whose activity span (last − first event) reaches k days — the
+    * Kaplan-Meier-flavored retention readout (no censoring model
+    * needed on a closed window). One user fold + a 30-way map-side
+    * explode over the users-sized frame. */
+  private val survivalCurve = Q("q_survival_curve",
+    (s, d) => {
+      val spans = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(((max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+          / lit(86400L)).cast("long").as("span_days"))
+      val n = spans.count()
+      spans
+        .select(col("span_days"),
+          explode(sequence(lit(0), lit(29))).as("k"))
+        .groupBy(col("k"))
+        .agg(sum(when(col("span_days") >= col("k"), 1L).otherwise(0L))
+          .as("n_surviving"))
+        .withColumn("survival",
+          round(col("n_surviving").cast(DoubleType) / n, 6))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH spans AS (
+        SELECT user_id,
+               (CAST(floor(epoch(max(ts))) AS BIGINT)
+                 - CAST(floor(epoch(min(ts))) AS BIGINT)) // 86400
+                 AS span_days
+        FROM events GROUP BY user_id),
+      n AS (SELECT count(*) AS nu FROM spans)
+      SELECT CAST(k AS INT) AS k,
+             CAST(sum(CASE WHEN span_days >= k THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_surviving,
+             round(CAST(sum(CASE WHEN span_days >= k THEN 1 ELSE 0 END)
+               AS DOUBLE) / nu, 6) AS survival
+      FROM spans, generate_series(0, 29) AS g(k), n
+      GROUP BY k, nu ORDER BY k"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -7008,6 +7046,7 @@ $roundCtes"""
     jsonQuarantine, mediaDHash, funnelWindowed, trendSlope,
     weightedP90, concurrencyQ, timeToConvert,
     behaviorEntropy, moversQ, readabilityQ, rfmQ, dailyAnomaly,
+    survivalCurve,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 
