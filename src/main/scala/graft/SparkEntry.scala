@@ -6973,6 +6973,211 @@ $roundCtes"""
       FROM spans, generate_series(0, 29) AS g(k), n
       GROUP BY k, nu ORDER BY k"""))
 
+  /** Benford first-significant-digit audit: per event type, the
+    * observed share of each leading digit of `value` vs the Benford
+    * expectation log10(1+1/d) — the fraud/synthetic-data forensic on a
+    * numeric column. The digit comes from the DECIMAL(18,6) string
+    * form (both engines pad to scale, so the regex sees identical
+    * text — a raw double→string cast formats differently per engine);
+    * per-type totals are an exact BIGINT window over the 9-row-per-type
+    * agg. Map-side digit extract + one tiny keyed aggregate — scales. */
+  private val benfordQ = Q("q_benford",
+    (s, d) => {
+      val digits = Tables.events(s, d)
+        .withColumn("digit", regexp_extract(
+          round(col("value"), 6).cast(DecimalType(18, 6)).cast("string"),
+          "[1-9]", 0))
+        .where(col("digit") =!= "")
+      val perType = Window.partitionBy(col("event_type"))
+      digits
+        .groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("n_type", sum(col("n_obs")).over(perType))
+        .withColumn("share", round(
+          col("n_obs").cast(DoubleType) / col("n_type"), 6))
+        .withColumn("benford", round(
+          log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)), 6))
+        .select(col("event_type"), col("digit"), col("n_obs"),
+          col("share"), col("benford"),
+          round(col("share") - col("benford"), 6).as("deviation"))
+        .orderBy(col("event_type"), col("digit"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type,
+               regexp_extract(CAST(CAST(round(value, 6) AS DECIMAL(18,6))
+                 AS VARCHAR), '[1-9]', 0) AS digit
+        FROM events
+        WHERE regexp_extract(CAST(CAST(round(value, 6) AS DECIMAL(18,6))
+                 AS VARCHAR), '[1-9]', 0) <> ''),
+      o AS (
+        SELECT event_type, digit, count(*) AS n_obs
+        FROM d GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, digit, n_obs,
+               sum(n_obs) OVER (PARTITION BY event_type) AS n_type
+        FROM o)
+      SELECT event_type, digit, n_obs,
+             round(CAST(n_obs AS DOUBLE) / n_type, 6) AS share,
+             round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+             round(round(CAST(n_obs AS DOUBLE) / n_type, 6)
+               - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6), 6)
+               AS deviation
+      FROM w ORDER BY event_type, digit"""))
+
+  /** CUSUM change-point series: per event type, the cumulative
+    * deviation of daily event counts from the type's mean rate,
+    * kept EXACT by integer scaling — dev_k = D·Σ_{i≤k} n_i − k·T
+    * (D = day count, T = total events of the type), i.e. the CUSUM
+    * times D, so no float mean enters the fold. `is_peak` marks the
+    * day(s) where |dev| hits the per-type max — the change-point
+    * estimate. One daily pre-agg (massive shrink), then windows over
+    * the ~days-per-type frame — scales. */
+  private val cusumQ = Q("q_cusum",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val perType = Window.partitionBy(col("event_type"))
+      val ordered = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("days", count(lit(1)).over(perType))
+        .withColumn("total", sum(col("n")).over(perType))
+        .withColumn("k", row_number().over(ordered))
+        .withColumn("cum", sum(col("n")).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dev", col("days") * col("cum") - col("k") * col("total"))
+        .withColumn("is_peak",
+          abs(col("dev")) === max(abs(col("dev"))).over(perType))
+        .select(col("event_type"), col("day"), col("n"), col("dev"),
+          col("is_peak"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      x AS (
+        SELECT event_type, day, n,
+               count(*) OVER (PARTITION BY event_type) AS days,
+               sum(n) OVER (PARTITION BY event_type) AS total,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+               sum(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM daily)
+      SELECT event_type, day, n,
+             CAST(days * cum - k * total AS BIGINT) AS dev,
+             abs(days * cum - k * total) = max(abs(days * cum - k * total))
+               OVER (PARTITION BY event_type) AS is_peak
+      FROM x ORDER BY event_type, day"""))
+
+  /** Daily-series autocorrelation: per event type, lag-1 and lag-7
+    * Pearson autocorrelation of the daily value totals — the
+    * periodicity detector behind retention/traffic diagnostics. Daily
+    * totals are clamped back to DECIMAL(18,6) so every moment product
+    * stays at (37,12) — EXACT and order-free in both engines (the
+    * (28,6)² clamp divergence never arises); the closed form runs in
+    * one fixed double chain at the end. Pre-agg to days×types, then
+    * tiny per-type folds — scales. */
+  private val autocorrQ = Q("q_autocorr",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(round(col("value"), 6).cast(DecimalType(18, 6)))
+          .cast(DecimalType(18, 6)).as("y"))
+      val ordered = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      def corrCol(x: Column, y: Column, pfx: String): Seq[Column] = Seq(
+        count(x).as(s"${pfx}_n"),
+        sum(when(x.isNotNull, x)).as(s"${pfx}_sx"),
+        sum(when(x.isNotNull, y)).as(s"${pfx}_sy"),
+        sum(when(x.isNotNull, x * x)).as(s"${pfx}_sxx"),
+        sum(when(x.isNotNull, y * y)).as(s"${pfx}_syy"),
+        sum(when(x.isNotNull, x * y)).as(s"${pfx}_sxy"))
+      def closed(pfx: String): Column = {
+        val n = col(s"${pfx}_n").cast(DoubleType)
+        val sx = col(s"${pfx}_sx").cast(DoubleType)
+        val sy = col(s"${pfx}_sy").cast(DoubleType)
+        val sxx = col(s"${pfx}_sxx").cast(DoubleType)
+        val syy = col(s"${pfx}_syy").cast(DoubleType)
+        val sxy = col(s"${pfx}_sxy").cast(DoubleType)
+        val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        when(col(s"${pfx}_n") >= lit(2L) && den > lit(0.0),
+          round((n * sxy - sx * sy) / den, 6))
+      }
+      daily
+        .withColumn("x1", lag(col("y"), 1).over(ordered))
+        .withColumn("x7", lag(col("y"), 7).over(ordered))
+        .groupBy(col("event_type"))
+        .agg(corrCol(col("x1"), col("y"), "l1").head,
+          (corrCol(col("x1"), col("y"), "l1").tail ++
+            corrCol(col("x7"), col("y"), "l7")): _*)
+        .select(col("event_type"), col("l1_n").as("n_lag1"),
+          closed("l1").as("ac_lag1"), col("l7_n").as("n_lag7"),
+          closed("l7").as("ac_lag7"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        -- DECIMAL(19,6), not (18,6): DuckDB executes a decimal product
+        -- at width w1+w2 and needs it int128-backed; (18,6)^2 stays on
+        -- int64 physical and overflows, (19,6)^2 = (38,12) is exact.
+        -- Spark's (18,6)^2 = (37,12) is exact too, so values agree.
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                 AS DECIMAL(19,6)) AS y
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, y,
+               lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+               lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+        FROM daily),
+      m AS (
+        SELECT event_type,
+               count(x1) AS l1_n,
+               sum(CASE WHEN x1 IS NOT NULL THEN x1 END) AS l1_sx,
+               sum(CASE WHEN x1 IS NOT NULL THEN y END) AS l1_sy,
+               sum(CASE WHEN x1 IS NOT NULL THEN x1 * x1 END) AS l1_sxx,
+               sum(CASE WHEN x1 IS NOT NULL THEN y * y END) AS l1_syy,
+               sum(CASE WHEN x1 IS NOT NULL THEN x1 * y END) AS l1_sxy,
+               count(x7) AS l7_n,
+               sum(CASE WHEN x7 IS NOT NULL THEN x7 END) AS l7_sx,
+               sum(CASE WHEN x7 IS NOT NULL THEN y END) AS l7_sy,
+               sum(CASE WHEN x7 IS NOT NULL THEN x7 * x7 END) AS l7_sxx,
+               sum(CASE WHEN x7 IS NOT NULL THEN y * y END) AS l7_syy,
+               sum(CASE WHEN x7 IS NOT NULL THEN x7 * y END) AS l7_sxy
+        FROM lagged GROUP BY 1)
+      SELECT event_type,
+             l1_n AS n_lag1,
+             CASE WHEN l1_n >= 2 AND
+                 sqrt((l1_n * CAST(l1_sxx AS DOUBLE)
+                     - CAST(l1_sx AS DOUBLE) * CAST(l1_sx AS DOUBLE))
+                   * (l1_n * CAST(l1_syy AS DOUBLE)
+                     - CAST(l1_sy AS DOUBLE) * CAST(l1_sy AS DOUBLE))) > 0.0
+               THEN round((l1_n * CAST(l1_sxy AS DOUBLE)
+                     - CAST(l1_sx AS DOUBLE) * CAST(l1_sy AS DOUBLE))
+                 / sqrt((l1_n * CAST(l1_sxx AS DOUBLE)
+                     - CAST(l1_sx AS DOUBLE) * CAST(l1_sx AS DOUBLE))
+                   * (l1_n * CAST(l1_syy AS DOUBLE)
+                     - CAST(l1_sy AS DOUBLE) * CAST(l1_sy AS DOUBLE))), 6)
+             END AS ac_lag1,
+             l7_n AS n_lag7,
+             CASE WHEN l7_n >= 2 AND
+                 sqrt((l7_n * CAST(l7_sxx AS DOUBLE)
+                     - CAST(l7_sx AS DOUBLE) * CAST(l7_sx AS DOUBLE))
+                   * (l7_n * CAST(l7_syy AS DOUBLE)
+                     - CAST(l7_sy AS DOUBLE) * CAST(l7_sy AS DOUBLE))) > 0.0
+               THEN round((l7_n * CAST(l7_sxy AS DOUBLE)
+                     - CAST(l7_sx AS DOUBLE) * CAST(l7_sy AS DOUBLE))
+                 / sqrt((l7_n * CAST(l7_sxx AS DOUBLE)
+                     - CAST(l7_sx AS DOUBLE) * CAST(l7_sx AS DOUBLE))
+                   * (l7_n * CAST(l7_syy AS DOUBLE)
+                     - CAST(l7_sy AS DOUBLE) * CAST(l7_sy AS DOUBLE))), 6)
+             END AS ac_lag7
+      FROM m ORDER BY event_type"""))
+
   /** The 3 unrolled Bradley-Terry MM rounds as chained CTEs — each
     * round's denominator terms round at 6 dp and sum in DECIMAL, the
     * same arithmetic [[Labels.bradleyTerry]] runs. */
@@ -7046,7 +7251,7 @@ $roundCtes"""
     jsonQuarantine, mediaDHash, funnelWindowed, trendSlope,
     weightedP90, concurrencyQ, timeToConvert,
     behaviorEntropy, moversQ, readabilityQ, rfmQ, dailyAnomaly,
-    survivalCurve,
+    survivalCurve, benfordQ, cusumQ, autocorrQ,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 
