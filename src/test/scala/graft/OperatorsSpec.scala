@@ -930,4 +930,36 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("analytics invariants: benford shares, cusum telescope, autocorr bounds") {
+    val d = "/root/testdata/sf0.001"
+
+    // Benford: digits in 1..9 and per-type shares sum to ~1 (each
+    // share rounds at 6 dp, so the sum is within 9 half-ulps of 1).
+    val ben = SparkEntry.queries("q_benford")(spark, d).collect()
+    assert(ben.nonEmpty)
+    assert(ben.forall { r =>
+      val dg = r.getAs[String]("digit"); dg.length == 1 && dg >= "1" && dg <= "9"
+    })
+    ben.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 5e-6, s"shares sum $s")
+    }
+
+    // CUSUM: the deviation telescopes to exactly zero on each type's
+    // last day (D*total - D*total), and every type flags >=1 peak.
+    val cus = SparkEntry.queries("q_cusum")(spark, d).collect()
+    val byType = cus.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rows) =>
+      assert(rows.maxBy(_.getAs[String]("day")).getAs[Long]("dev") == 0L,
+        s"$t: last dev nonzero")
+      assert(rows.exists(_.getAs[Boolean]("is_peak")), s"$t: no peak")
+    }
+
+    // Autocorrelation: defined values are true Pearson coefficients.
+    val ac = SparkEntry.queries("q_autocorr")(spark, d).collect()
+    assert(ac.nonEmpty)
+    for (r <- ac; c <- Seq("ac_lag1", "ac_lag7") if !r.isNullAt(r.fieldIndex(c)))
+      assert(math.abs(r.getAs[Double](c)) <= 1.0, s"$c out of range")
+  }
 }
