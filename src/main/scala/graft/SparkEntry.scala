@@ -3714,22 +3714,26 @@ $roundCtes"""
 
   /** Shortest-first curriculum interleave: per-source length ranking,
     * then a round-robin merge across sources — epoch ordering that
-    * starts easy AND keeps every domain in every stripe. The global
-    * position window runs on the rn≤20 head only (bounded rows); a
-    * full-corpus curriculum would range-sort instead. */
+    * starts easy AND keeps every domain in every stripe. Global
+    * positions over the rn≤20 heads come from a two-phase
+    * [[graft.operators.StableIds]] assignment bucketed on the stripe
+    * number (rn IS the leading sort key, so it is trivially
+    * coarse-monotone) — 20·#sources rows never cross one task even
+    * when #sources is large, closing the r9 single-partition-window
+    * audit's last head-window. */
   private val interleave = Q("q_interleave",
     (s, d) => {
       val w1 = Window.partitionBy(col("source"))
         .orderBy(col("n_tokens"), col("doc_id"))
-      Tables.documents(s, d)
+      val heads = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           TextFns.tokenCount(col("text")).cast("int").as("n_tokens"))
         .withColumn("rn", row_number().over(w1))
         .filter(col("rn") <= 20)
-        .withColumn("pos", row_number()
-          .over(Window.orderBy(col("rn"), col("source"))).cast("int"))
-        .select(col("pos"), col("source"), col("doc_id"), col("n_tokens"),
-          col("rn"))
+      graft.operators.StableIds.assign(heads,
+          col("rn"), Seq(col("source")), "pos")
+        .select(col("pos").cast("int").as("pos"), col("source"),
+          col("doc_id"), col("n_tokens"), col("rn"))
         .orderBy(col("pos"))
     },
     Some("""
@@ -3785,19 +3789,24 @@ $roundCtes"""
 
   /** Reciprocal rank fusion ([[graft.operators.Retrieval.rrfFuse]]) of
     * two top-50 document rankings (by length, by distinct-token
-    * count) — hybrid-retrieval merging with engine-exact arithmetic. */
+    * count) — hybrid-retrieval merging with engine-exact arithmetic.
+    * Each ranking is limit-then-rank (the `Bpe`/`CorpusStats` idiom):
+    * a distributed `TakeOrderedAndProject` cuts the corpus to 50 rows
+    * FIRST, and only the 50-row head pays the global `row_number`
+    * window — explicitly, rather than leaning on Catalyst's
+    * `LimitPushDownThroughWindow` to rescue a rank-then-filter
+    * formulation (VERDICT r9 #2). */
   private val rrfFusion = Q("q_rrf_fusion",
     (s, d) => {
       val m = Tables.documents(s, d).select(col("doc_id"),
         TextFns.tokenCount(col("text")).as("n_tok"),
         size(array_distinct(TextFns.tokens(lower(col("text"))))).as("n_dst"))
-      val a = m.withColumn("rank", row_number()
-          .over(Window.orderBy(col("n_tok").desc, col("doc_id"))))
-        .filter(col("rank") <= 50)
-      val b = m.withColumn("rank", row_number()
-          .over(Window.orderBy(col("n_dst").desc, col("doc_id"))))
-        .filter(col("rank") <= 50)
-      graft.operators.Retrieval.rrfFuse(a, b, "doc_id")
+      def top50(by: Column): DataFrame = m
+        .orderBy(by.desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(by.desc, col("doc_id"))))
+      graft.operators.Retrieval.rrfFuse(
+          top50(col("n_tok")), top50(col("n_dst")), "doc_id")
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
     },
@@ -5502,24 +5511,30 @@ $roundCtes"""
   /** Restartable epoch shuffle: per-epoch global order by
     * md5(epoch:id) — reproducible data ordering across training
     * restarts and engines, where an RNG shuffle is partition-layout-
-    * dependent. A range-partitioned sort per epoch (the one global
-    * sort the semantics genuinely require); successive epochs decorrelate
-    * by seed. */
+    * dependent. A `row_number` windowed on the 2-value epoch column
+    * would funnel each epoch's ENTIRE corpus into one task (VERDICT
+    * r9 #3); positions instead come from a per-epoch two-phase
+    * [[graft.operators.StableIds]] assignment bucketed on the leading
+    * 2 hex chars of the shuffle hash (a lexicographic prefix is
+    * coarse-monotone in the full-hash order, and md5 spreads the 256
+    * buckets uniformly) — consecutive positions from per-bucket
+    * counts + an offsets prefix-sum, identical to the window's
+    * sequence, no SinglePartition sort. */
   private val epochShuffle = Q("q_epoch_shuffle",
     (s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
         .filter(col("doc_id") < 200)
-      val epochs = Seq(0, 1).map { e =>
-        docs.withColumn("epoch", lit(e))
+      Seq(0, 1).map { e =>
+        val hashed = docs.withColumn("epoch", lit(e))
           .withColumn("__h", md5(concat_ws(":",
             lit("ep"), col("epoch").cast("string"),
             col("doc_id").cast("string"))))
+        graft.operators.StableIds.assign(hashed,
+            substring(col("__h"), 1, 2),
+            Seq(col("__h"), col("doc_id")), "position")
+          .select(col("epoch"), col("position").cast("int").as("position"),
+            col("doc_id"))
       }.reduce(_ unionByName _)
-      epochs
-        .withColumn("position", row_number().over(
-          Window.partitionBy(col("epoch"))
-            .orderBy(col("__h"), col("doc_id"))).cast("int"))
-        .select(col("epoch"), col("position"), col("doc_id"))
         .orderBy(col("epoch"), col("position"))
     },
     Some("""
@@ -6831,10 +6846,17 @@ $roundCtes"""
   /** RFM segmentation: per user, recency (days since last event at
     * the as-of), frequency, monetary value — each ntile(5)-scored
     * over a TOTAL deterministic order — the classic customer-value
-    * grid. The windows run over the users-sized aggregate frame,
-    * never raw events. */
+    * grid. Three global `ntile` windows would each serialize the
+    * users-sized aggregate through ONE task (VERDICT r9 #3); instead
+    * each dimension gets a two-phase [[graft.operators.StableIds]]
+    * global rank (bucketed by the leading sort key — integer days /
+    * negated count / floor-of-negated-sum are all coarse-monotone in
+    * their orders) and the tile falls out of pure map-side arithmetic
+    * ([[graft.operators.StableIds.ntileFromRank]]) — bit-identical to
+    * `ntile(5)`, so the oracle is unchanged. */
   private val rfmQ = Q("q_rfm",
     (s, d) => {
+      import graft.operators.StableIds
       val rfm = Tables.events(s, d)
         .filter(col("ts") <= to_timestamp(lit(AsOf)))
         .groupBy(col("user_id"))
@@ -6844,16 +6866,24 @@ $roundCtes"""
         .withColumn("recency_days",
           ((to_timestamp(lit(AsOf)).cast("long") -
             col("last_ts").cast("long")) / lit(86400L)).cast("long"))
-      rfm
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy(col("recency_days"), col("user_id"))).cast("int"))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy(col("frequency").desc, col("user_id"))).cast("int"))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy(col("monetary").desc, col("user_id"))).cast("int"))
+      val ranked = Seq[(String, Column, Seq[Column])](
+        ("__r_rank", col("recency_days"), Seq(col("user_id"))),
+        ("__f_rank", negate(col("frequency")), Seq(col("user_id"))),
+        ("__m_rank", floor(negate(col("monetary"))).cast("long"),
+          Seq(col("monetary").desc, col("user_id"))))
+        .foldLeft(rfm) { case (df, (name, bucket, sort)) =>
+          StableIds.assign(df, bucket, sort, name)
+        }
+      val n = rfm.groupBy().agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
         .select(col("user_id"), col("recency_days"), col("frequency"),
           round(col("monetary"), 2).as("monetary"),
-          col("r_score"), col("f_score"), col("m_score"))
+          StableIds.ntileFromRank(col("__r_rank"), col("__n"), 5)
+            .cast("int").as("r_score"),
+          StableIds.ntileFromRank(col("__f_rank"), col("__n"), 5)
+            .cast("int").as("f_score"),
+          StableIds.ntileFromRank(col("__m_rank"), col("__n"), 5)
+            .cast("int").as("m_score"))
         .orderBy(col("user_id"))
     },
     Some(s"""

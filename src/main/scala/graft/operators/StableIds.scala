@@ -65,4 +65,25 @@ object StableIds {
           Window.partitionBy(col("__bucket")).orderBy(sortCols: _*)))
       .drop("__bucket", "__rb", "__off")
   }
+
+  /** The tile `ntile(tiles)` would assign to 1-based rank `k` of `n`
+    * total rows — Spark/ANSI semantics exactly: `n = tiles·q + r`
+    * splits into `r` leading tiles of `q+1` rows and `tiles−r` of `q`
+    * rows. With `k` from [[assign]] this replaces the global
+    * `ntile() OVER (ORDER BY …)` window — the SinglePartition sort
+    * over the full frame — with pure map-side arithmetic, yielding
+    * bit-identical tiles (VERDICT r9 #3, the q_rfm fix). Divisions
+    * run floor-over-double — exact below 2⁵³ rows, i.e. any
+    * materializable frame. */
+  def ntileFromRank(k: Column, n: Column, tiles: Int): Column = {
+    require(tiles >= 1, s"ntileFromRank: tiles=$tiles")
+    def fdiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val q = fdiv(n, lit(tiles.toLong))
+    val r = n % tiles
+    val boundary = r * (q + lit(1L))
+    // q == 0 (fewer rows than tiles) keeps every k in the first
+    // branch (boundary = n), so the else-branch q division is safe
+    when(k <= boundary, fdiv(k + q, q + lit(1L)))
+      .otherwise(r + fdiv(k - boundary + q - lit(1L), q))
+  }
 }

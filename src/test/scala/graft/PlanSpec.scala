@@ -284,6 +284,73 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"projection must not shuffle:\n${physical(df)}")
   }
 
+  test("no declared query plans an unbounded single-partition window") {
+    // The class of bug behind the r9 weak flags (q_rfm, q_rrf_fusion):
+    // Window.orderBy(...) with NO partitionBy requires SinglePartition
+    // distribution — the window's entire input serializes through one
+    // task's sort. That is fine when the input is provably bounded (an
+    // aggregate output, or a limit/top-k head); it is a scale-killer
+    // when the input is data-sized. Gate: every empty-partitionSpec
+    // WindowExec must have an aggregate or a limit somewhere below it.
+    // "Bounded below" means: a LIMIT (any flavor — the limit-then-rank
+    // idiom), a GLOBAL aggregate (1 row), or a KEYED aggregate whose
+    // grouping key is audited bounded-cardinality. A keyed aggregate
+    // alone does NOT bound — groupBy(user_id) is data-sized at 10⁹
+    // users, which is exactly how q_rfm slipped through r9. Audited
+    // keys: `__bucket` (the StableIds offsets frame — #buckets rows by
+    // construction) and q_daily_anomaly's calendar-day key (one row
+    // per day of history).
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec,
+      LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val auditedKeyedAggQueries = Set("q_daily_anomaly")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      val unbounded = collectWithSubqueries(plan) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.filter { w =>
+        val limits = collectWithSubqueries(w.child) {
+          case l: GlobalLimitExec => l: Any
+          case l: LocalLimitExec => l: Any
+          case t: TakeOrderedAndProjectExec => t: Any
+          case c: CollectLimitExec => c: Any
+        }
+        val aggs = collectWithSubqueries(w.child) {
+          case a: BaseAggregateExec => a
+        }
+        val bounded = limits.nonEmpty ||
+          aggs.exists(a => a.groupingExpressions.isEmpty ||
+            a.groupingExpressions.forall(_.sql.contains("__bucket"))) ||
+          (aggs.nonEmpty && auditedKeyedAggQueries(name))
+        !bounded
+      }
+      if (unbounded.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"data-sized single-partition windows in: ${offenders.sorted.mkString(", ")}")
+  }
+
+  test("epoch shuffle and rfm window only on StableIds buckets") {
+    // The generic gate above cannot see a LOW-CARDINALITY partition
+    // key (a window partitioned by the 2-value epoch column is one
+    // task per epoch — r9 #3's q_epoch_shuffle); lock the fixed
+    // shapes: every data-sized window in these queries must carry the
+    // StableIds `__bucket` in its partition spec.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("q_epoch_shuffle", "q_rfm")) {
+      val plan = run(name).queryExecution.executedPlan
+      val windows = collectWithSubqueries(plan) { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name lost its StableIds windows")
+      windows.foreach { w =>
+        val spec = w.partitionSpec.map(_.sql).mkString(",")
+        val ord = w.orderSpec.map(_.sql).mkString(",")
+        assert(spec.contains("__bucket") || ord.contains("__bucket"),
+          s"$name windows outside a StableIds bucket: [$spec | $ord]\n$plan")
+      }
+    }
+  }
+
   test("champion-selection aggregates never window the raw stream") {
     // preference pairs and majority vote fold via max/min-by struct
     // aggregates; a WindowExec would mean the raw rows are being
