@@ -4230,7 +4230,7 @@ $roundCtes"""
     * in SQL. */
   private val spanDedup = Q("q_span_dedup",
     (s, d) => Dedup.spanDupStats(Tables.documents(s, d), "text", "doc_id",
-        k = 8)
+        k = 8, maxDocs = 1000, observeAs = Some("span_dedup_cap"))
       .orderBy(col("doc_id")),
     Some("""
       WITH t AS (
@@ -4246,7 +4246,8 @@ $roundCtes"""
             ELSE list_transform(range(len(toks) - 7),
               i -> array_to_string(toks[i+1:i+8], ' ')) END)) AS BIGINT) AS n_spans
         FROM t),
-      dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2)
+      dup AS (SELECT h FROM sp GROUP BY h
+              HAVING count(*) >= 2 AND count(*) <= 1000)
       SELECT doc_id, any_value(n_spans) AS n_spans,
              count(*) AS n_dup_spans,
              round(CAST(count(*) AS DOUBLE)
@@ -4262,7 +4263,7 @@ $roundCtes"""
     * coverage via list_filter over the duplicated starts). */
   private val spanScrub = Q("q_span_scrub",
     (s, d) => Dedup.scrubSpans(Tables.documents(s, d), "text", "doc_id",
-        k = 8)
+        k = 8, maxPositions = 10000, observeAs = Some("span_scrub_cap"))
       .orderBy(col("doc_id")),
     Some("""
       WITH t AS (
@@ -4277,8 +4278,8 @@ $roundCtes"""
       pos AS (
         SELECT doc_id, unnest(hs) AS h, unnest(range(len(hs))) AS p FROM w),
       dup AS (
-        SELECT h FROM (SELECT DISTINCT h, doc_id FROM pos)
-        GROUP BY h HAVING count(*) >= 2),
+        SELECT h FROM pos GROUP BY h
+        HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 10000),
       st AS (
         SELECT doc_id, list_sort(list(p)) AS starts
         FROM pos JOIN dup USING (h) GROUP BY doc_id),

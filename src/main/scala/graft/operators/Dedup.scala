@@ -406,9 +406,16 @@ object Dedup {
     * over rows that are already (hash, doc)-unique (array_distinct
     * upstream — never a count-distinct Expand); the dup-hash set
     * joins back on the hash key both sides are already partitioned
-    * by. No all-pairs comparison anywhere. */
+    * by. No all-pairs comparison anywhere. Hashes spread across more
+    * than `maxDocs` docs are EXCLUDED from the dup stats (a span
+    * shared by 10⁶ documents is boilerplate, not memorization signal
+    * — the [[crossSourceOverlap]] maxSources reasoning), which also
+    * bounds the per-hash straggler tail; exclusions surface through
+    * the `observeAs` metric exactly like [[Guards.capBuckets]]. */
   def spanDupStats(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxDocs: Int = 1000,
+      observeAs: Option[String] = None): DataFrame = {
+    require(maxDocs >= 2, s"spanDupStats: maxDocs=$maxDocs")
     // rows are (hash, doc)-unique by construction: shingles() dedups
     // within the doc, so a plain count per hash IS the distinct-doc
     // count. The count rides a window over the hash partition rather
@@ -419,9 +426,14 @@ object Dedup {
     val spans = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("sp"))
       .select(col("id"), md5(col("sp")).as("h"))
-    val perDocDup = spans
+    val counted = spans
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("n_docs") >= 2)
+    val observed = observeAs.fold(counted)(name => counted.observe(name,
+      sum(when(col("n_docs") > maxDocs, lit(1L)).otherwise(lit(0L)))
+        .as("dropped_rows"),
+      max(col("n_docs")).as("max_span_docs")))
+    val perDocDup = observed
+      .filter(col("n_docs") >= 2 && col("n_docs") <= maxDocs)
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
     val totals = df.select(col(idCol).as("id"),
       size(shingles(col(textCol), k)).cast("long").as("n_spans"))
@@ -448,9 +460,19 @@ object Dedup {
     * expression (position p is covered iff some start s ∈ [p−k+1, p]),
     * O(tokens · dupStarts) per doc worst case. Whole-doc spans
     * (< k tokens) scrub the entire text, exactly like whole-doc
-    * dedup of a short exact duplicate. */
+    * dedup of a short exact duplicate.
+    *
+    * A hash with more than `maxPositions` total occurrences is NOT
+    * scrubbed (its rows drop via [[Guards.capBuckets]] BEFORE the
+    * per-hash sort windows): a ubiquitous boilerplate span would put
+    * all its positions in one task — linear work, but a straggler
+    * tail at corpus scale — and per the Lee-et-al. rationale such a
+    * span is template noise an upstream boilerplate pass should own.
+    * Drops surface through the cap's `observeAs` metric. */
   def scrubSpans(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxPositions: Int = 10000,
+      observeAs: Option[String] = None): DataFrame = {
+    require(maxPositions >= 2, s"scrubSpans: maxPositions=$maxPositions")
     val toks = TextFns.tokens(lower(col(textCol)))
     val base = df.select(col(idCol).as("id"), toks.as("toks"))
     // per-position window hashes (NOT distinct — positions matter here)
@@ -459,7 +481,9 @@ object Dedup {
         .otherwise(transform(
           sequence(lit(0), size(col("toks")) - k),
           i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
-    val pos = withHs.select(col("id"), posexplode(col("hs")).as(Seq("p", "h")))
+    val pos = Guards.capBuckets(
+      withHs.select(col("id"), posexplode(col("hs")).as(Seq("p", "h"))),
+      Seq("h"), maxPositions, observeAs)
     // cross-doc duplicated hashes, single-pass: positions are NOT
     // (hash, doc)-distinct here, so the distinct-doc count per hash is
     // a boundary flag (first row of each doc run under (id, p) order)

@@ -84,6 +84,30 @@ class DriftMiningSpec extends SparkSpec {
     assert(Dedup.spanDupStats(d, "text", "doc_id", k = 3).count() == 0L)
   }
 
+  test("spanDupStats: ubiquitous boilerplate span is capped and observable (VERDICT r9 #5)") {
+    // 6 docs share the planted boilerplate "tos apply here"; docs 1-2
+    // additionally share a genuine dup span. With maxDocs = 3 the
+    // 6-doc hash drops (observable), the 2-doc hash survives.
+    val d = (1L to 6L).map { i =>
+      val extra = if (i <= 2) " real dup span" else s" uniq$i a$i b$i"
+      (i, s"tos apply here$extra")
+    }.toDF("doc_id", "text")
+    val r = Dedup.spanDupStats(d, "text", "doc_id", k = 3, maxDocs = 3,
+        observeAs = Some("span_cap_t"))
+      .orderBy("doc_id")
+    // collect() on r itself — a derived .as[] Dataset would execute
+    // its own QueryExecution and leave r's observedMetrics empty
+    val rows = r.collect().toSeq
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // only docs 1-2's "real dup span" windows survive: each doc has 4
+    // spans, of which "apply here real"/"here real dup"/"real dup span"
+    // are cross-doc-shared within the pair ("tos apply here" capped)
+    assert(rows == Seq((1L, 4L, 3L, 0.75), (2L, 4L, 3L, 0.75)))
+    val m = r.queryExecution.observedMetrics("span_cap_t")
+    assert(m.getAs[Long]("dropped_rows") == 6L)
+    assert(m.getAs[Long]("max_span_docs") == 6L)
+  }
+
   // ----- Similarity.hardNegativesTopK ----------------------------------
 
   private def vecs = Seq(
@@ -140,6 +164,30 @@ class DriftMiningSpec extends SparkSpec {
       .orderBy("doc_id")
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(r == Seq((1L, 5L, 4L, "e"), (2L, 4L, 4L, "")))
+  }
+
+  test("scrubSpans: ubiquitous boilerplate positions are capped and observable (VERDICT r9 #5)") {
+    // "t o s" opens all 6 docs (6 positions) — over the cap of 4, so
+    // it is NOT scrubbed; the pair-shared "a b c" (2 positions) is.
+    val d = (1L to 6L).map { i =>
+      val tail = if (i <= 2) "a b c" else s"u$i v$i w$i"
+      (i, s"t o s $tail")
+    }.toDF("doc_id", "text")
+    val r = Dedup.scrubSpans(d, "text", "doc_id", k = 3, maxPositions = 4,
+        observeAs = Some("scrub_cap_t"))
+      .orderBy("doc_id")
+    // collect() on r itself — a derived .as[] Dataset would execute
+    // its own QueryExecution and leave r's observedMetrics empty
+    val rows = r.collect().toSeq.take(3)
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    // docs 1-2: windows at positions 1..3 ("o s a","s a b","a b c")
+    // are pair-shared → positions 1..5 covered, only "t" survives;
+    // docs 3+ lose nothing (their only shared window "t o s" is capped)
+    assert(rows == Seq(
+      (1L, 6L, 5L, "t"), (2L, 6L, 5L, "t"), (3L, 6L, 0L, "t o s u3 v3 w3")))
+    val m = r.queryExecution.observedMetrics("scrub_cap_t")
+    assert(m.getAs[Long]("dropped_rows") == 6L)
+    assert(m.getAs[Long]("max_bucket_n") == 6L)
   }
 
   // ----- Similarity.semDedupPairs --------------------------------------
