@@ -5271,7 +5271,7 @@ $roundCtes"""
     Some("""
       WITH base AS (
         SELECT l_returnflag AS g, l_extendedprice AS v,
-               CAST(l_quantity AS DECIMAL(18,2)) AS w,
+               CAST(l_quantity AS DECIMAL(18,6)) AS w,
                l_orderkey, l_linenumber,
                CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket
         FROM lineitem),
@@ -6614,7 +6614,7 @@ $roundCtes"""
     Some("""
       WITH base AS (
         SELECT l_returnflag AS g, l_extendedprice AS v,
-               CAST(l_quantity AS DECIMAL(18,2)) AS w,
+               CAST(l_quantity AS DECIMAL(18,6)) AS w,
                l_orderkey, l_linenumber,
                CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket
         FROM lineitem),

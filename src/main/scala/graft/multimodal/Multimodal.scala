@@ -119,7 +119,13 @@ object Multimodal {
             while (x < 9) {
               val sx = x * img.getWidth / 9
               val sy = y * img.getHeight / 8
-              g(y)(x) = img.getRGB(sx, sy) & 0xff
+              // integer BT.601 luma, not a single channel: a color
+              // pair differing only in blue would otherwise hash far
+              // apart (ADVICE r9); for gray inputs (r=g=b) this is
+              // exactly the old value, so gray fixtures are unchanged
+              val rgb = img.getRGB(sx, sy)
+              g(y)(x) = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
               x += 1
             }
             y += 1

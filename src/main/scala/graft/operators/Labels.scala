@@ -46,7 +46,14 @@ object Labels {
       labelCol: String,
       weight: Option[Column] = None): DataFrame = {
     val w = weight.getOrElse(lit(1)).cast(DecimalType(18, 6))
-    val votes = df.where(col(labelCol).isNotNull)
+    // NULL-weight rows are dropped like NULL-label rows (a vote with
+    // no weight is no vote): the decimal sum would silently skip them
+    // anyway, and a (key, label) whose weights are ALL null would
+    // yield votes=NULL — whose negated struct field sorts FIRST
+    // ascending, letting a weightless label win the consensus
+    // (ADVICE r9). The filter constant-folds away for the unweighted
+    // default.
+    val votes = df.where(col(labelCol).isNotNull && w.isNotNull)
       .groupBy(col(keyCol), col(labelCol))
       .agg(sum(w).as("votes"))
     // "votes DESC, label ASC" as a min over struct(−votes, label):
@@ -121,7 +128,8 @@ object Labels {
       winnerCol: String,
       loserCol: String,
       iters: Int = 3,
-      maxPlayers: Int = 100000): DataFrame = {
+      maxPlayers: Int = 100000,
+      maxPairs: Int = 2000000): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters=$iters")
     val spark = matches.sparkSession
     import spark.implicits._
@@ -157,7 +165,16 @@ object Labels {
     if (p.isEmpty)
       return Seq.empty[(String, Long, Long, Double)]
         .toDF("player", "wins", "losses", "rating")
-    val s = sym.as[(String, String, Long)].collect()
+    // maxPlayers alone does not bound the pair table — distinct pairs
+    // grow as players², which at the default cap is ~10¹⁰ rows, a
+    // driver OOM long before any guard fires (ADVICE r9). The limit
+    // bounds the COLLECT itself (maxPairs+1 rows max), and the
+    // require turns an over-dense match graph into a loud error with
+    // the dial to raise.
+    val s = sym.limit(maxPairs + 1).as[(String, String, Long)].collect()
+    require(s.length <= maxPairs,
+      s"bradleyTerry: over $maxPairs distinct (winner, loser) pairs — " +
+        "raise maxPairs or pre-aggregate the match log")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var r = p.map { case (pl, _, _) => pl -> 1.0 }.toMap

@@ -431,7 +431,18 @@ object Similarity {
     * The quantizer-drift trade is SemDeDup's recall trade restated:
     * batches far from the training distribution crowd few cells
     * (watch cell occupancy; `Guards.oversizedBuckets` over the
-    * assigned table is the monitor) until the next offline retrain. */
+    * assigned table is the monitor) until the next offline retrain.
+    *
+    * WRITE CONTRACT (ADVICE r9): the append is neither atomic nor
+    * idempotent — a plain `mode("append")` into the partitioned
+    * layout. A RETRIED batch double-inserts every vector (duplicate
+    * neighbors in subsequent probes); a mid-write failure leaves
+    * partial files that probes will read. Run it single-writer with
+    * external exactly-once sequencing (the same contract as any
+    * HDFS-era append sink); for retry-safe ingestion, stage the batch
+    * under a batch-id subdirectory and rename into place, or
+    * compact-and-dedup by `neighbor_id` on the next [[buildIvfIndex]]
+    * rebuild. */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
       indexDir: String): Unit = {
     val spark = batch.sparkSession

@@ -22,7 +22,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * integer floors, and the in-bucket order carries explicit tie-break
   * columns — the crossing row (and so the median) is a pure function
   * of the data on any engine.
-  */
+  *
+  * Weight quantization: weights pass through DECIMAL(18,6) — exact
+  * for integral and 6-dp weights (quantities, counts, per-mille
+  * importance weights); finer-grained fractions (a DSIR weight of
+  * 1e-8, say) round HALF_UP at the 6th decimal place before
+  * accumulating, which can shift the crossing point by the rounded
+  * mass. Pre-scale such weights into ≥1e-6 units before calling
+  * (ADVICE r9). */
 object WeightedStats {
 
   /** Exact weighted median of `valueCol` under `weightCol` per
@@ -57,7 +64,7 @@ object WeightedStats {
       pDen: Int): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth")
     require(pDen > 0 && pNum > 0 && pNum <= pDen, s"p=$pNum/$pDen")
-    val w = col(weightCol).cast(DecimalType(18, 2))
+    val w = col(weightCol).cast(DecimalType(18, 6))
     val base = df.select(
       (col(groupCol).as("g") +:
         col(valueCol).as("v") +:

@@ -90,6 +90,36 @@ class MultimodalSpec extends SparkSpec {
       s"JPEG mean gray drifted $meanDrift levels — not a plausible decode")
   }
 
+  test("imageDHash keys on luminance, not a single channel (ADVICE r9)") {
+    // same gray gradient twice: once as true gray (r=g=b), once with
+    // the blue channel saturated to 255. A blue-keyed hash sees the
+    // second image as a flat field (hash 0); BT.601 luma preserves the
+    // gradient ordering (levels step by ≥4, and 886·4 > 1000 keeps
+    // strict inequalities strict through the integer luma), so the
+    // perceptual hashes must be identical.
+    def img(blueBoost: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        // sawtooth, not a monotone ramp: dHash bits fire on left>right
+        // DROPS, which a strictly increasing gradient never produces
+        val g = (x * 8 + y * 4) % 64
+        val b = if (blueBoost) 255 else g
+        im.setRGB(x, y, (g << 16) | (g << 8) | b)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", out))
+      out.toByteArray
+    }
+    val media = Seq((1L, img(blueBoost = false)), (2L, img(blueBoost = true)))
+      .toDF("media_id", "payload")
+    val hashes = Multimodal.imageDHash(spark, media, format = "png")
+      .collect().map(h => h.media_id -> h.dhash).toMap
+    assert(hashes(1L) == hashes(2L),
+      s"luma hash must ignore a constant blue offset: $hashes")
+    assert(hashes(1L) != 0L, "gradient image must not hash to the flat field")
+  }
+
   test("resizeImages picks nearest-neighbor source pixels with floor indices") {
     // 4×2 image with pixel(x,y) = y*4 + x; resize to 2×1:
     // sy = 0·2/1 = 0; sx ∈ {0·4/2, 1·4/2} = {0, 2} → pixels 0 and 2

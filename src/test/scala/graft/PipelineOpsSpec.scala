@@ -516,6 +516,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == (("B", 5.0, 7.0)))
   }
 
+  test("weighted vote: a label carried only by NULL weights cannot win (ADVICE r9)") {
+    import graft.operators.Labels
+    // "Z" outnumbers "A" 2:1 but both its weights are NULL — its vote
+    // sum would be NULL, whose negated struct field sorts FIRST
+    // ascending, so the unfixed min_by crowned the weightless label
+    val votes = Seq(
+      (1L, "A", Some(1.0)), (1L, "Z", None), (1L, "Z", None))
+      .toDF("ex", "label", "w")
+    val got = Labels.majorityVote(votes, "ex", "label", Some(col("w")))
+      .select("label", "votes", "total_votes")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", 1.0, 1.0)))
+  }
+
+  test("bradleyTerry fails fast past the pair-collect cap (ADVICE r9)") {
+    import graft.operators.Labels
+    // 3 players generate 6 symmetric distinct pairs > maxPairs = 2;
+    // the limit bounds the collect itself, the require names the dial
+    val m = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("w", "l")
+    val ex = intercept[IllegalArgumentException] {
+      Labels.bradleyTerry(m, "w", "l", maxPairs = 2)
+    }
+    assert(ex.getMessage.contains("maxPairs"))
+  }
+
   test("preference pairs: margin gate and singleton groups drop out") {
     import graft.operators.Labels
     val responses = Seq(
