@@ -58,6 +58,8 @@ import scala.jdk.CollectionConverters._
   *   SPARK_GRAFT_ORDER=declared|reverse|name   execution order (default declared)
   *   SPARK_GRAFT_REPEAT=N     baseline passes (default 2; 1 = raw single pass)
   *   SPARK_GRAFT_MAX_REPEAT=N cap on noise-triggered extra passes (default 4)
+  *   SPARK_GRAFT_AQE=on|off   adaptive execution (default on; "off" probes
+  *                            static-plan sensitivity, VERDICT r9 #8)
   */
 object Bench {
 
@@ -124,8 +126,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_AQE=off benches with adaptive execution disabled —
+    // the plan-shape sensitivity probe (VERDICT r9 #8): a suite whose
+    // total collapses without AQE was leaning on runtime re-planning
+    // to paper over a static-plan problem. PipelineOpsSpec already
+    // sweeps row-identity under AQE on/off at spec scale; this is the
+    // same sweep for sf0.1 wall time.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "on") match {
+      case "off" => false
+      case "on"  => true
+      case other =>
+        System.err.println(s"[bench] SPARK_GRAFT_AQE must be on|off, got: $other")
+        sys.exit(2); false
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -294,7 +310,7 @@ object Bench {
       else canaryMax / canaryFloor
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","policy":"min-of-$pass",""" +
       s""""cpuTotal":${fmt(cpuTotal)},"queries":$qs,"cpu":$cpuQs,"errors":$errs,""" +
-      s""""cleanPass":$anyClean,"worstCanaryRatio":${fmt(worstCanary)},"sf":"$sfDir"}"""
+      s""""cleanPass":$anyClean,"worstCanaryRatio":${fmt(worstCanary)},"aqe":"${if (aqe) "on" else "off"}","sf":"$sfDir"}"""
     val evidence = s"""{"summary":$line,"passQuality":${passQuality.mkString("[", ",", "]")},""" +
       s""""jvm":${jvmRows.mkString("[", ",", "]")}}"""
     // The driver captures only the last ~2000 bytes of the run's output
@@ -321,7 +337,7 @@ object Bench {
           s""""worstCanaryRatio":${fmt(worstCanary)},"nQueries":${best.size},""" +
           s""""fullIn":"BENCH_EVIDENCE.json","nErrors":${failures.size},""" +
           s""""errors":$errsShort,"queries":{"""
-        val tailPart = s"""},"sf":"$sfDir"}"""
+        val tailPart = s"""},"aqe":"${if (aqe) "on" else "off"}","sf":"$sfDir"}"""
         val entries = best.toSeq.sortBy(-_._2)
           .map { case (k, v) => jstr(k) + ":" + fmt(v) }
         val sb = new StringBuilder(head)

@@ -22,11 +22,28 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * collect here is deliberate and scale-safe; the 100 TB data path never
   * goes through this class.
   */
-final class FeatureCatalog(val spark: SparkSession, val root: String) {
+final class FeatureCatalog(val spark: SparkSession, val root: String,
+    val maxCatalogRows: Int = FeatureCatalog.MaxCatalogRows) {
   import spark.implicits._
 
   private val featuresDir = s"$root/features"
   private val groupsDir = s"$root/groups"
+
+  /** Catalog-table collects are driver-side BY DESIGN (registry rows
+    * are metadata, 10³–10⁵ realistically) — but design intent is not a
+    * bound, so every whole-table collect rides a limit that caps the
+    * transfer at [[FeatureCatalog.MaxCatalogRows]]+1 rows and fails
+    * LOUDLY past it (VERDICT r9 #9, the `maxPlayers` pattern): a
+    * pathological million-row registry errors with the dial named
+    * instead of slowly OOMing the driver. */
+  private def boundedCollect[T](ds: Dataset[T], table: String): Seq[T] = {
+    val rows = ds.limit(maxCatalogRows + 1).collect().toSeq
+    require(rows.length <= maxCatalogRows,
+      s"catalog table '$table' exceeds maxCatalogRows=$maxCatalogRows — " +
+        "this registry has outgrown driver-side catalog semantics; " +
+        "shard it or raise the bound")
+    rows
+  }
 
   // ---- versioned-dir plumbing -------------------------------------------
 
@@ -224,7 +241,8 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
     val deduped = stamped.reverse.distinctBy(_.name).reverse
     val names = deduped.map(_.name).toSet
     withLock(featuresDir) {
-      val kept = features.collect().filterNot(f => names.contains(f.name))
+      val kept = boundedCollect(features, "features")
+        .filterNot(f => names.contains(f.name))
       writeTable(featuresDir, spark.createDataset((kept ++ deduped).toSeq))
     }
     stamped
@@ -238,12 +256,12 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
   def listFeatures(entityType: Option[String] = None): Seq[FeatureDef] = {
     val base = features.filter($"isActive")
     val filtered = entityType.fold(base)(et => base.filter($"entityType" === et))
-    filtered.orderBy($"entityType", $"name").collect().toSeq
+    boundedCollect(filtered.orderBy($"entityType", $"name"), "features")
   }
 
   /** Soft delete (reference `is_active` flag, feature_store.py:164). */
   def deactivateFeature(name: String): Unit = withLock(featuresDir) {
-    val updated = features.collect().map(f =>
+    val updated = boundedCollect(features, "features").map(f =>
       if (f.name == name) f.copy(isActive = false) else f)
     writeTable(featuresDir, spark.createDataset(updated.toSeq))
   }
@@ -267,7 +285,7 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
   def createGroup(g: FeatureGroup): FeatureGroup = {
     if (!FeatureGroup.Frequencies.contains(g.frequency))
       throw new IllegalArgumentException(s"Invalid frequency: ${g.frequency}")
-    val registered = features.map(_.name).collect().toSet
+    val registered = boundedCollect(features.map(_.name), "features").toSet
     val missing = g.features.filterNot(registered)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
@@ -279,7 +297,8 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
       if (groups.filter(x => x.name == g.name && x.version == g.version).count() > 0)
         throw new IllegalArgumentException(
           s"Group ${g.name} version ${g.version} already exists")
-      writeTable(groupsDir, spark.createDataset(groups.collect().toSeq :+ stamped))
+      writeTable(groupsDir,
+        spark.createDataset(boundedCollect(groups, "groups") :+ stamped))
     }
     stamped
   }
@@ -295,10 +314,14 @@ final class FeatureCatalog(val spark: SparkSession, val root: String) {
 
   /** R11 `list_groups` (feature_store.py:510-516). */
   def listGroups(): Seq[FeatureGroup] =
-    groups.orderBy($"name", $"version").collect().toSeq
+    boundedCollect(groups.orderBy($"name", $"version"), "groups")
 }
 
 object FeatureCatalog {
+  /** Hard cap on rows any catalog-table collect may pull to the
+    * driver — past this, registry semantics (whole-table upserts,
+    * in-memory ordering) stop being metadata operations. */
+  val MaxCatalogRows: Int = 1000000
   /** Give up waiting for a contended lock after this long. */
   val LockTimeoutMs: Long = 30000L
   /** Steal a lock file older than this (owner presumed dead). */

@@ -331,7 +331,18 @@ object Similarity {
     * the quadratic blow-up the clustering exists to avoid; drops are
     * observable under "semdedup_cells". Downstream, feed the pairs to
     * [[Dedup.removePairs]] / ConnectedComponents for the keep-one
-    * policy. */
+    * policy.
+    *
+    * THE OCCUPANCY DIAL (VERDICT r9 #7): per-cell work is occupancy²,
+    * and occupancy at FIXED nCells grows linearly with the corpus —
+    * 10× the rows through the same nCells is 100× the pair work.
+    * Production callers must scale nCells with the corpus: pass
+    * `nCells = cellsForOccupancy(corpus rows, targetOccupancy)` so
+    * mean occupancy (and with it Σ cell²/corpus) stays constant as
+    * data grows; watch the realized distribution with
+    * [[assignCells]] + [[Guards.oversizedBuckets]]. The declared
+    * `q_semdedup` keeps a FIXED test-scale nCells only because its
+    * oracle replays the exact clustering. */
   def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, trainIters: Int = 2, trainFraction: Double = 1.0,
       threshold: Double, maxCell: Int = 2000): DataFrame = {
@@ -351,6 +362,32 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("cell"), col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** The nCells that holds mean cell occupancy at `targetOccupancy`
+    * rows as the corpus grows — [[semDedupPairs]]' scale dial made
+    * explicit: Σ cell² per corpus row ≈ targetOccupancy stays
+    * constant instead of growing linearly at fixed nCells. Capped at
+    * 2²⁰ cells — the centroid frame is driver-collected and
+    * broadcast, so past the cap (rows > occupancy·2²⁰) split the
+    * corpus into shards or move to the coarse-then-fine IVF/PQ
+    * hierarchy rather than growing one flat quantizer. */
+  def cellsForOccupancy(rows: Long, targetOccupancy: Int): Int = {
+    require(rows >= 0 && targetOccupancy >= 1,
+      s"cellsForOccupancy(rows=$rows, targetOccupancy=$targetOccupancy)")
+    val cells = (rows + targetOccupancy - 1) / targetOccupancy
+    math.max(1L, math.min(cells, 1L << 20)).toInt
+  }
+
+  /** Cell assignment of the full corpus under a [[kmeansFit]]
+    * quantizer — (id, cell) rows, zero-shuffle map-side argmax. The
+    * occupancy monitor composition: feed the result to
+    * [[Guards.oversizedBuckets]] to see which cells exceed the
+    * [[semDedupPairs]] cap (and whether nCells has fallen behind
+    * corpus growth). */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      cent: Seq[(Long, Seq[Double])]): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"),
+      cellOf(cent, col(vecCol)).as("cell"))
 
   /** Top-nProbe cells per query against the centroid frame. */
   private def ivfProbes(queries: DataFrame, centDf: DataFrame,

@@ -218,6 +218,31 @@ class DriftMiningSpec extends SparkSpec {
     }
   }
 
+  test("cellsForOccupancy holds cell occupancy constant as rows grow (VERDICT r9 #7)") {
+    // unit-circle corpus at n and 4n rows; nCells derives from the
+    // helper, so mean occupancy is ~target at BOTH sizes and the
+    // realized max stays within a small multiple — at FIXED nCells the
+    // 4n max would be ~4× instead
+    def circle(n: Int) = (0 until n).map { i =>
+      val th = 2.0 * math.Pi * i / n
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val target = 30
+    val occ = Seq(240, 960).map { n =>
+      val corpus = circle(n)
+      val nCells = Similarity.cellsForOccupancy(n.toLong, target)
+      assert(nCells == n / target)
+      val cent = Similarity.kmeansFit(corpus, "vec_id", "embedding", nCells)
+      val sizes = Similarity.assignCells(corpus, "vec_id", "embedding", cent)
+        .groupBy("cell").count().as[(Long, Long)].collect().map(_._2)
+      (sizes.sum.toDouble / nCells, sizes.max)
+    }
+    occ.foreach { case (mean, max) =>
+      assert(mean == target.toDouble, s"mean occupancy $mean != $target")
+      assert(max <= 4L * target, s"max occupancy $max blew past 4×target")
+    }
+  }
+
   test("semDedupPairs: capBuckets drops an oversize cell entirely") {
     // every vector identical → one cell holds everything; cap below
     // the cell size must produce zero pairs (and not a b² explosion)

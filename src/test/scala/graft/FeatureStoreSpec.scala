@@ -24,6 +24,21 @@ class FeatureStoreSpec extends SparkSpec {
     c
   }
 
+  test("catalog collects fail loudly past maxCatalogRows (VERDICT r9 #9)") {
+    // bound shrunk to 3 so the guard is exercised at spec scale; the
+    // limit caps the transfer, the require names the dial
+    val c = new FeatureCatalog(spark, tmpDir("catalog"), maxCatalogRows = 3)
+    c.registerFeatures((1 to 4).map(i => FeatureDef(s"f$i", "user", "int")))
+    val ex = intercept[IllegalArgumentException] { c.listFeatures() }
+    assert(ex.getMessage.contains("maxCatalogRows"))
+    // mutation paths ride the same guard: the upsert's whole-table
+    // read-modify-write must refuse rather than collect past the cap
+    val ex2 = intercept[IllegalArgumentException] {
+      c.registerFeature(FeatureDef("f5", "user", "int"))
+    }
+    assert(ex2.getMessage.contains("maxCatalogRows"))
+  }
+
   test("register + get feature round-trip") {
     val c = registered()
     val f = c.getFeature("age")
