@@ -6319,6 +6319,124 @@ $roundCtes"""
       LEFT JOIN perq p ON q.vec_id = p.query_id
       ORDER BY query_id"""))
 
+  /** Rank-sum AUC ([[graft.operators.Eval.aucRankSum]], r10): the
+    * en-stopword density score evaluated as an English-detector
+    * against the lang label — threshold-free scorer validation. The
+    * rank window runs over the 6-dp-score-keyed aggregate (≤ 10⁶+1
+    * rows for a [0,1] score — precision-bounded, audited in the
+    * PlanSpec single-partition-window gate), never the corpus. */
+  private val aucQ = Q("q_auc",
+    (s, d) => {
+      val toks = TextFns.tokens(lower(col("text")))
+      val score = round(
+        size(array_intersect(toks,
+          array(TextFns.Stopwords("en").map(lit): _*))).cast(DoubleType) /
+          greatest(size(toks), lit(1)).cast(DoubleType), 6)
+      graft.operators.Eval.aucRankSum(
+        Tables.documents(s, d), score, col("lang") === "en")
+    },
+    Some("""
+      WITH t AS (
+        SELECT round(CAST(len(list_distinct(list_intersect(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 ['the','a','of','and','to','in','is','it','that','for'])))
+                 AS DOUBLE)
+               / CAST(greatest(len(string_split_regex(trim(lower(text)),
+                 '\s+')), 1) AS DOUBLE), 6) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      b AS (SELECT s, count(*) AS n, sum(y) AS np FROM t GROUP BY s),
+      r AS (
+        SELECT s, n, np,
+               coalesce(sum(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM b),
+      a AS (
+        SELECT sum(np * (2 * cum_before + n + 1)) AS two_rs,
+               sum(np) AS n_pos, sum(n) - sum(np) AS n_neg
+        FROM r)
+      SELECT CAST(n_pos AS BIGINT) AS n_pos,
+             CAST(n_neg AS BIGINT) AS n_neg,
+             round((CAST(two_rs AS DOUBLE)
+                    - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+               AS auc
+      FROM a"""))
+
+  /** Reliability diagram ([[graft.operators.Eval.calibrationBins]],
+    * r10): the same en-stopword score binned into 10 probability
+    * buckets against the lang outcome — per-bin observed rate vs mean
+    * score, the calibration audit that decides whether a curation
+    * threshold on the score means what it says. The score here is
+    * stopword COVERAGE (fraction of the 10-word en inventory present
+    * — spreads the full [0,1] range, unlike the density score whose
+    * mass sits in 2 bins). Map-side binning + one 10-row aggregate. */
+  private val calibrationQ = Q("q_calibration_bins",
+    (s, d) => {
+      val toks = TextFns.tokens(lower(col("text")))
+      val score = round(
+        size(array_intersect(toks,
+          array(TextFns.Stopwords("en").map(lit): _*))).cast(DoubleType) /
+          lit(10.0), 6)
+      graft.operators.Eval.calibrationBins(
+          Tables.documents(s, d), score, col("lang") === "en")
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT round(CAST(len(list_distinct(list_intersect(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 ['the','a','of','and','to','in','is','it','that','for'])))
+                 AS DOUBLE) / 10.0, 6) AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      b AS (
+        SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+               count(*) AS n,
+               sum(CAST(p AS DECIMAL(18,6))) AS sp,
+               sum(y) AS pos
+        FROM t GROUP BY 1)
+      SELECT bin, n,
+             round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_p,
+             round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+             round(abs(round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               - round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6)
+               AS gap
+      FROM b ORDER BY bin"""))
+
+  /** Deterministic bootstrap CI
+    * ([[graft.operators.Eval.bootstrapMeanCI]], r10): per-source mean
+    * doc length with hash-derived 2.5/97.5 error bars — 32 replicate
+    * subsamples keyed md5('boot' ‖ rep ‖ ':' ‖ doc_id) at the 48-bit
+    * half cut, so a restarted job re-derives the identical interval.
+    * One 32-way map-side explode, one (source × rep) exact-sum
+    * aggregate, exact percentiles over the 32-row replicate frames. */
+  private val bootstrapQ = Q("q_bootstrap_ci",
+    (s, d) => graft.operators.Eval.bootstrapMeanCI(
+        Tables.documents(s, d), col("source"), col("doc_id"),
+        col("n_chars"))
+      .withColumnRenamed("g", "source")
+      .orderBy(col("source")),
+    Some("""
+      WITH r AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v,
+               unnest(range(32)) AS rep
+        FROM documents),
+      k AS (
+        SELECT * FROM r
+        WHERE substr(md5('boot' || CAST(rep AS VARCHAR) || ':'
+                     || CAST(doc_id AS VARCHAR)), 1, 12)
+              < '800000000000'),
+      m AS (
+        SELECT source, rep,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mv
+        FROM k GROUP BY 1, 2)
+      SELECT source, count(*) AS n_reps,
+             round(quantile_cont(mv, 0.025), 6) AS mean_lo,
+             round(quantile_cont(mv, 0.975), 6) AS mean_hi
+      FROM m GROUP BY source ORDER BY source"""))
+
   /** Market-basket co-occurrence with lift: event-type PAIRS that
     * appear for the same user, support + lift = P(ab)/(P(a)P(b)) —
     * association mining where the self-join runs over the DISTINCT
@@ -7283,6 +7401,7 @@ $roundCtes"""
     weightedP90, concurrencyQ, timeToConvert,
     behaviorEntropy, moversQ, readabilityQ, rfmQ, dailyAnomaly,
     survivalCurve, benfordQ, cusumQ, autocorrQ,
+    aucQ, calibrationQ, bootstrapQ,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
     mediaVideo)
 

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Classifier/score evaluation over corpus-scale frames (r10).
+  *
+  * A curation pipeline lives and dies by its scorers — language-ID,
+  * quality, toxicity, dedup-confidence — and the eval loop that
+  * validates them must run at corpus scale with the same determinism
+  * contract as everything else here: exact integral/decimal
+  * accumulation wherever order could drift a result, one fixed double
+  * chain at the end, 6-dp rounds. The reference has no eval surface
+  * (`feature_store.py` stops at `statistics`); these are the standard
+  * measures a scorer-gated ingest needs, built Spark-first.
+  */
+object Eval {
+
+  /** Mann-Whitney rank-sum AUC of `score` against boolean `label`
+    * with average-rank tie handling — THE threshold-free measure of a
+    * scorer's discrimination ("how often does a random positive
+    * outscore a random negative"). Returns one row
+    * `(n_pos, n_neg, auc)`.
+    *
+    * Plan: scores round to 6 dp and fold to a score-keyed count table
+    * FIRST (the majority-vote shrink — the raw frame never sorts), so
+    * the single rank window runs over ≤ 10⁶+1 distinct-score rows for
+    * any score in [0,1] — bounded by the score's precision, not by
+    * corpus size. Rank sums stay INTEGRAL end-to-end (doubled to
+    * avoid the +½ of average ranks, accumulated in DECIMAL(38,0) so a
+    * 10⁹-row frame cannot overflow a long); the one double division
+    * is the final AUC. */
+  def aucRankSum(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val byScore = df
+      .select(round(score, 6).as("s"),
+        when(label, lit(1L)).otherwise(lit(0L)).as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      // 2 × (rank-sum of positives at this tied score): the average
+      // rank of an n-row tie block starting after cum_before rows is
+      // cum_before + (n+1)/2 — doubled it is integral, exact
+      .withColumn("two_rs", col("np").cast(dec) *
+        (lit(2L) * col("cum_before") + col("n") + lit(1L)).cast(dec))
+      .agg(sum(col("two_rs")).as("two_rank_sum"),
+        sum(col("np")).cast("long").as("n_pos"),
+        (sum(col("n")) - sum(col("np"))).cast("long").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("two_rank_sum").cast(DoubleType) -
+          col("n_pos").cast(DoubleType) *
+            (col("n_pos") + lit(1L)).cast(DoubleType)) /
+          (lit(2.0) * col("n_pos").cast(DoubleType) *
+            col("n_neg").cast(DoubleType)), 6).as("auc"))
+  }
+
+  /** Reliability diagram: probability-bin calibration of a [0,1]
+    * score against a boolean outcome — `(bin, n, mean_p, frac_pos,
+    * gap)` per occupied bin, `gap = |frac_pos − mean_p|` (the
+    * per-bin term of expected calibration error). A scorer can have
+    * perfect AUC and still be uncalibrated — this is the measure that
+    * says whether "p ≥ 0.8" is a usable curation threshold.
+    *
+    * Pure map-side binning + one nBins-keyed aggregate with map-side
+    * combine; 6-dp score rounds accumulate in DECIMAL(18,6) so the
+    * bin means replay exactly under any partitioning. */
+  def calibrationBins(df: DataFrame, p: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"calibrationBins: nBins=$nBins")
+    val p6 = round(p, 6)
+    df.select(
+        least(floor(p6 * nBins).cast("int"), lit(nBins - 1)).as("bin"),
+        p6.cast(DecimalType(18, 6)).as("p"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        sum(col("y")).as("pos"))
+      .select(col("bin"), col("n"),
+        round(col("sp").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("mean_p"),
+        round(col("pos").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("frac_pos"),
+        round(abs(round(col("pos").cast(DoubleType) /
+            col("n").cast(DoubleType), 6) -
+          round(col("sp").cast(DoubleType) / col("n").cast(DoubleType), 6)),
+          6).as("gap"))
+  }
+
+  /** Deterministic m-out-of-n bootstrap CI for a per-group mean —
+    * error bars on corpus statistics without an RNG: replicate `b`
+    * subsamples via the [[Sampling.sampleByHash]] 48-bit cut keyed on
+    * (replicate, row key), so membership is a pure function of the
+    * data and a restarted job re-derives the same interval. Returns
+    * `(group, n_reps, mean_lo, mean_hi)` — the exact-percentile
+    * 2.5/97.5 band over the replicate means.
+    *
+    * Plan: one b-way map-side explode (b is a constant, not data),
+    * the hash-cut filter, one (group × replicate)-keyed aggregate
+    * with exact integral sums, then exact percentiles over the
+    * b-row-per-group replicate frame — group-bounded, never
+    * corpus-sorted. */
+  def bootstrapMeanCI(df: DataFrame, group: Column, key: Column,
+      value: Column, b: Int = 32, fraction: Double = 0.5,
+      seed: String = "boot"): DataFrame = {
+    require(b >= 8 && b <= 1024, s"bootstrapMeanCI: b=$b")
+    val exploded = df.select(group.as("g"), key.as("k"),
+        value.cast("long").as("v"))
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+    val kept = Sampling.sampleByHash(exploded,
+      concat_ws(":", col("rep"), col("k")), fraction, seed)
+    val repMeans = kept.groupBy(col("g"), col("rep"))
+      .agg(round(sum(col("v")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 6).as("mv"))
+    repMeans.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_reps"),
+        round(expr("percentile(mv, 0.025)"), 6).as("mean_lo"),
+        round(expr("percentile(mv, 0.975)"), 6).as("mean_hi"))
+  }
+}

@@ -530,6 +530,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(("A", 1.0, 1.0)))
   }
 
+  test("aucRankSum: hand-computed AUC with average-rank ties") {
+    import graft.operators.Eval
+    // ascending: 0.2(−) r1, {0.5(+), 0.5(−)} avg rank 2.5, 0.8(+) r4
+    // R_pos = 2.5 + 4 = 6.5; U = 6.5 − 2·3/2 = 3.5; AUC = 3.5/4
+    val df = Seq((0.5, true), (0.5, false), (0.2, false), (0.8, true))
+      .toDF("s", "y")
+    val r = Eval.aucRankSum(df, col("s"), col("y"))
+      .as[(Long, Long, Double)].head()
+    assert(r == ((2L, 2L, 0.875)))
+  }
+
+  test("aucRankSum: perfect separation and pure noise anchor at 1 and 1/2") {
+    import graft.operators.Eval
+    val perfect = Seq((0.1, false), (0.2, false), (0.3, true), (0.4, true))
+      .toDF("s", "y")
+    assert(Eval.aucRankSum(perfect, col("s"), col("y"))
+      .select("auc").as[Double].head() == 1.0)
+    // all scores identical: every pair is a tie → AUC exactly 1/2
+    val flat = Seq((0.7, true), (0.7, false), (0.7, true), (0.7, false))
+      .toDF("s", "y")
+    assert(Eval.aucRankSum(flat, col("s"), col("y"))
+      .select("auc").as[Double].head() == 0.5)
+  }
+
+  test("calibrationBins: hand-computed bins, 1.0 clamps into the top bin") {
+    import graft.operators.Eval
+    val df = Seq((0.05, false), (0.15, true), (0.95, true), (1.0, true))
+      .toDF("p", "y")
+    val r = Eval.calibrationBins(df, col("p"), col("y"))
+      .orderBy("bin")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      (0, 1L, 0.05, 0.0, 0.05),
+      (1, 1L, 0.15, 1.0, 0.85),
+      (9, 2L, 0.975, 1.0, 0.025)))
+  }
+
+  test("bootstrapMeanCI: deterministic, ordered, group-complete") {
+    import graft.operators.Eval
+    val docs = Tables.documents(spark, sf).limit(300)
+    def ci() = Eval.bootstrapMeanCI(docs, col("source"), col("doc_id"),
+        col("n_chars"))
+      .orderBy("g").as[(String, Long, Double, Double)].collect().toSeq
+    val a = ci()
+    assert(a == ci(), "hash bootstrap must replay identically")
+    assert(a.map(_._1) == a.map(_._1).sorted && a.nonEmpty)
+    a.foreach { case (g, nReps, lo, hi) =>
+      assert(nReps == 32L, s"$g: $nReps replicates")
+      assert(lo <= hi, s"$g: interval inverted [$lo, $hi]")
+    }
+  }
+
   test("bradleyTerry fails fast past the pair-collect cap (ADVICE r9)") {
     import graft.operators.Labels
     // 3 players generate 6 symmetric distinct pairs > maxPairs = 2;

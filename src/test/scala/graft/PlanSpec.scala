@@ -298,13 +298,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // alone does NOT bound — groupBy(user_id) is data-sized at 10⁹
     // users, which is exactly how q_rfm slipped through r9. Audited
     // keys: `__bucket` (the StableIds offsets frame — #buckets rows by
-    // construction) and q_daily_anomaly's calendar-day key (one row
-    // per day of history).
+    // construction), q_daily_anomaly's calendar-day key (one row per
+    // day of history), and q_auc's 6-dp-rounded [0,1] score key
+    // (≤ 10⁶+1 rows at any corpus size — precision-bounded).
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.{GlobalLimitExec,
       LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
     import org.apache.spark.sql.execution.window.WindowExec
-    val auditedKeyedAggQueries = Set("q_daily_anomaly")
+    val auditedKeyedAggQueries = Set("q_daily_anomaly", "q_auc")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       val unbounded = collectWithSubqueries(plan) {
