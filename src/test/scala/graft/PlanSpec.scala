@@ -332,6 +332,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"data-sized single-partition windows in: ${offenders.sorted.mkString(", ")}")
   }
 
+  test("no declared query funnels unbounded data through a SinglePartition exchange") {
+    // The exchange-level generalization of the window gate: ANY
+    // SinglePartition shuffle whose input is not aggregate- or
+    // limit-bounded serializes data-sized rows through one task —
+    // whether a window, a global sort, or a coalesce(1) consumes it.
+    // Green across all declared queries as of r10; this pins it.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec,
+      LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      val unbounded = collectWithSubqueries(plan) {
+        case s: ShuffleExchangeLike
+            if s.outputPartitioning.numPartitions == 1 => s
+      }.filter { s =>
+        collectWithSubqueries(s.child) {
+          case a: BaseAggregateExec => a: Any
+          case l: GlobalLimitExec => l: Any
+          case l: LocalLimitExec => l: Any
+          case t: TakeOrderedAndProjectExec => t: Any
+          case c: CollectLimitExec => c: Any
+        }.isEmpty
+      }
+      if (unbounded.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded SinglePartition exchanges in: ${offenders.sorted.mkString(", ")}")
+  }
+
   test("epoch shuffle and rfm window only on StableIds buckets") {
     // The generic gate above cannot see a LOW-CARDINALITY partition
     // key (a window partitioned by the 2-value epoch column is one
