@@ -2738,6 +2738,43 @@ $roundCtes"""
                i -> (s[i + 1] >= 0) <> (s[i] >= 0))) AS INT) AS zero_cross
       FROM d ORDER BY media_id"""))
 
+  /** Perceptual audio envelope hash
+    * ([[graft.multimodal.Multimodal.audioEnvelopeHash]], r10): REAL
+    * WAV decode → 16-frame |s| energy envelope → 15 adjacent-frame
+    * comparison bits + argmax frame — the audio-near-dup sketch
+    * (amplitude-rescaled copies keep the hash; byte fingerprints
+    * don't). The oracle replays the envelope arithmetic from the
+    * synthetic sample formula, so the REAL decode path is
+    * hash-verified bit-for-bit, the q_media_audio convention. */
+  private val mediaFingerprint = Q("q_media_fingerprint",
+    (s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticAudio(
+        Tables.documents(s, d))
+      graft.multimodal.Multimodal.audioEnvelopeHash(s, media).toDF()
+        .select(col("media_id"), col("ehash"), col("peak_frame"),
+          col("n_frames"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+      p AS (
+        SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+      e AS (
+        SELECT doc_id, CAST((i * 16) // n AS INT) AS f,
+               sum(abs((doc_id * 7 + i * 13) % 2048 - 1024)) AS en
+        FROM p GROUP BY 1, 2),
+      l AS (
+        SELECT doc_id, list(en ORDER BY f) AS es FROM e GROUP BY doc_id)
+      SELECT doc_id AS media_id,
+             CAST(list_sum(list_transform(range(15),
+               f -> CASE WHEN es[f + 1] > es[f + 2]
+                    THEN CAST(1 AS BIGINT) << f
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ehash,
+             CAST(list_position(es, list_max(es)) - 1 AS INT) AS peak_frame,
+             CAST(16 AS INT) AS n_frames
+      FROM l ORDER BY media_id"""))
+
   /** Time-based rolling features (SURVEY §2.B window frames, the
     * rangeBetween half — VERDICT r4 #4): per-user trailing-1h sum and
     * count over the event stream. The frame is value-based (micros
@@ -7403,7 +7440,7 @@ $roundCtes"""
     survivalCurve, benfordQ, cusumQ, autocorrQ,
     aucQ, calibrationQ, bootstrapQ,
     mediaFeatures, mediaFrames, mediaDecode, mediaResize, mediaAudio,
-    mediaVideo)
+    mediaFingerprint, mediaVideo)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -442,6 +442,73 @@ object Multimodal {
       }
   }
 
+  final case class AudioHash(
+      media_id: Long, ehash: Long, peak_frame: Int, n_frames: Int)
+
+  /** Perceptual audio envelope hash — the [[imageDHash]] idea on the
+    * time axis (r10): REAL WAV decode, samples split into `frames`
+    * contiguous runs (sample i → frame ⌊i·F/n⌋), per-frame energy
+    * Σ|s| in exact longs, then F−1 bits of adjacent-frame energy
+    * comparisons plus the argmax frame (ties → earliest). Energy
+    * ORDER comparisons are invariant under amplitude scaling, so a
+    * re-normalized copy of a clip keeps the same hash while byte
+    * fingerprints see a different file — the audio-near-dup key; pair
+    * candidates via exact ehash equality or Hamming-banded buckets,
+    * exactly like the image path. A frame with no samples (n < F)
+    * contributes energy 0. Same per-partition reader lifecycle as
+    * [[decodeWav]]. */
+  def audioEnvelopeHash(spark: SparkSession, media: DataFrame,
+      frames: Int = 16): Dataset[AudioHash] = {
+    require(frames >= 2 && frames <= 64, s"audioEnvelopeHash: frames=$frames")
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        import scala.jdk.CollectionConverters._
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator.asScala.toList
+          .sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1)
+        def open(payload: Array[Byte]) = readers.iterator
+          .flatMap { r =>
+            try Iterator.single(r.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload)))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                Iterator.empty
+            }
+          }
+          .nextOption()
+          .getOrElse(throw new javax.sound.sampled.UnsupportedAudioFileException(
+            "no AudioFileReader provider accepted the payload"))
+        rows.map { case (id, payload) =>
+          val ais = open(payload)
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected PCM16 mono, got $fmt")
+          val bytes = ais.readAllBytes()
+          ais.close()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 2
+          val energy = Array.fill(frames)(0L)
+          var i = 0
+          while (i < n) {
+            energy((i.toLong * frames / n).toInt) +=
+              math.abs(bb.getShort(i * 2).toInt).toLong
+            i += 1
+          }
+          var bits = 0L
+          var f = 0
+          while (f < frames - 1) {
+            if (energy(f) > energy(f + 1)) bits |= (1L << f)
+            f += 1
+          }
+          AudioHash(id, bits, energy.indexOf(energy.max), frames)
+        }
+      }
+  }
+
   /** Mint a real WAV clip per document: length and a sawtooth-ish
     * sample ramp derived from doc_id (s(i) = (doc_id·7 + i·13) mod 2048
     * − 1024), so the decoded statistics are arithmetic over doc_id —

@@ -120,6 +120,33 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes(1L) != 0L, "gradient image must not hash to the flat field")
   }
 
+  test("audioEnvelopeHash: amplitude-invariant, envelope-sensitive, short-clip-safe (r10)") {
+    // clip A: energy ramps up over time; clip B: A at half amplitude
+    // (same envelope ORDER → identical hash, where a byte fingerprint
+    // differs); clip C: A reversed (descending envelope → different
+    // hash, peak frame at the other end); clip D: fewer samples than
+    // frames (empty frames contribute energy 0 — must not throw)
+    def wav(samples: Array[Short]) =
+      Multimodal.encodeWavPcm16(8000, samples)
+    val a = Array.tabulate(160)(i => (i * 50).toShort)
+    val b = a.map(s => (s / 2).toShort)
+    val c = a.reverse
+    val d = Array.tabulate(5)(i => (100 * (i + 1)).toShort)
+    val media = Seq((1L, wav(a)), (2L, wav(b)), (3L, wav(c)), (4L, wav(d)))
+      .toDF("media_id", "payload")
+    val h = Multimodal.audioEnvelopeHash(spark, media)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(h(1L).ehash == h(2L).ehash,
+      "half-amplitude copy must keep the envelope hash")
+    assert(h(1L).ehash != h(3L).ehash,
+      "reversed envelope must hash differently")
+    // ascending envelope: no adjacent pair descends → zero bits, peak
+    // in the last frame; reversed peaks in the first
+    assert(h(1L).ehash == 0L && h(1L).peak_frame == 15)
+    assert(h(3L).peak_frame == 0)
+    assert(h(4L).n_frames == 16, "short clip must decode without error")
+  }
+
   test("resizeImages picks nearest-neighbor source pixels with floor indices") {
     // 4×2 image with pixel(x,y) = y*4 + x; resize to 2×1:
     // sy = 0·2/1 = 0; sx ∈ {0·4/2, 1·4/2} = {0, 2} → pixels 0 and 2
