@@ -5699,6 +5699,184 @@ $roundCtes"""
     * sums (Σx, Σx² of 6-dp-rounded terms are aggregation-order-free;
     * the t arithmetic is one fixed double chain both engines run
     * identically). One keyed aggregate per arm. */
+  /** CUPED variance-reduced A/B readout (r10, Deng et al. 2013): each
+    * user's PRE-experiment activity predicts their post metric, so the
+    * adjusted metric post − θ·(pre − mean(pre)) strips the between-user
+    * variance an arm-mean comparison wastes power on. θ and every
+    * per-arm statistic come from EXACT integer-micro moment sums
+    * (per-user sums of 6-dp values scale to BIGINT micros; squares and
+    * cross products accumulate in DECIMAL(38,0), the q_auc overflow
+    * posture) — the adjusted mean/variance then expand ALGEBRAICALLY
+    * from those arm-level sums (mean_adj = mean_post − θ·(mean_pre_arm
+    * − mean_pre_all); var_adj = var_post − 2θcov + θ²var_pre), so no
+    * order-dependent double ever sums across rows. Two keyed
+    * aggregates + a broadcast of the 1-row pooled frame. */
+  private val cupedQ = Q("q_cuped",
+    (s, d) => {
+      val Split = "2024-01-15 00:00:00"
+      val dec38 = DecimalType(38, 0)
+      val users = Tables.events(s, d)
+        .filter(col("ts") <= to_timestamp(lit(AsOf)))
+        .withColumn("arm", Sampling.foldId(col("user_id"), 2, "ab"))
+        .withColumn("x", round(col("value"), 6).cast(DecimalType(18, 6)))
+        .groupBy(col("user_id"), col("arm"))
+        .agg(
+          (coalesce(sum(when(col("ts") < to_timestamp(lit(Split)),
+            col("x"))), lit(0).cast(DecimalType(18, 6))) * 1000000)
+            .cast("long").as("p"),
+          (coalesce(sum(when(col("ts") >= to_timestamp(lit(Split)),
+            col("x"))), lit(0).cast(DecimalType(18, 6))) * 1000000)
+            .cast("long").as("q"))
+      val moments = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(dec38)).as("sp"),
+          sum(col("q").cast(dec38)).as("sq"),
+          sum(col("p").cast(dec38) * col("p").cast(dec38)).as("spp"),
+          sum(col("q").cast(dec38) * col("q").cast(dec38)).as("sqq"),
+          sum(col("p").cast(dec38) * col("q").cast(dec38)).as("spq"))
+      val pooled = moments.groupBy()
+        .agg(sum(col("n")).as("tn"), sum(col("sp")).as("tsp"),
+          sum(col("sq")).as("tsq"), sum(col("spp")).as("tspp"),
+          sum(col("spq")).as("tspq"))
+        .select(
+          (col("tsp").cast(DoubleType) / col("tn")).as("mean_pre_all"),
+          (((col("tspq").cast(DoubleType) -
+            col("tsp").cast(DoubleType) * col("tsq").cast(DoubleType) /
+              col("tn")) / (col("tn") - 1)) /
+          ((col("tspp").cast(DoubleType) -
+            col("tsp").cast(DoubleType) * col("tsp").cast(DoubleType) /
+              col("tn")) / (col("tn") - 1))).as("theta"))
+      moments.crossJoin(broadcast(pooled))
+        .withColumn("mean_pre", col("sp").cast(DoubleType) / col("n"))
+        .withColumn("mean_post", col("sq").cast(DoubleType) / col("n"))
+        .withColumn("var_post",
+          (col("sqq").cast(DoubleType) -
+            col("sq").cast(DoubleType) * col("sq").cast(DoubleType) /
+              col("n")) / (col("n") - 1))
+        .withColumn("var_pre",
+          (col("spp").cast(DoubleType) -
+            col("sp").cast(DoubleType) * col("sp").cast(DoubleType) /
+              col("n")) / (col("n") - 1))
+        .withColumn("cov",
+          (col("spq").cast(DoubleType) -
+            col("sp").cast(DoubleType) * col("sq").cast(DoubleType) /
+              col("n")) / (col("n") - 1))
+        .withColumn("var_adj",
+          col("var_post") - lit(2.0) * col("theta") * col("cov") +
+            col("theta") * col("theta") * col("var_pre"))
+        .select(col("arm"), col("n").as("n_users"),
+          round(col("mean_post") / 1e6, 6).as("mean_post"),
+          round((col("mean_post") -
+            col("theta") * (col("mean_pre") - col("mean_pre_all"))) / 1e6, 6)
+            .as("mean_adj"),
+          round(col("theta"), 6).as("theta"),
+          round(lit(1.0) - col("var_adj") / col("var_post"), 6)
+            .as("var_reduction"))
+        .orderBy(col("arm"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id,
+               CASE WHEN substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 12)
+                    < '${Sampling.foldCuts(2).head}' THEN 0 ELSE 1 END AS arm,
+               CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                 THEN CAST(round(value, 6) AS DECIMAL(18,6)) END), 0)
+                 * 1000000 AS BIGINT) AS p,
+               CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                 THEN CAST(round(value, 6) AS DECIMAL(18,6)) END), 0)
+                 * 1000000 AS BIGINT) AS q
+        FROM events WHERE ts <= TIMESTAMP '$AsOf'
+        GROUP BY 1, 2),
+      m AS (
+        SELECT arm, count(*) AS n,
+               sum(CAST(p AS HUGEINT)) AS sp, sum(CAST(q AS HUGEINT)) AS sq,
+               sum(CAST(p AS HUGEINT) * p) AS spp,
+               sum(CAST(q AS HUGEINT) * q) AS sqq,
+               sum(CAST(p AS HUGEINT) * q) AS spq
+        FROM u GROUP BY 1),
+      pool AS (
+        SELECT CAST(sum(sp) AS DOUBLE) / sum(n) AS mean_pre_all,
+               ((CAST(sum(spq) AS DOUBLE) - CAST(sum(sp) AS DOUBLE)
+                   * CAST(sum(sq) AS DOUBLE) / sum(n)) / (sum(n) - 1))
+               / ((CAST(sum(spp) AS DOUBLE) - CAST(sum(sp) AS DOUBLE)
+                   * CAST(sum(sp) AS DOUBLE) / sum(n)) / (sum(n) - 1))
+                 AS theta
+        FROM m),
+      x AS (
+        SELECT arm, n,
+               CAST(sp AS DOUBLE) / n AS mean_pre,
+               CAST(sq AS DOUBLE) / n AS mean_post,
+               (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                 / n) / (n - 1) AS var_post,
+               (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                 / n) / (n - 1) AS var_pre,
+               (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE)
+                 / n) / (n - 1) AS cov,
+               mean_pre_all, theta
+        FROM m CROSS JOIN pool)
+      SELECT arm, n AS n_users,
+             round(mean_post / 1e6, 6) AS mean_post,
+             round((mean_post - theta * (mean_pre - mean_pre_all)) / 1e6, 6)
+               AS mean_adj,
+             round(theta, 6) AS theta,
+             round(1.0 - (var_post - 2 * theta * cov
+               + theta * theta * var_pre) / var_post, 6) AS var_reduction
+      FROM x ORDER BY arm"""))
+
+  /** Temperature-mixture token-budget planner (r10): the data-mixing
+    * table a pretraining run is configured from — per-source token
+    * mass T_s, α=0.5 temperature weight w_s ∝ √T_s (up-weights small
+    * sources, the multilingual-sampling standard), planned tokens at a
+    * 1M budget, and the implied epoch/repetition factor planned/T_s
+    * (how many times the source repeats before the budget is spent —
+    * the dial watched against memorization). √ is IEEE-exact both
+    * engines; the 6-dp weight terms sum in exact decimals, planned
+    * counts use floor (never a cross-engine half-round). One
+    * tokenize aggregate + a broadcast of the sources-sized frame. */
+  private val mixturePlanQ = Q("q_mixture_plan",
+    (s, d) => {
+      val perSource = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"))
+        .withColumn("wr",
+          round(sqrt(col("total_tokens").cast(DoubleType)), 6)
+            .cast(DecimalType(28, 6)))
+      val totals = perSource.groupBy().agg(sum(col("wr")).as("w_all"))
+      perSource.crossJoin(broadcast(totals))
+        .withColumn("weight",
+          round(col("wr").cast(DoubleType) /
+            col("w_all").cast(DoubleType), 6))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("weight"),
+          floor(col("weight") * 1000000).cast("long").as("planned_tokens"),
+          round(floor(col("weight") * 1000000) /
+            col("total_tokens").cast(DoubleType), 6).as("epochs"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                 AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source),
+      w AS (
+        SELECT source, n_docs, total_tokens,
+               CAST(round(sqrt(CAST(total_tokens AS DOUBLE)), 6)
+                 AS DECIMAL(28,6)) AS wr
+        FROM t),
+      x AS (
+        SELECT source, n_docs, total_tokens,
+               round(CAST(wr AS DOUBLE)
+                 / CAST((SELECT sum(wr) FROM w) AS DOUBLE), 6) AS weight
+        FROM w)
+      SELECT source, n_docs, total_tokens, weight,
+             CAST(floor(weight * 1000000) AS BIGINT) AS planned_tokens,
+             round(CAST(floor(weight * 1000000) AS DOUBLE)
+               / CAST(total_tokens AS DOUBLE), 6) AS epochs
+      FROM x ORDER BY source"""))
+
   private val abTest = Q("q_ab_test",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -7430,7 +7608,7 @@ $roundCtes"""
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,
     langPurity, qualityDrift, uniformNegatives, stalenessReport,
     epochShuffle, funnelQ, cohortQ, behaviorTrigrams,
-    abTest, infoGain, rendezvousQ, refIntegrity,
+    abTest, cupedQ, mixturePlanQ, infoGain, rendezvousQ, refIntegrity,
     attributionQ, markovTransitions, invertedIndex, jsDivergence,
     hllDistinct, trendingQ, trianglesQ, cmsAudit, rankingEval,
     itemsetPairs, latencyBands, seasonality, partitionManifest,

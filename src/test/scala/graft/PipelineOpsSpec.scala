@@ -530,6 +530,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(("A", 1.0, 1.0)))
   }
 
+  test("q_cuped: adjustment is variance-reducing and arm-mean-preserving on average") {
+    val r = SparkEntry.queries("q_cuped")(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(0, 1), "one row per arm")
+    r.foreach { case (arm, n, meanPost, meanAdj, theta, varRed) =>
+      assert(n > 1, s"arm $arm too small")
+      // pre-activity predicts post-activity on this data, so CUPED
+      // must strictly help — and can never hurt by construction
+      // (theta is the pooled OLS minimizer)
+      assert(varRed > 0.0 && varRed <= 1.0, s"arm $arm var_reduction $varRed")
+      assert(theta == r.head._5, "theta is pooled, identical across arms")
+      // adjustment re-centers by the POOLED pre mean, so each arm's
+      // shift is bounded by theta times its pre-mean offset — sanity:
+      // the adjusted mean stays within 50% of the raw mean's scale
+      assert(math.abs(meanAdj - meanPost) < math.abs(meanPost) * 0.5 + 1.0,
+        s"arm $arm adjusted mean $meanAdj implausibly far from $meanPost")
+    }
+  }
+
+  test("q_mixture_plan: weights normalize, planned tokens respect the budget") {
+    val r = SparkEntry.queries("q_mixture_plan")(spark, sf)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(r.nonEmpty)
+    val wSum = r.map(_._4).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    assert(r.map(_._5).sum <= 1000000L, "floor'd plan never exceeds the budget")
+    r.foreach { case (src, nDocs, tok, w, planned, epochs) =>
+      assert(nDocs > 0 && tok > 0 && w > 0)
+      assert(planned == math.floor(w * 1000000).toLong)
+      assert(math.abs(epochs - planned.toDouble / tok) < 1e-5)
+    }
+    // temperature flattens: the largest source's weight share is below
+    // its raw token share, the smallest's above
+    val big = r.maxBy(_._3); val small = r.minBy(_._3)
+    val tokAll = r.map(_._3).sum.toDouble
+    assert(big._4 < big._3 / tokAll, "alpha=0.5 must down-weight the head")
+    assert(small._4 > small._3 / tokAll, "alpha=0.5 must up-weight the tail")
+  }
+
   test("aucRankSum: hand-computed AUC with average-rank ties") {
     import graft.operators.Eval
     // ascending: 0.2(−) r1, {0.5(+), 0.5(−)} avg rank 2.5, 0.8(+) r4
