@@ -44,6 +44,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("StableIds.assign + ntileFromRank ≡ global ntile window on random frames") {
+    import graft.operators.StableIds
+    for (trial <- 1 to 3) {
+      val tiles = 2 + rnd.nextInt(6)
+      val n = 20 + rnd.nextInt(180)
+      // coarse integer value (many ties) + unique id tie-break — the
+      // exact shape q_rfm rides; bucket = the value itself
+      val rows = Seq.tabulate(n)(i => (rnd.nextInt(12).toLong, i.toLong))
+      val df = rows.toDF("v", "id")
+      val viaWindow = df.withColumn("t",
+          ntile(tiles).over(org.apache.spark.sql.expressions.Window
+            .orderBy($"v", $"id")))
+        .select($"id", $"t".cast("long")).as[(Long, Long)].collect().toMap
+      val ranked = StableIds.assign(df, $"v", Seq($"id"), "rk")
+      val viaRank = ranked.crossJoin(
+          broadcast(df.groupBy().agg(count(lit(1)).as("nn"))))
+        .select($"id",
+          StableIds.ntileFromRank($"rk", $"nn", tiles).as("t"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaRank == viaWindow,
+        s"trial $trial tiles=$tiles n=$n: two-phase ntile diverged")
+    }
+  }
+
+  test("aucRankSum ≡ brute-force pair counting on random scores") {
+    import graft.operators.Eval
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(120)(
+        (rnd.nextInt(15) / 14.0, rnd.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      // AUC = P(pos > neg) + ½P(tie), enumerated over all pairs
+      val wins = (for (p <- pos; q <- neg)
+        yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      val ref = BigDecimal(wins / (pos.size.toLong * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = Eval.aucRankSum(rows.toDF("s", "y"), $"s", $"y")
+        .select($"auc").as[Double].head()
+      assert(got == ref, s"trial $trial: rank-sum $got vs pairs $ref")
+    }
+  }
+
   test("asOfJoin ≡ naive per-row latest-at-or-before on random events") {
     for (trial <- 1 to 2) {
       val leftRows = Seq.tabulate(150)(i =>
