@@ -2224,6 +2224,52 @@ $steps
         ON p.user_id = e.user_id AND p.s >= e.s AND p.s < e.s + 3600
       ORDER BY p.user_id, error_id, purchase_id"""))
 
+  /** Interval×interval overlap join
+    * ([[graft.operators.RangeJoin.intervalOverlap]], r10): per-user
+    * daily VIEW activity spans overlapped against CLICK spans — the
+    * co-activity window report. A theta-join (`ls < re AND rs < le`)
+    * would nested-loop; both span sets explode to hour bins, meet in
+    * an equi-join on (user, bin), and each overlapping pair is kept
+    * exactly once at the bin of its intersection start — no distinct.
+    * Spans are half-open [min, max+1) so touching endpoints do not
+    * overlap. */
+  private val intervalOverlapQ = Q("q_interval_overlap",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      def spans(tpe: String, pfx: String) = e
+        .filter(col("event_type") === tpe)
+        .groupBy(col("user_id"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as(s"${pfx}_day"))
+        .agg(min(unix_timestamp(col("ts"))).as(s"${pfx}_start"),
+          (max(unix_timestamp(col("ts"))) + 1).as(s"${pfx}_end"))
+      graft.operators.RangeJoin.intervalOverlap(
+          spans("view", "v"), spans("click", "c"),
+          "v_start", "v_end", "c_start", "c_end",
+          equiKeys = Seq("user_id"), binWidth = 3600L)
+        .select(col("user_id"), col("v_day"), col("c_day"),
+          (least(col("v_end"), col("c_end")) -
+            greatest(col("v_start"), col("c_start"))).as("overlap_s"))
+        .orderBy(col("user_id"), col("v_day"), col("c_day"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s
+        FROM events),
+      v AS (
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS v_day,
+               min(s) AS v_start, max(s) + 1 AS v_end
+        FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+      c AS (
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS c_day,
+               min(s) AS c_start, max(s) + 1 AS c_end
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT v.user_id, v_day, c_day,
+             least(v_end, c_end) - greatest(v_start, c_start) AS overlap_s
+      FROM v JOIN c ON v.user_id = c.user_id
+        AND v_start < c_end AND c_start < v_end
+      ORDER BY v.user_id, v_day, c_day"""))
+
   /** Corpus tf-idf with rational (integer-exact) idf — see
     * [[graft.operators.CorpusStats]] for why not ln. Two aggs, one
     * term-clustered join, one broadcast scalar, doc-local top-k. */
@@ -7596,6 +7642,7 @@ $roundCtes"""
     ivfAnn, ivfIndexAnn,
     qualityChecks,
     dedupCc, dedupCanonical, hashSample, stratifiedSample, rangeJoin,
+    intervalOverlapQ,
     tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched,
     lmPerplexity, lmDomain, lmInterpolated, kfold,
     countsIncremental,

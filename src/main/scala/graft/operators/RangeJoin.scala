@@ -45,4 +45,40 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join (r10): left [lStart, lEnd) rows
+    * matched to right [rStart, rEnd) rows sharing `equiKeys` whose
+    * spans intersect — the sessions×campaigns / downtime×jobs shape a
+    * raw `ls < re AND rs < le` theta-join would plan as a nested loop.
+    * Both sides explode to their covered bins and meet in an ordinary
+    * equi-join on (keys…, bin); the residual overlap predicate prunes
+    * within-bin non-matches.
+    *
+    * Exactly-once emission WITHOUT a distinct: an overlapping pair
+    * shares every bin their intersection covers, so the join keeps a
+    * pair only in its CANONICAL bin — the bin of the intersection's
+    * start `max(lStart, rStart)`, which both intervals cover by
+    * definition. No dedup exchange, no double counting.
+    *
+    * Same scale dial as [[pointInInterval]]: an interval spans
+    * ⌈len/binWidth⌉ bins, so pick binWidth near the typical interval
+    * length; degenerate/empty intervals (end ≤ start under the
+    * half-open convention) match nothing and are dropped before the
+    * explode. */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      equiKeys: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth")
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    // last covered bin of a half-open interval is bin(end − 1)
+    val l = left.where(col(lEnd) > col(lStart)).withColumn("__bin",
+      explode(sequence(bin(col(lStart)), bin(col(lEnd) - 1))))
+    val r = right.where(col(rEnd) > col(rStart)).withColumn("__bin",
+      explode(sequence(bin(col(rStart)), bin(col(rEnd) - 1))))
+    l.join(r, equiKeys :+ "__bin")
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__bin") === bin(greatest(col(lStart), col(rStart))))
+      .drop("__bin")
+  }
 }

@@ -125,6 +125,38 @@ class SamplingRangeSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("interval overlap join: differential vs naive theta-join, exactly-once") {
+    // pseudo-random spans across 3 users, 0-4 bins wide at binWidth=10,
+    // so multi-bin pairs exercise the canonical-bin dedup-free path
+    val a = (0 until 120).map { i =>
+      val s = (i * 7919L) % 500
+      (i % 3, i.toLong, s, s + 1 + (i * 13L) % 40)
+    }.toDF("uid", "aid", "as", "ae")
+    val b = (0 until 90).map { i =>
+      val s = (i * 104729L) % 500
+      (i % 3, 1000L + i, s, s + 1 + (i * 17L) % 40)
+    }.toDF("uid", "bid", "bs", "be")
+    val gotAll = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be",
+        Seq("uid"), binWidth = 10L)
+      .select("uid", "aid", "bid").as[(Int, Long, Long)].collect().toSeq
+    // exactly-once: no pair may appear twice even when it shares many bins
+    assert(gotAll.size == gotAll.toSet.size, "pair emitted more than once")
+    val want = a.join(b, Seq("uid"))
+      .where($"as" < $"be" && $"bs" < $"ae")
+      .select("uid", "aid", "bid").as[(Int, Long, Long)].collect().toSet
+    assert(gotAll.toSet == want && want.nonEmpty)
+  }
+
+  test("interval overlap join: touching endpoints do not overlap; empty spans drop") {
+    val a = Seq((1, 10L, 0L, 20L), (1, 11L, 50L, 50L)).toDF("uid", "aid", "as", "ae")
+    val b = Seq((1, 100L, 20L, 30L), (1, 101L, 19L, 21L)).toDF("uid", "bid", "bs", "be")
+    val got = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be",
+        Seq("uid"), binWidth = 10L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    // [0,20) touches [20,30) at the endpoint → no match; [19,21) overlaps
+    assert(got == Set((10L, 101L)))
+  }
+
   test("range join: end is exclusive, start inclusive, bin-boundary safe") {
     val points = Seq((1, 10L, 20L), (1, 11L, 29L), (1, 12L, 30L))
       .toDF("uid", "pid", "p") // 20 on start, 30 on exclusive end
