@@ -3256,19 +3256,24 @@ $roundCtes"""
       WHERE abs((value - mu) / sigma) > 3
       ORDER BY event_id"""))
 
-  /** Per-source quality quartiles (ntile) — the bucketing step of
+  /** Per-source quality quartiles — the bucketing step of
     * quality-mixed corpus sampling (curation picks different rates per
-    * quality bucket). The window partitions by source, so the sort
-    * parallelizes across domains instead of funnelling the corpus
-    * through one global ranking. */
+    * quality bucket). `ntile(4) OVER (PARTITION BY source)` would sort
+    * each source's ENTIRE slice in one task (5 sources of a 100 TB
+    * corpus = 5 serial sorts); quartiles instead come from per-source
+    * two-phase ranks ([[graft.operators.StableIds.assignPartitioned]],
+    * bucketed by the integer token count) + the exact map-side
+    * [[graft.operators.StableIds.ntileFromRank]] arithmetic —
+    * bit-identical to the window, oracle unchanged (r10 plan audit). */
   private val qualityBuckets = Q("q_quality_buckets",
     (s, d) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n_tokens"), col("doc_id"))
-      Tables.documents(s, d)
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           TextFns.tokenCount(col("text")).cast("int").as("n_tokens"))
-        .withColumn("quartile", ntile(4).over(w))
+      graft.operators.StableIds.assignPartitioned(toks, Seq("source"),
+          col("n_tokens"), Seq(col("doc_id")), "__rk", Some("__np"))
+        .withColumn("quartile", graft.operators.StableIds
+          .ntileFromRank(col("__rk"), col("__np"), 4).cast("int"))
         .groupBy(col("source"), col("quartile"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tokens")).as("min_tokens"),
@@ -3363,20 +3368,21 @@ $roundCtes"""
     * longest-first doc prefix holding ≤90% of the source's token mass
     * (the "top-p" shape — how much of a domain is its head). The 90%
     * cut is integer arithmetic (cum·10 ≤ total·9), so no float
-    * boundary can flip a row between engines. Both windows share one
-    * exchange+sort on the source. */
+    * boundary can flip a row between engines. The running mass comes
+    * from a per-source two-phase prefix sum
+    * ([[graft.operators.StableIds.prefixSumPartitioned]], bucketed by
+    * the negated length — coarse-monotone in the longest-first order)
+    * instead of a source-partitioned window whose per-source slice is
+    * one task's serial sort at corpus scale (r10 plan audit); sequence
+    * identical, oracle unchanged. */
   private val headMass = Q("q_head_mass",
     (s, d) => {
       val toks = Tables.documents(s, d).select(
         col("source"), col("doc_id"),
         TextFns.tokenCount(col("text")).cast("long").as("n"))
-      val wCum = Window.partitionBy(col("source"))
-        .orderBy(col("n").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("source"))
-      toks
-        .withColumn("cum", sum(col("n")).over(wCum))
-        .withColumn("total", sum(col("n")).over(wAll))
+      graft.operators.StableIds.prefixSumPartitioned(toks, Seq("source"),
+          negate(col("n")), Seq(col("n").desc, col("doc_id")),
+          col("n"), "cum", Some("total"))
         .filter(col("cum") * 10 <= col("total") * 9)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_head_docs"),
@@ -4165,15 +4171,22 @@ $roundCtes"""
   /** Equi-DEPTH histogram (deciles per event_type via ntile) — the
     * partner of q_histogram's equi-width bins: bucket populations are
     * equal by construction and the BOUNDARIES carry the information.
-    * The window partitions by type, so the sort parallelizes across
-    * types instead of one global ranking. */
+    * Deciles come from per-type two-phase ranks
+    * ([[graft.operators.StableIds.assignPartitioned]], bucketed on
+    * ⌊value⌋ — coarse-monotone in the (value, id) order) + exact
+    * [[graft.operators.StableIds.ntileFromRank]] arithmetic; a
+    * type-partitioned ntile window would sort each type's full slice
+    * in one task (r10 plan audit). Oracle unchanged. */
   private val histogramDepth = Q("q_histogram_depth",
     (s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      Tables.events(s, d)
+      val ev = Tables.events(s, d)
         .filter(col("value").isNotNull)
-        .withColumn("decile", ntile(10).over(w))
+        .select(col("event_type"), col("event_id"), col("value"))
+      graft.operators.StableIds.assignPartitioned(ev, Seq("event_type"),
+          floor(col("value")).cast("long"),
+          Seq(col("value"), col("event_id")), "__rk", Some("__np"))
+        .withColumn("decile", graft.operators.StableIds
+          .ntileFromRank(col("__rk"), col("__np"), 10).cast("int"))
         .groupBy(col("event_type"), col("decile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("value")), 6).as("min_v"),
@@ -4981,15 +4994,26 @@ $roundCtes"""
     * comparable across sources (each domain has its own length/style
     * distribution), so curation thresholds cut on the WITHIN-source
     * percentile instead — percent_rank over a total (score, id) order.
-    * Per-source window sort, the per-stream parallelism contract of
-    * sessionize/packing; no global sort. */
+    * The rank comes from a per-source two-phase assignment
+    * ([[graft.operators.StableIds.assignPartitioned]], bucketed on the
+    * integer score) and percent_rank is its closed form
+    * (rank−1)/(n−1) — the (score, id) order is total, so rank equals
+    * row_number and the arithmetic is bit-identical to the window's;
+    * a source-partitioned window would serially sort each domain's
+    * full slice (r10 plan audit). Oracle unchanged. */
   private val scoreCalibration = Q("q_score_calibration",
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("pct", round(percent_rank().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("n_chars"), col("doc_id"))), 6))
-      .orderBy(col("doc_id")),
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.operators.StableIds.assignPartitioned(docs, Seq("source"),
+          col("n_chars"), Seq(col("doc_id")), "__rk", Some("__np"))
+        .withColumn("pct", when(col("__np") > 1,
+            round((col("__rk") - 1).cast(DoubleType) /
+              (col("__np") - 1).cast(DoubleType), 6))
+          .otherwise(lit(0.0)))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pct"))
+        .orderBy(col("doc_id"))
+    },
     Some("""
       SELECT doc_id, source, n_chars,
              round(percent_rank() OVER (PARTITION BY source
@@ -7037,13 +7061,18 @@ $roundCtes"""
           col("t_start").as("ts"), lit(1).as("delta"))
         .unionByName(se.select(col("user_id"), col("session_id"),
           col("t_end").as("ts"), lit(-1).as("delta")))
-      bounds
-        .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
-        .withColumn("cur", sum(col("delta")).over(
-          Window.partitionBy(col("day"))
-            .orderBy(col("ts"), col("delta"), col("user_id"),
-              col("session_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // the running concurrency sum rides a per-day two-phase prefix
+      // sum bucketed by the hour (coarse-monotone in the boundary
+      // order) — a day-partitioned window would funnel every session
+      // boundary of a day through ONE task at corpus scale (r10 plan
+      // audit); sequence identical, oracle unchanged
+      graft.operators.StableIds.prefixSumPartitioned(
+          bounds.withColumn("day",
+            date_format(to_date(col("ts")), "yyyy-MM-dd")),
+          Seq("day"),
+          floor(unix_timestamp(col("ts")).cast("double") / 3600).cast("long"),
+          Seq(col("ts"), col("delta"), col("user_id"), col("session_id")),
+          col("delta").cast("long"), "cur")
         .groupBy(col("day"))
         .agg(max(col("cur")).as("peak_concurrent"))
         .orderBy(col("day"))

@@ -66,6 +66,118 @@ object StableIds {
       .drop("__bucket", "__rb", "__off")
   }
 
+  /** Per-PARTITION consecutive ranks `1..n_part` in the order
+    * `(bucket, sortCols)` within each `partCols` group — the two-phase
+    * replacement for `row_number() OVER (PARTITION BY low-card-key
+    * ORDER BY …)`, which funnels each partition's ENTIRE slice through
+    * one task (a 5-source corpus = 5 tasks sorting 20 TB each; the
+    * r10 plan audit found four declared queries in this shape). Same
+    * machinery as [[assign]], with the offsets prefix-sum windowed PER
+    * PARTITION over the (partitions × buckets)-sized count frame, so
+    * cross-bucket coordination still never touches data-sized rows.
+    *
+    * `partCountName`, when set, adds each partition's total row count
+    * — the companion [[ntileFromRank]]/percent-rank denominators need.
+    * Caller contract matches [[assign]]: `bucket` coarse-monotone in
+    * the within-partition sort order; partitions × buckets bounded
+    * (the offsets frame is broadcast). */
+  def assignPartitioned(
+      df: DataFrame,
+      partCols: Seq[String],
+      bucket: Column,
+      sortCols: Seq[Column],
+      idName: String,
+      partCountName: Option[String] = None): DataFrame = {
+    require(partCols.nonEmpty, "assignPartitioned: need partition columns")
+    require(sortCols.nonEmpty, "assignPartitioned: need sort columns")
+    val withB = df.withColumn("__bucket", bucket)
+    val counts = withB
+      .groupBy((partCols.map(col) :+ col("__bucket")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val wOff = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets0 = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+    // partition totals via a second tiny aggregate + join (NOT an
+    // orderless window — the plan gates pin every window here to a
+    // __bucket key)
+    val offsets = partCountName.fold(offsets0) { cn =>
+      // null-safe: a NULL partition value groups fine but would never
+      // match through a using-columns join, silently dropping every
+      // such row downstream
+      val totals = partCols.foldLeft(
+        counts.groupBy(partCols.map(col): _*).agg(sum(col("__n")).as(cn))) {
+        (acc, c) => acc.withColumnRenamed(c, s"__t_$c")
+      }
+      offsets0.join(totals,
+          partCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _))
+        .drop(partCols.map(c => s"__t_$c"): _*)
+    }
+    val joinKeys = partCols :+ "__bucket"
+    val renamed = joinKeys.foldLeft(offsets.drop("__n")) {
+      (acc, c) => acc.withColumnRenamed(c, s"__r_$c")
+    }
+    val cond = joinKeys.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    withB.join(broadcast(renamed), cond)
+      .withColumn(idName, col("__off") + row_number().over(
+        Window.partitionBy((partCols.map(col) :+ col("__bucket")): _*)
+          .orderBy(sortCols: _*)))
+      .drop((Seq("__bucket", "__off") ++ joinKeys.map(c => s"__r_$c")): _*)
+  }
+
+  /** Per-partition RUNNING SUM of `value` in the order
+    * `(bucket, sortCols)` — the two-phase replacement for
+    * `sum(v) OVER (PARTITION BY low-card-key ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)`: per-bucket sums aggregate map-side, the exclusive
+    * bucket prefix-sum runs over the tiny count frame, and each row
+    * adds its within-bucket running sum — identical to the window's
+    * sequence, no partition-sized task. `partTotalName`, when set,
+    * adds the partition's total (the head-mass / normalization
+    * denominator). Caller contract as [[assignPartitioned]]; `value`
+    * should be an exact type (long/decimal) — it is summed. */
+  def prefixSumPartitioned(
+      df: DataFrame,
+      partCols: Seq[String],
+      bucket: Column,
+      sortCols: Seq[Column],
+      value: Column,
+      cumName: String,
+      partTotalName: Option[String] = None): DataFrame = {
+    require(partCols.nonEmpty, "prefixSumPartitioned: need partition columns")
+    require(sortCols.nonEmpty, "prefixSumPartitioned: need sort columns")
+    val withB = df.withColumn("__bucket", bucket).withColumn("__v", value)
+    val sums = withB
+      .groupBy((partCols.map(col) :+ col("__bucket")): _*)
+      .agg(sum(col("__v")).as("__s"))
+    val wOff = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets0 = sums.withColumn("__off",
+      coalesce(sum(col("__s")).over(wOff), lit(0L)))
+    val offsets = partTotalName.fold(offsets0) { cn =>
+      // null-safe join, as in assignPartitioned
+      val totals = partCols.foldLeft(
+        sums.groupBy(partCols.map(col): _*).agg(sum(col("__s")).as(cn))) {
+        (acc, c) => acc.withColumnRenamed(c, s"__t_$c")
+      }
+      offsets0.join(totals,
+          partCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _))
+        .drop(partCols.map(c => s"__t_$c"): _*)
+    }
+    val joinKeys = partCols :+ "__bucket"
+    val renamed = joinKeys.foldLeft(offsets.drop("__s")) {
+      (acc, c) => acc.withColumnRenamed(c, s"__r_$c")
+    }
+    val cond = joinKeys.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    withB.join(broadcast(renamed), cond)
+      .withColumn(cumName, col("__off") +
+        sum(col("__v")).over(
+          Window.partitionBy((partCols.map(col) :+ col("__bucket")): _*)
+            .orderBy(sortCols: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop((Seq("__bucket", "__v", "__off") ++
+        joinKeys.map(c => s"__r_$c")): _*)
+  }
+
   /** The tile `ntile(tiles)` would assign to 1-based rank `k` of `n`
     * total rows — Spark/ANSI semantics exactly: `n = tiles·q + r`
     * splits into `r` leading tiles of `q+1` rows and `tiles−r` of `q`

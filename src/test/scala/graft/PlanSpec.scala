@@ -362,21 +362,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"unbounded SinglePartition exchanges in: ${offenders.sorted.mkString(", ")}")
   }
 
-  test("epoch shuffle and rfm window only on StableIds buckets") {
+  test("low-cardinality-partition rewrites window only on StableIds buckets") {
     // The generic gate above cannot see a LOW-CARDINALITY partition
-    // key (a window partitioned by the 2-value epoch column is one
-    // task per epoch — r9 #3's q_epoch_shuffle); lock the fixed
-    // shapes: every data-sized window in these queries must carry the
-    // StableIds `__bucket` in its partition spec.
+    // key (a window partitioned by the 2-value epoch column, the
+    // 5-value source column, or the ~30-value day column is one task
+    // per partition value — r9 #3 and the r10 plan audit); lock the
+    // fixed shapes: every window in these queries must either carry
+    // the StableIds `__bucket` (in its partition or order spec) or be
+    // partitioned by the query's audited high-cardinality key.
     import org.apache.spark.sql.execution.window.WindowExec
-    for (name <- Seq("q_epoch_shuffle", "q_rfm")) {
+    val pinned: Seq[(String, Set[String])] = Seq(
+      "q_epoch_shuffle" -> Set(),
+      "q_rfm" -> Set(),
+      "q_quality_buckets" -> Set(),
+      "q_head_mass" -> Set(),
+      "q_score_calibration" -> Set(),
+      "q_histogram_depth" -> Set(),
+      "q_concurrency" -> Set("user_id")) // the sessionize windows
+    for ((name, highCard) <- pinned) {
       val plan = run(name).queryExecution.executedPlan
       val windows = collectWithSubqueries(plan) { case w: WindowExec => w }
       assert(windows.nonEmpty, s"$name lost its StableIds windows")
       windows.foreach { w =>
         val spec = w.partitionSpec.map(_.sql).mkString(",")
         val ord = w.orderSpec.map(_.sql).mkString(",")
-        assert(spec.contains("__bucket") || ord.contains("__bucket"),
+        assert(spec.contains("__bucket") || ord.contains("__bucket") ||
+          highCard.exists(spec.contains),
           s"$name windows outside a StableIds bucket: [$spec | $ord]\n$plan")
       }
     }

@@ -68,6 +68,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("assignPartitioned ≡ per-partition row_number window on random frames") {
+    import graft.operators.StableIds
+    for (trial <- 1 to 3) {
+      val n = 100 + rnd.nextInt(200)
+      // includes a NULL partition key — the null-safe join must keep it
+      val rows = Seq.tabulate(n)(i =>
+        (if (rnd.nextInt(10) == 0) None else Some(s"s${rnd.nextInt(4)}"),
+          rnd.nextInt(9).toLong, i.toLong))
+      val df = rows.toDF("src", "v", "id")
+      val viaWindow = df.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"src").orderBy($"v", $"id")))
+        .withColumn("np", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"src")))
+        .select($"id", $"rk".cast("long"), $"np")
+        .as[(Long, Long, Long)].collect().map { case (i, r, c) => i -> ((r, c)) }.toMap
+      val got = StableIds.assignPartitioned(df, Seq("src"), $"v",
+          Seq($"id"), "rk", Some("np"))
+        .select($"id", $"rk", $"np")
+        .as[(Long, Long, Long)].collect().map { case (i, r, c) => i -> ((r, c)) }.toMap
+      assert(got == viaWindow, s"trial $trial n=$n diverged")
+    }
+  }
+
+  test("prefixSumPartitioned ≡ per-partition running-sum window on random frames") {
+    import graft.operators.StableIds
+    for (trial <- 1 to 3) {
+      val n = 100 + rnd.nextInt(200)
+      val rows = Seq.tabulate(n)(i =>
+        (s"s${rnd.nextInt(3)}", rnd.nextInt(50).toLong, i.toLong,
+          (rnd.nextInt(11) - 5).toLong))
+      val df = rows.toDF("src", "v", "id", "x")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src").orderBy($"v", $"id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val viaWindow = df
+        .withColumn("cum", sum($"x").over(w))
+        .withColumn("tot", sum($"x").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"src")))
+        .select($"id", $"cum", $"tot")
+        .as[(Long, Long, Long)].collect().map { case (i, c, t) => i -> ((c, t)) }.toMap
+      // bucket = v/10: coarse-monotone with ~5 rows per bucket, so the
+      // multi-bucket offset path is genuinely exercised
+      val got = StableIds.prefixSumPartitioned(df, Seq("src"),
+          ($"v" / 10).cast("long"), Seq($"v", $"id"), $"x", "cum",
+          Some("tot"))
+        .select($"id", $"cum", $"tot")
+        .as[(Long, Long, Long)].collect().map { case (i, c, t) => i -> ((c, t)) }.toMap
+      assert(got == viaWindow, s"trial $trial n=$n diverged")
+    }
+  }
+
   test("aucRankSum ≡ brute-force pair counting on random scores") {
     import graft.operators.Eval
     for (trial <- 1 to 3) {
