@@ -1938,12 +1938,21 @@ $steps
     * 2 training iterations on the 0.25 hashKeep sample → full-corpus
     * `assign` (vec_id AS neighbor_id, v AS cv, cell). Tails append
     * their own probing/pairing logic. */
-  private def lloydAssignSql(nCells: Int, corpusWhere: String = ""): String = s"""
+  private def lloydAssignSql(nCells: Int, corpusWhere: String = ""): String =
+    lloydAssignSqlExpr(nCells.toString, corpusWhere)
+
+  /** [[lloydAssignSql]] with nCells as an arbitrary SQL expression —
+    * lets an oracle DERIVE the cell count from the corpus (DuckDB
+    * accepts a scalar subquery in LIMIT), replaying the
+    * [[graft.operators.Similarity.cellsForOccupancy]] occupancy dial
+    * instead of pinning a test-scale constant (VERDICT r10 #1). */
+  private def lloydAssignSqlExpr(nCellsSql: String,
+      corpusWhere: String = ""): String = s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                         md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
                  $corpusWhere),
       cent0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
-                ORDER BY h, vec_id LIMIT $nCells),
+                ORDER BY h, vec_id LIMIT $nCellsSql),
       tr AS (SELECT vec_id, v FROM e WHERE substr(h, 1, 12) < '400000000000'),
       a1 AS (
         SELECT vec_id, v, cell FROM (
@@ -4549,14 +4558,31 @@ $roundCtes"""
     * degenerate cells. The oracle replays the whole chain: Lloyd
     * training (shared prefix with the IVF queries), full-corpus
     * assignment, the cap window, and the within-cell pairwise
-    * cosine. */
+    * cosine.
+    *
+    * The DECLARED plan is the occupancy dial (VERDICT r10 #1): nCells
+    * = [[Similarity.cellsForOccupancy]](corpus rows, 32) — mean cell
+    * occupancy (and with it Σ cell²/corpus, the pair work per row)
+    * stays CONSTANT as the corpus grows, instead of a pinned
+    * test-scale nCells whose occupancy blows past the maxCell guard
+    * at 100× and fails closed (silent recall collapse). The oracle
+    * replays the dial as a scalar-subquery LIMIT:
+    * greatest(1, least(ceil(n/32), 2²⁰)) over the same corpus CTE —
+    * integer ceil-division on both engines. At sf0.01 (500 vecs) the
+    * dial derives the same 16 cells the old pinned plan used; at
+    * sf0.1 it derives 63. */
   private val semDedup = Q("q_semdedup",
-    (s, d) => Similarity.semDedupPairs(
-        Tables.embeddings(s, d), "vec_id", "embedding",
-        nCells = 16, trainIters = 2, trainFraction = 0.25,
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedupPairs(
+        emb, "vec_id", "embedding",
+        nCells = Similarity.cellsForOccupancy(emb.count(), 32),
+        trainIters = 2, trainFraction = 0.25,
         threshold = 0.35, maxCell = 2000)
-      .orderBy(col("id_a"), col("id_b")),
-    Some(lloydAssignSql(16) + """,
+      .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, least(CAST(ceil(count(*) / 32.0) AS BIGINT), 1048576)) FROM e)") + """,
       capped AS (
         SELECT cell, neighbor_id AS id, cv AS v FROM (
           SELECT cell, neighbor_id, cv,
@@ -6483,8 +6509,13 @@ $roundCtes"""
       def cell(r: Column) = conv(substring(md5(concat(
         r.cast("string"), lit(":"), col("l_partkey").cast("string"))),
         1, 12), 16, 10).cast("long") % 256
-      val rows = (0 until 4).map(i => li.select(lit(i).as("r"),
-        cell(lit(i)).as("c"))).reduce(_ unionByName _)
+      // One lineitem scan, not a d-branch union (VERDICT r10 #4): the
+      // ×d fan-out is the probe side's own explode(array(0..3)) idiom
+      // — same rows shuffled, but 1 fact-table scan where the union
+      // read it d times (4 full scans at 100 TB).
+      val rows = li
+        .withColumn("r", explode(array((0 until 4).map(lit): _*)))
+        .select(col("r"), cell(col("r")).as("c"))
       val cms = rows.groupBy(col("r"), col("c"))
         .agg(count(lit(1)).as("cnt"))
       val exact = li.groupBy(col("l_partkey"))
@@ -7275,11 +7306,20 @@ $roundCtes"""
         .withColumn("recency_days",
           ((to_timestamp(lit(AsOf)).cast("long") -
             col("last_ts").cast("long")) / lit(86400L)).cast("long"))
+      // The monetary bucket must be NULL-SAFE (ADVICE r10): dsum(value)
+      // is NULL for a user whose events all carry NULL value, and a
+      // NULL bucket sorts FIRST under StableIds' ascending bucket
+      // order while ntile(... ORDER BY monetary DESC) sorts NULLs
+      // LAST on both engines — coalesce to Long.MaxValue so the NULL
+      // block lands in the last bucket, and desc_nulls_last keeps the
+      // within-bucket order aligned with the oracle's.
       val ranked = Seq[(String, Column, Seq[Column])](
         ("__r_rank", col("recency_days"), Seq(col("user_id"))),
         ("__f_rank", negate(col("frequency")), Seq(col("user_id"))),
-        ("__m_rank", floor(negate(col("monetary"))).cast("long"),
-          Seq(col("monetary").desc, col("user_id"))))
+        ("__m_rank",
+          coalesce(floor(negate(col("monetary"))).cast("long"),
+            lit(Long.MaxValue)),
+          Seq(col("monetary").desc_nulls_last, col("user_id"))))
         .foldLeft(rfm) { case (df, (name, bucket, sort)) =>
           StableIds.assign(df, bucket, sort, name)
         }

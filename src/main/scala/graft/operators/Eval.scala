@@ -31,11 +31,25 @@ object Eval {
     * corpus size. Rank sums stay INTEGRAL end-to-end (doubled to
     * avoid the +½ of average ranks, accumulated in DECIMAL(38,0) so a
     * 10⁹-row frame cannot overflow a long); the one double division
-    * is the final AUC. */
+    * is the final AUC.
+    *
+    * DOMAIN CONTRACT (VERDICT r10 #3): the precision bound above is
+    * the ONLY thing keeping the rank window off the SinglePartition
+    * scale-killer list, and it holds only for scores in [0,1]. The
+    * operator now enforces it: any out-of-domain score (raw counts,
+    * logits) fails the job loudly at execution via `raise_error`
+    * instead of silently re-creating a data-sized one-task sort.
+    * NULL scores remain one extra tie-group, as before. */
   def aucRankSum(df: DataFrame, score: Column, label: Column): DataFrame = {
     val dec = DecimalType(38, 0)
+    val s6 = round(score.cast(DoubleType), 6)
+    val guarded = when(s6.isNull || (s6 >= 0.0 && s6 <= 1.0), s6)
+      .otherwise(raise_error(concat(
+        lit("aucRankSum: score out of [0,1] — the precision bound that "),
+        lit("keeps the rank window off corpus-sized data does not hold; "),
+        lit("normalize the score first (got "), s6.cast("string"), lit(")"))))
     val byScore = df
-      .select(round(score, 6).as("s"),
+      .select(guarded.as("s"),
         when(label, lit(1L)).otherwise(lit(0L)).as("y"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
@@ -108,8 +122,14 @@ object Eval {
       value: Column, b: Int = 32, fraction: Double = 0.5,
       seed: String = "boot"): DataFrame = {
     require(b >= 8 && b <= 1024, s"bootstrapMeanCI: b=$b")
+    // exact-decimal replicate sums (ADVICE r10): a long cast would
+    // silently truncate fractional metrics — a [0,1]-valued score
+    // column collapses to all zeros and returns a degenerate CI.
+    // DECIMAL(38,6) keeps integral inputs bit-identical (sum of exact
+    // decimals → the same double) and fractional inputs exact to the
+    // suite-wide 6-dp contract.
     val exploded = df.select(group.as("g"), key.as("k"),
-        value.cast("long").as("v"))
+        value.cast(DecimalType(38, 6)).as("v"))
       .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
     val kept = Sampling.sampleByHash(exploded,
       concat_ws(":", col("rep"), col("k")), fraction, seed)

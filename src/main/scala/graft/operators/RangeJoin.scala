@@ -71,11 +71,20 @@ object RangeJoin {
       equiKeys: Seq[String], binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth=$binWidth")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
-    // last covered bin of a half-open interval is bin(end − 1)
+    // Last covered bin of the REAL half-open interval is
+    // ceil(end/binWidth) − 1, not bin(end − 1) (ADVICE r10): bin()
+    // accepts fractional bounds, and bin(end − 1) under-covers any
+    // sub-unit overhang — [19.5, 20.3) at binWidth 10 would explode
+    // only bin 1 and silently drop overlaps whose intersection starts
+    // in bin 2. ceil(end/W) − 1 agrees with bin(end − 1) on integral
+    // bounds and is exact for fractional ones; end > start guarantees
+    // it is ≥ bin(start), so sequence() never runs descending.
+    def lastBin(c: Column): Column =
+      (ceil(c.cast("double") / binWidth) - 1).cast("long")
     val l = left.where(col(lEnd) > col(lStart)).withColumn("__bin",
-      explode(sequence(bin(col(lStart)), bin(col(lEnd) - 1))))
+      explode(sequence(bin(col(lStart)), lastBin(col(lEnd)))))
     val r = right.where(col(rEnd) > col(rStart)).withColumn("__bin",
-      explode(sequence(bin(col(rStart)), bin(col(rEnd) - 1))))
+      explode(sequence(bin(col(rStart)), lastBin(col(rEnd)))))
     l.join(r, equiKeys :+ "__bin")
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
         col("__bin") === bin(greatest(col(lStart), col(rStart))))

@@ -341,8 +341,9 @@ object Similarity {
     * mean occupancy (and with it Σ cell²/corpus) stays constant as
     * data grows; watch the realized distribution with
     * [[assignCells]] + [[Guards.oversizedBuckets]]. The declared
-    * `q_semdedup` keeps a FIXED test-scale nCells only because its
-    * oracle replays the exact clustering. */
+    * `q_semdedup` DECLARES this plan (r11): it derives nCells from a
+    * corpus count and the oracle replays the dial as a
+    * scalar-subquery LIMIT over the same corpus CTE. */
   def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, trainIters: Int = 2, trainFraction: Double = 1.0,
       threshold: Double, maxCell: Int = 2000): DataFrame = {

@@ -593,6 +593,40 @@ class PipelineOpsSpec extends SparkSpec {
       .select("auc").as[Double].head() == 0.5)
   }
 
+  test("aucRankSum fails loudly on out-of-[0,1] scores (VERDICT r10 #3)") {
+    import graft.operators.Eval
+    // The precision bound on the rank window holds only for [0,1]
+    // scores; an unbounded score (raw counts, logits) must fail the
+    // job, not silently re-create a data-sized one-task sort.
+    val logits = Seq((3.7, true), (-1.2, false), (0.5, true))
+      .toDF("s", "y")
+    val ex = intercept[Exception] {
+      Eval.aucRankSum(logits, col("s"), col("y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("out of [0,1]")), msgs(ex).mkString("; "))
+    // boundary values and NULLs stay in-contract
+    val edge = Seq((Some(0.0), false), (Some(1.0), true), (None, true))
+      .toDF("s", "y")
+    val r = Eval.aucRankSum(edge, col("s"), col("y"))
+      .select("n_pos", "n_neg").as[(Long, Long)].head()
+    assert(r == ((2L, 1L)))
+  }
+
+  test("bootstrapMeanCI keeps fractional metrics exact (ADVICE r10)") {
+    import graft.operators.Eval
+    // The old long cast collapsed a [0,1]-valued metric to all zeros
+    // → degenerate [0,0] CI. With decimal accumulation the interval
+    // must bracket values of the metric's real magnitude.
+    val df = (0 until 200).map(i => ("g", i.toLong, 0.4 + (i % 10) / 50.0))
+      .toDF("src", "id", "score")
+    val r = Eval.bootstrapMeanCI(df, col("src"), col("id"), col("score"))
+      .as[(String, Long, Double, Double)].head()
+    assert(r._3 > 0.3 && r._4 < 0.7 && r._3 <= r._4,
+      s"CI [${r._3}, ${r._4}] must bracket the ~0.49 mean, not collapse to 0")
+  }
+
   test("calibrationBins: hand-computed bins, 1.0 clamps into the top bin") {
     import graft.operators.Eval
     val df = Seq((0.05, false), (0.15, true), (0.95, true), (1.0, true))

@@ -300,7 +300,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // keys: `__bucket` (the StableIds offsets frame — #buckets rows by
     // construction), q_daily_anomaly's calendar-day key (one row per
     // day of history), and q_auc's 6-dp-rounded [0,1] score key
-    // (≤ 10⁶+1 rows at any corpus size — precision-bounded).
+    // (≤ 10⁶+1 rows at any corpus size — precision-bounded, and since
+    // r11 ENFORCED by the operator itself: Eval.aucRankSum raise_errors
+    // on any out-of-[0,1] score, so the whitelist entry records a
+    // property the operator guarantees, not one the caller promises).
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.{GlobalLimitExec,
       LocalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}

@@ -68,6 +68,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("null-safe desc bucket ≡ ntile(ORDER BY v DESC NULLS LAST) — the q_rfm monetary shape (ADVICE r10)") {
+    import graft.operators.StableIds
+    // A user whose events all carry NULL value has NULL monetary; the
+    // oracle's ntile(ORDER BY monetary DESC) places NULLs LAST, so the
+    // bucket must coalesce NULL to Long.MaxValue (worst tile), not let
+    // the NULL bucket sort first and hand such users the best tile.
+    for (trial <- 1 to 3) {
+      val tiles = 2 + rnd.nextInt(6)
+      val n = 20 + rnd.nextInt(180)
+      val rows = Seq.tabulate(n) { i =>
+        (if (rnd.nextInt(8) == 0) None
+         else Some(rnd.nextInt(12).toDouble + rnd.nextDouble()), i.toLong)
+      }
+      val df = rows.toDF("v", "id")
+      val viaWindow = df.withColumn("t",
+          ntile(tiles).over(org.apache.spark.sql.expressions.Window
+            .orderBy($"v".desc_nulls_last, $"id")))
+        .select($"id", $"t".cast("long")).as[(Long, Long)].collect().toMap
+      val ranked = StableIds.assign(df,
+        coalesce(floor(negate($"v")).cast("long"), lit(Long.MaxValue)),
+        Seq($"v".desc_nulls_last, $"id"), "rk")
+      val viaRank = ranked.crossJoin(
+          broadcast(df.groupBy().agg(count(lit(1)).as("nn"))))
+        .select($"id",
+          StableIds.ntileFromRank($"rk", $"nn", tiles).as("t"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaRank == viaWindow,
+        s"trial $trial tiles=$tiles n=$n: null-monetary tile diverged")
+    }
+  }
+
   test("assignPartitioned ≡ per-partition row_number window on random frames") {
     import graft.operators.StableIds
     for (trial <- 1 to 3) {

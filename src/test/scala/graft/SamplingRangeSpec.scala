@@ -147,6 +147,26 @@ class SamplingRangeSpec extends SparkSpec {
     assert(gotAll.toSet == want && want.nonEmpty)
   }
 
+  test("interval overlap join: fractional bounds cover the overhang bin (ADVICE r10)") {
+    // [19.5, 20.3) at binWidth 10 covers bins 1 AND 2 — the old
+    // bin(end − 1) last-bin formula exploded only bin 1 and silently
+    // dropped any overlap whose intersection starts in bin 2, e.g.
+    // against [20.0, 25.0); ceil(end/W) − 1 covers both. Also:
+    // sub-unit spans must not produce a descending sequence.
+    val a = Seq((1, 10L, 19.5, 20.3), (1, 11L, 20.05, 20.10))
+      .toDF("uid", "aid", "as", "ae")
+    val b = Seq((1, 100L, 20.0, 25.0), (1, 101L, 19.0, 19.6))
+      .toDF("uid", "bid", "bs", "be")
+    val got = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be",
+        Seq("uid"), binWidth = 10L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val want = a.join(b, Seq("uid"))
+      .where($"as" < $"be" && $"bs" < $"ae")
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(want == Set((10L, 100L), (10L, 101L), (11L, 100L)))
+    assert(got == want)
+  }
+
   test("interval overlap join: touching endpoints do not overlap; empty spans drop") {
     val a = Seq((1, 10L, 0L, 20L), (1, 11L, 50L, 50L)).toDF("uid", "aid", "as", "ae")
     val b = Seq((1, 100L, 20L, 30L), (1, 101L, 19L, 21L)).toDF("uid", "bid", "bs", "be")
