@@ -1194,6 +1194,42 @@ $steps
         FROM events)
       WHERE k % 7 = 0 ORDER BY event_id"""))
 
+  /** Spark 4 VARIANT ingest (`parse_json`/`variant_get`, r11 — the
+    * SURVEY §1.4 end-state for the heterogeneous feature_values blob,
+    * vs q_from_json's fixed-schema StructType and q_json_fns' string
+    * point-extraction): props parses ONCE into the binary Variant
+    * encoding and every downstream access is a typed path lookup on
+    * that encoding — at 100 TB the parse cost is paid once per row,
+    * not once per extracted field, and shredded Variant columns keep
+    * min/max pruning that a JSON string scan loses. Missing paths
+    * return NULL (counted here as the schema-drift audit column);
+    * per-type aggregates over the extracted value replay as plain
+    * JSON extraction in DuckDB. See FIXTURES.md for the
+    * variant-vs-map tradeoff note. */
+  private val variantQ = Q("q_variant",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.missing', 'bigint')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_k"),
+        count(col("miss")).as("n_missing"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+             count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+               AS n_missing,
+             min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // ---------------------------------------------------------------------
   // Batch 2: array/map scalar sweep, cube, math fns, PIT multi-group,
   // LSH near-dup + ANN (approx → rows-only checks), multimodal plumbing
@@ -4403,6 +4439,62 @@ $roundCtes"""
              CAST(len(toks) - len(kt) AS BIGINT) AS n_removed,
              coalesce(array_to_string(kt, ' '), '') AS clean_text
       FROM kept ORDER BY doc_id"""))
+
+  /** Ingest-incremental duplicated-span report
+    * ([[Dedup.buildSpanIndex]] → [[Dedup.appendToSpanIndex]] →
+    * [[Dedup.spanDupStatsAgainst]], r11): a daily BATCH (doc_id <
+    * 100) probed against the persisted span-hash index of the
+    * existing corpus (doc_id ≥ 100) — the batch pays O(its own
+    * spans), the corpus rides the join as stored 32-char hashes +
+    * doc counts, never re-hashed text. The index is built from
+    * doc_id ≥ 200 and the 100–199 slab APPENDED as a delta, so the
+    * oracled path exercises the delta-sum merge, not just the
+    * build-once read. Oracle replays the window→md5 pipeline with
+    * the corpus counts as a plain filtered aggregate. */
+  private val spanIncremental = Q("q_span_incremental",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + overwrite-then-append: the build
+      // overwrites, so a re-run never accretes stale deltas (the
+      // q_ivf_index path-lifecycle convention; single-writer by
+      // harness contract)
+      val indexDir = s"/tmp/graft_spanidx/$tag"
+      val docs = Tables.documents(s, d)
+      Dedup.buildSpanIndex(docs.filter(col("doc_id") >= 200),
+        "text", "doc_id", k = 8, indexDir)
+      Dedup.appendToSpanIndex(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+        "text", "doc_id", k = 8, indexDir)
+      Dedup.spanDupStatsAgainst(docs.filter(col("doc_id") < 100),
+          "text", "doc_id", k = 8, indexDir, maxDocs = 1000,
+          observeAs = Some("span_incremental_cap"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      sp AS (
+        SELECT doc_id, md5(unnest(list_distinct(
+          CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+          ELSE list_transform(range(len(toks) - 7),
+            i -> array_to_string(toks[i+1:i+8], ' ')) END))) AS h,
+          CAST(len(list_distinct(
+            CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(len(toks) - 7),
+              i -> array_to_string(toks[i+1:i+8], ' ')) END)) AS BIGINT)
+            AS n_spans
+        FROM t),
+      cnt AS (
+        SELECT h, count(*) AS n_docs FROM sp WHERE doc_id >= 100
+        GROUP BY h HAVING count(*) <= 1000),
+      b AS (SELECT doc_id, h, n_spans FROM sp WHERE doc_id < 100)
+      SELECT doc_id, any_value(n_spans) AS n_spans,
+             count(*) AS n_dup_spans,
+             round(CAST(count(*) AS DOUBLE)
+               / CAST(any_value(n_spans) AS DOUBLE), 6) AS dup_ratio
+      FROM b JOIN cnt USING (h)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Temperature mixing APPLIED ([[Sampling.hashKeepWeighted]] over
     * α=0.5 source weights): per-source keep rates that rebalance the
@@ -7690,6 +7782,7 @@ $roundCtes"""
     bucketedJoin, pitBucketed, outerJoin,
     windowRank, windowFrames, rollingWindow, topK, setOps,
     stringFns, trigger, dateTime, jsonFns, featureStats, windowLag, fromJson,
+    variantQ,
     dedupExact, dedupExact2, dedupFp, winnowFp, winnowDup, chunkText,
     chunkTokensQ,
     langDist, langIdDist,
@@ -7715,7 +7808,8 @@ $roundCtes"""
     tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched,
     lmPerplexity, lmDomain, lmInterpolated, kfold,
     countsIncremental,
-    driftReport, spanDedup, spanScrub, temperatureSample, hardNegatives,
+    driftReport, spanDedup, spanScrub, spanIncremental,
+    temperatureSample, hardNegatives,
     outlierMad, semDedup, decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,

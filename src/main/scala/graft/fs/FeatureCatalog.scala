@@ -248,9 +248,11 @@ final class FeatureCatalog(val spark: SparkSession, val root: String,
     stamped
   }
 
-  /** R2 `get_feature` (feature_store.py:243-247). */
+  /** R2 `get_feature` (feature_store.py:243-247). ≤ 1 row by the
+    * unique-name upsert invariant; rides [[boundedCollect]] anyway so
+    * the transfer is capped even if the invariant were broken. */
   def getFeature(name: String): Option[FeatureDef] =
-    features.filter($"name" === name).collect().headOption
+    boundedCollect(features.filter($"name" === name), "features").headOption
 
   /** R3 `list_features` (feature_store.py:249-261): active only, ordered. */
   def listFeatures(entityType: Option[String] = None): Seq[FeatureDef] = {
@@ -303,14 +305,16 @@ final class FeatureCatalog(val spark: SparkSession, val root: String,
     stamped
   }
 
-  /** R5 `get_group` by uuid (feature_store.py:308-312). */
+  /** R5 `get_group` by uuid (feature_store.py:308-312). ≤ 1 row by
+    * uuid uniqueness; [[boundedCollect]] caps the transfer regardless. */
   def getGroupById(id: String): Option[FeatureGroup] =
-    groups.filter(_.id == id).collect().headOption
+    boundedCollect(groups.filter(_.id == id), "groups").headOption
 
-  /** R6 `get_group_by_name` (feature_store.py:314-320). */
+  /** R6 `get_group_by_name` (feature_store.py:314-320). ≤ 1 row by the
+    * UNIQUE(name, version) invariant; [[boundedCollect]] caps it. */
   def getGroup(name: String, version: Int = 1): Option[FeatureGroup] =
-    groups.filter(g => g.name == name && g.version == version)
-      .collect().headOption
+    boundedCollect(groups.filter(g => g.name == name && g.version == version),
+      "groups").headOption
 
   /** R11 `list_groups` (feature_store.py:510-516). */
   def listGroups(): Seq[FeatureGroup] =

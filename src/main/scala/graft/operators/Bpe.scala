@@ -201,7 +201,7 @@ object Bpe {
     * after all `iters` rounds — what a tokenizer would persist. */
   def segmented(vocab0: DataFrame, merges: DataFrame): DataFrame = {
     val rules = merges.orderBy(col("step"))
-      .select(col("find"), col("repl")).collect()
+      .select(col("find"), col("repl")).collect() // bounded: ≤ iters merge rules (vocab dial)
     rules.foldLeft(vocab0) { (v, r) =>
       v.withColumn("seq",
         expr(s"replace(seq, '${r.getString(0)}', '${r.getString(1)}')"))

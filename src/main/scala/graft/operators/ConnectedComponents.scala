@@ -73,7 +73,7 @@ object ConnectedComponents {
     var done = prev._1 == 0L
     while (!done && it < maxIters) {
       if (localOrd.isDefined && prev._1 <= localFinishThreshold) {
-        val collected = edges.select(col("u"), col("v")).collect()
+        val collected = edges.select(col("u"), col("v")).collect() // bounded: ≤ localFinishThreshold edges (checked above)
           .map(r => (r.get(0), r.get(1)))
         return localFinish(pairs.sparkSession, collected, localOrd.get, idType)
       }

@@ -304,7 +304,7 @@ object Similarity {
         cellOf(cent, col(vecCol)).as("label"))
       val upd = labelCentroids(assigned, "label", "v", shift)
         .select(col("label"), col("pos"), col("centroid"))
-        .collect()
+        .collect() // bounded: ≤ nCells·dim label-centroid rows, never corpus
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
@@ -485,7 +485,7 @@ object Similarity {
       indexDir: String): Unit = {
     val spark = batch.sparkSession
     val cent = spark.read.parquet(s"$indexDir/centroids")
-      .collect()
+      .collect() // bounded: the persisted centroid table is nCells rows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
     batch.select(
@@ -512,7 +512,7 @@ object Similarity {
     val probes = ivfProbes(queries, centDf, idCol, vecCol, nProbe)
       .localCheckpoint(false)
     val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      .collect().map(_.getLong(0)).sorted // bounded: ≤ nCells distinct cells
     val assigned = spark.read.parquet(s"$indexDir/assigned")
       .filter(col("cell").isin(probeCells: _*))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
@@ -624,7 +624,7 @@ object Similarity {
           count(lit(1)).as("n"))
         .select(col("j"), col("label"), col("pos"),
           round(col("s").cast("double") / col("n") / scale, 6).as("comp"))
-        .collect()
+        .collect() // bounded: ≤ m·nCents·subDim codebook rows, never corpus
         .groupBy(r => (r.getInt(0), r.getLong(1)))
         .map { case (key, rows) =>
           key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
@@ -777,7 +777,7 @@ object Similarity {
     val cb = spark.read.parquet(s"$indexDir/codebooks")
       .select(col("j").cast("int"), col("cid").cast("long"),
         col("cv").cast("array<double>"))
-      .collect()
+      .collect() // bounded: m·nCents persisted codebook rows
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
       .toSeq.sortBy(t => (t._1, t._2))
     require(cb.nonEmpty, s"pqTopKFromIndex: no codebooks at $indexDir")

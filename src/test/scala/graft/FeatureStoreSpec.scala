@@ -653,6 +653,103 @@ class FeatureStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock), "lock released after last writer")
   }
 
+  // ---- cross-PROCESS lock protocol (VERDICT r10 #8) ----------------
+  // The thread-interleaved tests above share one JVM; these fork a
+  // real second JVM (CatalogLockChild) driving the REAL withLock via
+  // the same class file, so acquire/steal/release cross actual process
+  // boundaries and "crash" is Runtime.halt inside the critical
+  // section, not a simulated file drop.
+
+  private def forkLockChild(args: String*): (Process, java.io.BufferedReader) = {
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val cmd = Seq(javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.CatalogLockChild") ++ args
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val p = pb.start()
+    (p, new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream)))
+  }
+
+  private def awaitLine(r: java.io.BufferedReader, want: String,
+      timeoutMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var line = r.readLine()
+    while (line != null && !line.contains(want)) {
+      assert(System.currentTimeMillis() < deadline, s"timed out awaiting $want")
+      line = r.readLine()
+    }
+    assert(line != null, s"child stream ended before $want")
+  }
+
+  test("steal-after-crash across real process death (VERDICT r10 #8)") {
+    val root = tmpDir("xjvmcrash")
+    val dir = java.nio.file.Paths.get(s"$root/features")
+    val lock = dir.resolve("_LOCK")
+    val (child, out) = forkLockChild("crash", dir.toString)
+    awaitLine(out, "HOLDING")
+    assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(child.exitValue() == 42, "child must die via halt, not release")
+    // real crash state: a foreign-pid lock with no owner alive
+    assert(java.nio.file.Files.exists(lock), "crashed child left its lock")
+    val token = new String(java.nio.file.Files.readAllBytes(lock))
+    val ownPid = ProcessHandle.current().pid().toString
+    assert(token.split(" ").head != ownPid, s"lock must be foreign: $token")
+    // age it past the TTL (the crash happened "a minute ago")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - FeatureCatalog.LockStealAfterMs - 1000))
+    // the surviving writer must steal and complete the mutation
+    val c = new FeatureCatalog(spark, root)
+    c.registerFeature(FeatureDef("age", "user", "int"))
+    assert(c.getFeature("age").nonEmpty)
+    assert(!java.nio.file.Files.exists(lock), "lock released after steal+write")
+  }
+
+  test("no-cascade-delete: an overstaying victim's release leaves the thief's lock (VERDICT r10 #8)") {
+    val root = tmpDir("xjvmhold")
+    val dir = java.nio.file.Paths.get(s"$root/features")
+    val lock = dir.resolve("_LOCK")
+    // victim process: acquires, then overstays the TTL by sleeping
+    val (child, out) = forkLockChild("hold", dir.toString, "6000")
+    awaitLine(out, "HOLDING")
+    assert(java.nio.file.Files.exists(lock))
+    // present the victim's live lock as stale (it overstayed)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - FeatureCatalog.LockStealAfterMs - 1000))
+    // thief (this JVM): steals and holds its critical section PAST the
+    // victim's wake-up, so the victim's release runs while the thief's
+    // fresh lock is on disk — the cascade-delete window under test
+    val cat = new FeatureCatalog(spark, root)
+    val m = classOf[FeatureCatalog].getDeclaredMethods
+      .find(_.getName.endsWith("withLock")).get
+    m.setAccessible(true)
+    @volatile var thiefDone = false
+    val thief = new Thread(() => {
+      m.invoke(cat, dir.toString, (() => {
+        // hold until the victim has woken AND run its real release
+        assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+        awaitLine(out, "RELEASED")
+        // victim's release ran while we hold: our lock must survive it
+        assert(java.nio.file.Files.exists(lock),
+          "victim's release cascade-deleted the thief's lock")
+        val t = new String(java.nio.file.Files.readAllBytes(lock))
+        assert(t.split(" ").head == ProcessHandle.current().pid().toString,
+          s"lock no longer the thief's: $t")
+        thiefDone = true
+        "ok"
+      }): Function0[Any])
+    })
+    thief.start()
+    thief.join(60000)
+    assert(thiefDone, "thief never completed its critical section")
+    assert(!java.nio.file.Files.exists(lock), "thief's release cleans up")
+    // and the catalog still functions end-to-end at this root
+    cat.registerFeature(FeatureDef("post", "user", "int"))
+    assert(cat.getFeature("post").nonEmpty)
+  }
+
   test("migration default for a missing primitive column (ADVICE r3)") {
     val root = tmpDir("primmigrate")
     val c = new FeatureCatalog(spark, root)

@@ -89,4 +89,105 @@ class OllamaRouterSpec extends SparkSpec {
     assert(e.getMessage.contains("Cannot reach Ollama")
       || Option(e.getCause).exists(_.getMessage.contains("Cannot reach Ollama")))
   }
+
+  // ------------------------------------------------------------------
+  // Loopback-HTTP tests (VERDICT r10 #6): a real com.sun.net.httpserver
+  // on 127.0.0.1 drives the REAL pooled JdkTransport end-to-end — the
+  // JDK-client/pool/timeout/error-mapping code the fake transport
+  // bypasses. The reference's mocked urlopen asserts are the floor
+  // (tests/test_ollama_router.py:77-90); a live socket is the ceiling.
+  // No egress: everything stays on the loopback interface.
+  // ------------------------------------------------------------------
+
+  private def withLoopbackServer(
+      handler: com.sun.net.httpserver.HttpExchange => Unit)(
+      body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", ex => handler(ex))
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("JdkTransport end-to-end: real POST, payload shape, pooled reuse") {
+    LoopbackLog.clear()
+    withLoopbackServer { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      LoopbackLog.record(ex.getRequestMethod, ex.getRequestURI.getPath,
+        ex.getRequestHeaders.getFirst("Content-Type"), body)
+      val reply = fakeReply.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, reply.length.toLong)
+      ex.getResponseBody.write(reply)
+      ex.close()
+    } { base =>
+      // coalesce(1): ONE partition → ONE JdkTransport → one pooled
+      // client serving both rows (the per-partition lifecycle under test)
+      val out = OllamaRouter.queryOllama(
+        Seq("hello", "again").toDF("prompt").coalesce(1), "prompt",
+        model = "llama3", baseUrl = base,
+        transport = new OllamaRouter.JdkTransport(timeoutSec = 10))
+      assert(out.select("response").as[String].collect().toSeq ==
+        Seq(fakeReply, fakeReply))
+      val calls = LoopbackLog.snapshot()
+      assert(calls.size == 2)
+      calls.foreach { case (method, path, ctype, _) =>
+        assert(method == "POST" && path == "/api/generate"
+          && ctype == "application/json")
+      }
+      assert(calls.map(_._4).toSet == Set(
+        """{"model": "llama3", "prompt": "hello", "stream": false}""",
+        """{"model": "llama3", "prompt": "again", "stream": false}"""))
+    }
+  }
+
+  test("JdkTransport timeout maps to the ConnectionError-equivalent (:96-99)") {
+    withLoopbackServer { ex =>
+      Thread.sleep(3000) // beyond the 1 s client timeout
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    } { base =>
+      val e = intercept[org.apache.spark.SparkException] {
+        OllamaRouter.queryOllama(Seq("slow").toDF("prompt"), "prompt",
+          baseUrl = base,
+          transport = new OllamaRouter.JdkTransport(timeoutSec = 1)
+        ).collect()
+      }
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("Cannot reach Ollama")),
+        msgs(e).mkString("; "))
+    }
+  }
+
+  test("JdkTransport against a dead port maps to the ConnectionError-equivalent") {
+    // bind-then-close guarantees an unbound loopback port
+    val sock = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val deadPort = sock.getLocalPort
+    sock.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      OllamaRouter.queryOllama(Seq("ping").toDF("prompt"), "prompt",
+        baseUrl = s"http://127.0.0.1:$deadPort",
+        transport = new OllamaRouter.JdkTransport(timeoutSec = 2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("Cannot reach Ollama")),
+      msgs(e).mkString("; "))
+  }
+}
+
+/** Server-side request log for the loopback tests — static because the
+  * handler runs in the server thread, not the Spark task. */
+private object LoopbackLog {
+  private val calls =
+    new ConcurrentLinkedQueue[(String, String, String, String)]()
+  def clear(): Unit = calls.clear()
+  def record(method: String, path: String, ctype: String, body: String): Unit =
+    calls.add((method, path, ctype, body))
+  def snapshot(): Seq[(String, String, String, String)] =
+    calls.asScala.toSeq
 }

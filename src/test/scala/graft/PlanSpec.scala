@@ -429,4 +429,42 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(windows.size == 2,
       s"expected the two bounded windows:\n${physical(df)}")
   }
+
+  test("every main-source .collect() call site carries a bound guard (VERDICT r10 #9)") {
+    // The r10 audit found all 16 driver-side collects individually
+    // bounded (nCells centroids, maxPlayers, vocab-bounded merges,
+    // thresholded CC local-finish, maxCatalogRows, …) — each by hand.
+    // This promotes that inventory to a GATE: a .collect() in main
+    // source must show its bound AT the call site — a `limit(`, a
+    // `require(`, the catalog's `boundedCollect`, or an explicit
+    // `bounded:` marker comment naming the bound — within a ±3-line
+    // window. A marker is a CLAIM the reviewer audits, not a proof;
+    // the gate's job is making the next unbounded collect impossible
+    // to land silently, not proving the bound. Bench/Verify mains are
+    // in scope too (they collect nothing today; if they start, they
+    // justify it like everyone else).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"gate must run from the repo root; cwd=${System.getProperty("user.dir")}")
+    val guard = java.util.regex.Pattern
+      .compile("limit\\(|require\\(|boundedCollect|bounded")
+    val walk = java.nio.file.Files.walk(root)
+    val offenders =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { f =>
+          val lines = java.nio.file.Files.readAllLines(f).asScala.toVector
+          lines.zipWithIndex.collect {
+            case (line, i) if line.contains(".collect()") &&
+                !(math.max(0, i - 3) to math.min(lines.size - 1, i + 2))
+                  .exists(j => guard.matcher(lines(j)).find()) =>
+              s"$f:${i + 1}"
+          }
+        }.toSeq
+      finally walk.close()
+    assert(offenders.isEmpty,
+      "unguarded .collect() sites (add a limit/require/boundedCollect " +
+        s"or a '// bounded: …' justification): ${offenders.mkString(", ")}")
+  }
 }
