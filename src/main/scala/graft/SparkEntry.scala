@@ -4652,29 +4652,31 @@ $roundCtes"""
     * assignment, the cap window, and the within-cell pairwise
     * cosine.
     *
-    * The DECLARED plan is the occupancy dial (VERDICT r10 #1): nCells
-    * = [[Similarity.cellsForOccupancy]](corpus rows, 32) — mean cell
-    * occupancy (and with it Σ cell²/corpus, the pair work per row)
-    * stays CONSTANT as the corpus grows, instead of a pinned
-    * test-scale nCells whose occupancy blows past the maxCell guard
-    * at 100× and fails closed (silent recall collapse). The oracle
-    * replays the dial as a scalar-subquery LIMIT:
-    * greatest(1, least(ceil(n/32), 2²⁰)) over the same corpus CTE —
-    * integer ceil-division on both engines. At sf0.01 (500 vecs) the
-    * dial derives the same 16 cells the old pinned plan used; at
-    * sf0.1 it derives 63. */
+    * The DECLARED plan derives nCells from the corpus (VERDICT r10
+    * #1) via the BALANCED dial [[Similarity.balancedCells]]:
+    * occupancy = max(32, ⌈√rows⌉), so neither cost term goes
+    * quadratic — a pinned nCells blows pair work up 100× per decade
+    * and fails closed against the maxCell guard (the r10 weak flag),
+    * while strictly-constant occupancy makes the flat argmax
+    * ASSIGNMENT quadratic instead (measured 26×/decade at sf10,
+    * BASELINE.md r11); √N occupancy holds both at N^1.5. The oracle
+    * replays the dial as a scalar-subquery LIMIT
+    * greatest(1, least(ceil(n / greatest(32, ceil(sqrt(n)))), 2²⁰))
+    * over the same corpus CTE — IEEE sqrt + ceil-division agree
+    * across engines. At sf0.01 (500 vecs, √500 < 32) the dial
+    * derives the same 16 cells the old pinned plan used. */
   private val semDedup = Q("q_semdedup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.semDedupPairs(
         emb, "vec_id", "embedding",
-        nCells = Similarity.cellsForOccupancy(emb.count(), 32),
+        nCells = Similarity.balancedCells(emb.count(), minOccupancy = 32),
         trainIters = 2, trainFraction = 0.25,
         threshold = 0.35, maxCell = 2000)
       .orderBy(col("id_a"), col("id_b"))
     },
     Some(lloydAssignSqlExpr(
-      "(SELECT greatest(1, least(CAST(ceil(count(*) / 32.0) AS BIGINT), 1048576)) FROM e)") + """,
+      "(SELECT greatest(1, least(CAST(ceil(count(*) / greatest(32.0, ceil(sqrt(count(*))))) AS BIGINT), 1048576)) FROM e)") + """,
       capped AS (
         SELECT cell, neighbor_id AS id, cv AS v FROM (
           SELECT cell, neighbor_id, cv,
@@ -4685,6 +4687,38 @@ $roundCtes"""
                round(list_cosine_similarity(a.v, b.v), 6) AS sim
         FROM capped a JOIN capped b ON a.cell = b.cell AND a.id < b.id)
       WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
+
+  /** All-pairs k-NN graph ([[Similarity.knnGraph]], r11): every
+    * corpus vector's top-5 within-cell neighbors under the trained
+    * quantizer — the primitive semantic-dedup clustering and
+    * diversity sampling consume. Same balanced-dial nCells as
+    * q_semdedup (derived from a corpus count, replayed by the oracle
+    * as a scalar-subquery LIMIT) and the same capBuckets guard; the
+    * per-query top-k folds through the BoundedTopK heap, so only
+    * corpus·k rows leave the aggregate. */
+  private val knnGraphQ = Q("q_knn_graph",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nCells = Similarity.balancedCells(emb.count(), minOccupancy = 32),
+        trainIters = 2, trainFraction = 0.25, maxCell = 2000)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, least(CAST(ceil(count(*) / greatest(32.0, ceil(sqrt(count(*))))) AS BIGINT), 1048576)) FROM e)") + """,
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM assign) WHERE cn <= 2000)
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+               row_number() OVER (PARTITION BY a.id ORDER BY
+                 round(list_cosine_similarity(a.v, b.v), 6) DESC, b.id)
+                 AS rank
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
     * of q_outlier_zscore: modified z = 0.6745·(v − median)/MAD, flag
@@ -7810,7 +7844,7 @@ $roundCtes"""
     countsIncremental,
     driftReport, spanDedup, spanScrub, spanIncremental,
     temperatureSample, hardNegatives,
-    outlierMad, semDedup, decayFeatures, featureHash,
+    outlierMad, semDedup, knnGraphQ, decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
     labelProp, scoreCalibration, bm25Q, noveltyQ, splitDedupAwareQ,

@@ -341,9 +341,10 @@ object Similarity {
     * mean occupancy (and with it Σ cell²/corpus) stays constant as
     * data grows; watch the realized distribution with
     * [[assignCells]] + [[Guards.oversizedBuckets]]. The declared
-    * `q_semdedup` DECLARES this plan (r11): it derives nCells from a
-    * corpus count and the oracle replays the dial as a
-    * scalar-subquery LIMIT over the same corpus CTE. */
+    * `q_semdedup` derives nCells from a corpus count via
+    * [[balancedCells]] (√N occupancy — see the assignment-term
+    * tradeoff on [[cellsForOccupancy]]) and the oracle replays the
+    * dial as a scalar-subquery LIMIT over the same corpus CTE. */
   def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, trainIters: Int = 2, trainFraction: Double = 1.0,
       threshold: Double, maxCell: Int = 2000): DataFrame = {
@@ -371,12 +372,97 @@ object Similarity {
     * 2²⁰ cells — the centroid frame is driver-collected and
     * broadcast, so past the cap (rows > occupancy·2²⁰) split the
     * corpus into shards or move to the coarse-then-fine IVF/PQ
-    * hierarchy rather than growing one flat quantizer. */
+    * hierarchy rather than growing one flat quantizer.
+    *
+    * THE OTHER TERM (r11 sf10 calibration): constant occupancy makes
+    * the PAIR stage linear, but the flat argmax ASSIGNMENT is
+    * O(rows · nCells · dim) — with nCells ∝ rows that term grows
+    * quadratically and dominates past ~10⁵–10⁶ rows (measured:
+    * q_semdedup cpu 55 s at 20 k rows/625 cells vs the sf10 row in
+    * BASELINE.md). Two production answers, both compatible with this
+    * dial: (a) pass a √rows-proportional occupancy —
+    * `targetOccupancy ≈ ceil(sqrt(rows))` balances assign
+    * (rows·√rows·dim) against pairs (rows·√rows), the standard IVF
+    * sizing, at the cost of occupancy (and per-cell pair work)
+    * growing with the corpus; (b) keep constant occupancy but
+    * assign through a coarse-then-fine hierarchy (√nCells coarse
+    * probes, then fine argmax within the coarse cell) — same
+    * O(rows·√nCells·dim) assign with constant-occupancy pairs. The
+    * declared q_semdedup/q_knn_graph keep (constant-occupancy, flat
+    * assign) because the oracle replays the exact flat argmax chain;
+    * at their measured scales assignment is not yet dominant. */
   def cellsForOccupancy(rows: Long, targetOccupancy: Int): Int = {
     require(rows >= 0 && targetOccupancy >= 1,
       s"cellsForOccupancy(rows=$rows, targetOccupancy=$targetOccupancy)")
     val cells = (rows + targetOccupancy - 1) / targetOccupancy
     math.max(1L, math.min(cells, 1L << 20)).toInt
+  }
+
+  /** BALANCED quantizer sizing (r11) — answer (a) of the
+    * [[cellsForOccupancy]] tradeoff made executable, and the dial the
+    * declared q_semdedup / q_knn_graph plans use: occupancy
+    * max(minOccupancy, ⌈√rows⌉), so BOTH cost terms grow as N^1.5 —
+    * assign = rows·nCells·dim = rows^1.5·dim, pairs = rows·occupancy
+    * = rows^1.5 — instead of constant occupancy's quadratic assign
+    * (measured 26×/decade on q_semdedup at sf10, BASELINE.md r11) or
+    * fixed nCells' quadratic pairs (the r9 fail-closed artifact).
+    * Below minOccupancy² rows the floor keeps cells from
+    * fragmenting (√500 ≈ 23 < 32 → the sf0.01 corpus still derives
+    * 16 cells). ⌈√n⌉ is IEEE-exact on both engines (sqrt is
+    * correctly rounded; perfect squares hit the integer), so a SQL
+    * oracle replays it as
+    * `ceil(count(*) / greatest(minOcc, ceil(sqrt(count(*)))))`. */
+  def balancedCells(rows: Long, minOccupancy: Int = 32): Int = {
+    require(rows >= 0 && minOccupancy >= 1,
+      s"balancedCells(rows=$rows, minOccupancy=$minOccupancy)")
+    val occ = math.min(Int.MaxValue.toLong, math.max(minOccupancy.toLong,
+      math.ceil(math.sqrt(rows.toDouble)).toLong))
+    cellsForOccupancy(rows, occ.toInt)
+  }
+
+  /** All-pairs k-NN GRAPH over the corpus (r11) — every vector's
+    * top-k neighbors among its OWN quantizer cell, the primitive under
+    * semantic-dedup clustering, diversity-aware sampling, and
+    * label-propagation over embeddings. [[bruteForceTopK]] cannot
+    * build this (the query side IS the corpus — nothing to
+    * broadcast); instead both sides ride the trained cell assignment
+    * and meet in one (cell)-keyed equi-join, so the candidate work is
+    * Σ cell² — corpus-linear at constant occupancy via the
+    * [[cellsForOccupancy]] dial, same contract as [[semDedupPairs]],
+    * same capBuckets guard on degenerate cells (drops observable
+    * under "knn_graph_cells"). Per-query top-k folds through the
+    * k-bounded [[graft.plans.BoundedTopK]] heap — only |corpus|·k
+    * rows survive the aggregate, never the within-cell pair stream.
+    *
+    * Recall contract: neighbors are WITHIN-CELL (nProbe=1 of the IVF
+    * family) — a vector's true nearest neighbor in an adjacent cell
+    * is missed; raise occupancy (fewer, larger cells) or run
+    * [[ivfTopK]] with nProbe > 1 over a query subset when
+    * boundary-recall matters. Ranking semantics (sim desc,
+    * neighbor_id asc ties) match the other top-k family members. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int, trainIters: Int = 2, trainFraction: Double = 1.0,
+      maxCell: Int = 2000): DataFrame = {
+    val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters,
+      trainFraction = trainFraction)
+    val assigned = corpus.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      cellOf(cent, col(vecCol)).as("cell"))
+    // one materialization for both self-join sides (the minhashNearDups
+    // rationale: diamond DAGs recompute, and the argmax assignment over
+    // the corpus is the expensive half)
+    val capped = Guards.capBuckets(assigned, Seq("cell"), maxCell,
+      Some("knn_graph_cells"))
+      .localCheckpoint(false)
+    val a = capped.select(col("cell"), col("id").as("query_id"),
+      col("v").as("qv"))
+    val b = capped.select(col("cell"), col("id").as("neighbor_id"),
+      col("v").as("cv"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, k)
   }
 
   /** Cell assignment of the full corpus under a [[kmeansFit]]

@@ -243,6 +243,25 @@ class DriftMiningSpec extends SparkSpec {
     }
   }
 
+  test("balancedCells: √N occupancy past the floor, constant below it (r11)") {
+    import graft.operators.Similarity
+    // below minOccupancy² rows the floor rules: same cells as the
+    // constant-occupancy dial (the declared queries are test-scale
+    // invariant under the switch)
+    assert(Similarity.balancedCells(500, 32) ==
+      Similarity.cellsForOccupancy(500, 32))
+    assert(Similarity.balancedCells(500, 32) == 16)
+    // past the floor, occupancy tracks ⌈√n⌉ so BOTH terms are N^1.5:
+    // nCells = ⌈n/⌈√n⌉⌉ ≈ √n — at 100× rows, cells grow ~10×, not 100×
+    val c1 = Similarity.balancedCells(20000, 32)   // ⌈√20000⌉=142
+    val c2 = Similarity.balancedCells(2000000, 32) // ⌈√2e6⌉=1415
+    assert(c1 == 141 && c2 == 1414, s"($c1, $c2)")
+    // perfect square boundary: IEEE sqrt is exact, no off-by-one
+    assert(Similarity.balancedCells(1048576, 1) == 1024)
+    // cap still applies
+    assert(Similarity.balancedCells(Long.MaxValue / 4, 1) == (1 << 20))
+  }
+
   test("semDedupPairs: capBuckets drops an oversize cell entirely") {
     // every vector identical → one cell holds everything; cap below
     // the cell size must produce zero pairs (and not a b² explosion)

@@ -655,6 +655,23 @@ class OperatorsSpec extends SparkSpec {
     assert(hits >= 16, s"sq8 top-1 recall $hits/20 — quantization too lossy")
   }
 
+  test("knnGraph with one cell ≡ bruteForceTopK; cap guard drops degenerate cells") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 60)
+    // one cell = every pair compared — the graph must equal the exact
+    // all-pairs answer (same ranking semantics, self-matches excluded)
+    val got = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+        nCells = 1)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want && want.nonEmpty)
+    // a cell past maxCell is DROPPED (observable, like semDedupPairs),
+    // not allowed to go quadratic on one task
+    val none = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+      nCells = 1, maxCell = 10)
+    assert(none.count() == 0)
+  }
+
   test("approx_percentile tracks exact percentile within its accuracy bound") {
     // The 100 TB path for q_percentile: exact percentile is a full sort
     // per group; approx_percentile is a one-pass mergeable sketch. With
