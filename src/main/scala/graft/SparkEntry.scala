@@ -4668,11 +4668,16 @@ $roundCtes"""
   private val semDedup = Q("q_semdedup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      // the skew guard scales WITH the dial: a fixed cap would start
+      // dropping NORMAL cells once √N occupancy crosses it (N ≈ 4·10⁶)
+      val occ = Similarity.balancedOccupancy(n, minOccupancy = 32)
       Similarity.semDedupPairs(
         emb, "vec_id", "embedding",
-        nCells = Similarity.balancedCells(emb.count(), minOccupancy = 32),
+        nCells = Similarity.cellsForOccupancy(n, occ),
         trainIters = 2, trainFraction = 0.25,
-        threshold = 0.35, maxCell = 2000)
+        threshold = 0.35,
+        maxCell = math.min(Int.MaxValue.toLong, 64L * occ).toInt)
       .orderBy(col("id_a"), col("id_b"))
     },
     Some(lloydAssignSqlExpr(
@@ -4681,7 +4686,8 @@ $roundCtes"""
         SELECT cell, neighbor_id AS id, cv AS v FROM (
           SELECT cell, neighbor_id, cv,
                  count(*) OVER (PARTITION BY cell) AS cn
-          FROM assign) WHERE cn <= 2000)
+          FROM assign) WHERE cn <= (SELECT 64 * greatest(32,
+            CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e))
       SELECT cell, id_a, id_b, sim FROM (
         SELECT a.cell, a.id AS id_a, b.id AS id_b,
                round(list_cosine_similarity(a.v, b.v), 6) AS sim
@@ -4699,9 +4705,12 @@ $roundCtes"""
   private val knnGraphQ = Q("q_knn_graph",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val occ = Similarity.balancedOccupancy(n, minOccupancy = 32)
       Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
-        nCells = Similarity.balancedCells(emb.count(), minOccupancy = 32),
-        trainIters = 2, trainFraction = 0.25, maxCell = 2000)
+        nCells = Similarity.cellsForOccupancy(n, occ),
+        trainIters = 2, trainFraction = 0.25,
+        maxCell = math.min(Int.MaxValue.toLong, 64L * occ).toInt)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(lloydAssignSqlExpr(
@@ -4710,7 +4719,8 @@ $roundCtes"""
         SELECT cell, neighbor_id AS id, cv AS v FROM (
           SELECT cell, neighbor_id, cv,
                  count(*) OVER (PARTITION BY cell) AS cn
-          FROM assign) WHERE cn <= 2000)
+          FROM assign) WHERE cn <= (SELECT 64 * greatest(32,
+            CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e))
       SELECT query_id, neighbor_id, sim, rank FROM (
         SELECT a.id AS query_id, b.id AS neighbor_id,
                round(list_cosine_similarity(a.v, b.v), 6) AS sim,

@@ -412,12 +412,23 @@ object Similarity {
     * correctly rounded; perfect squares hit the integer), so a SQL
     * oracle replays it as
     * `ceil(count(*) / greatest(minOcc, ceil(sqrt(count(*)))))`. */
-  def balancedCells(rows: Long, minOccupancy: Int = 32): Int = {
+  def balancedCells(rows: Long, minOccupancy: Int = 32): Int =
+    cellsForOccupancy(rows, balancedOccupancy(rows, minOccupancy))
+
+  /** The √N occupancy behind [[balancedCells]], exposed because the
+    * SKEW GUARD must scale with it: a fixed maxCell (say 2000) is a
+    * ~64× skew tolerance at occupancy 32, but once ⌈√N⌉ crosses it
+    * (N ≈ 4·10⁶) the guard would drop perfectly NORMAL cells —
+    * fail-closed again, this time from the cap, not the dial. Callers
+    * pass `maxCell = skewFactor × balancedOccupancy(n)` so the guard
+    * keeps catching only degenerate cells at every corpus size (the
+    * declared q_semdedup/q_knn_graph use skewFactor 64, the same
+    * tolerance the old 2000/32 constant encoded). */
+  def balancedOccupancy(rows: Long, minOccupancy: Int = 32): Int = {
     require(rows >= 0 && minOccupancy >= 1,
-      s"balancedCells(rows=$rows, minOccupancy=$minOccupancy)")
-    val occ = math.min(Int.MaxValue.toLong, math.max(minOccupancy.toLong,
-      math.ceil(math.sqrt(rows.toDouble)).toLong))
-    cellsForOccupancy(rows, occ.toInt)
+      s"balancedOccupancy(rows=$rows, minOccupancy=$minOccupancy)")
+    math.min(Int.MaxValue.toLong, math.max(minOccupancy.toLong,
+      math.ceil(math.sqrt(rows.toDouble)).toLong)).toInt
   }
 
   /** All-pairs k-NN GRAPH over the corpus (r11) — every vector's

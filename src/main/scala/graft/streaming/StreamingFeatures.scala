@@ -278,6 +278,48 @@ object StreamingFeatures {
     batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
   }
 
+  /** Streaming ingest SPAN-dup gate (r11) — the `foreachBatch` body
+    * that puts the persisted span-hash index
+    * ([[graft.operators.Dedup.spanDupStatsAgainst]]) on the ingest
+    * path: batch docs whose duplicated-span ratio against the index
+    * reaches `maxDupRatio` are dropped before the sink, and (by
+    * default) the SURVIVORS' span deltas are appended to the index so
+    * the next micro-batch dedups against them too — the full
+    * index-maintaining ingest loop, closing the family triangle:
+    * [[dedupStream]] = exact in-stream, [[nearDupGateBatch]] =
+    * whole-doc near-dup, this = substring-level (Lee et al.).
+    *
+    * Scale contract: the batch pays its own explode+md5; the corpus
+    * rides the probe as stored hashes+counts. DELIVERY: the index
+    * append inherits the at-least-once caveat of
+    * [[graft.operators.Dedup.appendToSpanIndex]] — a REPLAYED batch
+    * double-counts its deltas (which can only make the gate
+    * stricter, never leak a duplicate); run the sink single-writer
+    * with external sequencing for exactly-once counts. */
+  def spanGateBatch(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      k: Int = 8,
+      maxDupRatio: Double = 0.5,
+      updateIndex: Boolean = true): DataFrame = {
+    val dups = graft.operators.Dedup
+      .spanDupStatsAgainst(batch, textCol, idCol, k, indexDir)
+      .filter(col("dup_ratio") >= maxDupRatio)
+      .select(col(idCol).as("__dup_id"))
+    val kept = batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
+    if (!updateIndex) kept
+    else {
+      // pin the survivors once: the caller's sink write and the index
+      // append must see the SAME rows (diamond DAGs recompute)
+      val pinned = kept.localCheckpoint(false)
+      graft.operators.Dedup
+        .appendToSpanIndex(pinned, textCol, idCol, k, indexDir)
+      pinned
+    }
+  }
+
   def maintainLatest(features: DataFrame, outDir: String,
       checkpoint: String, entityKey: String,
       tsCol: String = "ts", tieBreak: Seq[String] = Seq.empty)

@@ -295,4 +295,40 @@ class StreamingSpec extends SparkSpec {
       assert(kept.toSet == Set(2L), s"got $kept")
     } finally q.stop()
   }
+
+  test("foreachBatch span gate drops span-duplicates and keeps its own index current (r11)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = s"/tmp/graft_spanidx_stream_${java.util.UUID.randomUUID()}"
+    Dedup.buildSpanIndex(
+      Seq((100L, s"$shared iota kappa lambda mu")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 4, dir)
+    val novel = "completely different words about streams windows " +
+      "joins and state with nothing shared"
+    val mem = MemoryStream[Doc]
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingFeatures.spanGateBatch(b, "text", "doc_id", dir,
+            k = 4, maxDupRatio = 0.3)
+          .select("doc_id").collect().foreach(r => kept += r.getLong(0))
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: doc 1 shares most spans with the CORPUS → dropped;
+      // doc 2 is novel → kept AND appended to the index
+      mem.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), s"$shared nu xi"),
+        Doc(2L, ts("2024-01-01 10:01:00"), novel))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(2L), s"batch 1: got $kept")
+      // batch 2: a span-copy of batch 1's NOVEL doc — only caught if
+      // the gate appended doc 2's spans (the index-maintaining loop)
+      mem.addData(Doc(3L, ts("2024-01-01 10:02:00"), novel + " extra tail"))
+      q.processAllAvailable()
+      assert(kept.toSet == Set(2L), s"batch 2 must drop the copy: $kept")
+    } finally q.stop()
+  }
 }
