@@ -430,6 +430,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected the two bounded windows:\n${physical(df)}")
   }
 
+  test("q_cms_audit reads lineitem exactly twice: one sketch-build scan, one probe scan (VERDICT r10 #4)") {
+    // The r10 plan built the d=4 sketch as a 4-branch union — four full
+    // fact-table scans where one explode(array(0..3)) suffices. Gate the
+    // fix: the whole plan may scan lineitem at most twice (the one-scan
+    // build + the independent top-10 exact probe side).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = run("q_cms_audit")
+    val liScans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => s
+    }
+    assert(liScans.size <= 2,
+      s"q_cms_audit scans lineitem ${liScans.size}× — the ×d union crept back:\n${physical(df)}")
+  }
+
   test("every main-source .collect() call site carries a bound guard (VERDICT r10 #9)") {
     // The r10 audit found all 16 driver-side collects individually
     // bounded (nCells centroids, maxPlayers, vocab-bounded merges,
