@@ -1769,6 +1769,71 @@ $steps
       SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** Persisted-band-index MinHash gate ([[Dedup.buildMinhashIndex]] →
+    * [[Dedup.appendToMinhashIndex]] →
+    * [[Dedup.minhashNearDupsAgainstIndex]], r11): the same batch-vs-
+    * corpus semantics as q_minhash_incremental, but the corpus-side
+    * sketch is READ from storage — built from doc_id < 200 and the
+    * 200–399 slab APPENDED, so the oracled path exercises the
+    * append + pinned-params meta, and the probe pays O(batch sketch
+    * + band join) instead of re-shingling the corpus per shard. Same
+    * oracle as q_minhash_incremental: the index roundtrip must be
+    * invisible to results (the q_ivf_index convention). */
+  private val minhashIndexQ = Q("q_minhash_index",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val indexDir = s"/tmp/graft_mhidx/$tag"
+      val docs = Tables.documents(s, d)
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 200),
+        "text", "doc_id", indexDir, shingleN = 3, bands = 4, rows = 4)
+      Dedup.appendToMinhashIndex(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+        "text", "doc_id", indexDir)
+      Dedup.minhashNearDupsAgainstIndex(
+          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+          "text", "doc_id", indexDir, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(len(toks) - 2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+        FROM docs),
+      sx AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(12),
+                 c -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(c+1 AS INT), 1)) - 1 AS BIGINT)
+                      * (CAST(1 AS BIGINT) << CAST(4*(11-c) AS INT)))) AS BIGINT) AS x
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+      hmin AS (
+        SELECT doc_id, j,
+               min(((((j+1)*2654435761) % 2147483647) * (x % 2147483647)
+                    + (j*2654435769) % 2147483647) % 2147483647) AS h
+        FROM sx CROSS JOIN (SELECT unnest(range(16)) AS j)
+        GROUP BY doc_id, j),
+      bkt AS (
+        SELECT doc_id, j // 4 AS band,
+               substr(md5(string_agg(lpad(CAST(h AS VARCHAR), 10, '0'), '' ORDER BY j)), 1, 12) AS bucket
+        FROM hmin GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+        FROM bkt b JOIN bkt c
+          ON b.band = c.band AND b.bucket = c.bucket
+         AND b.doc_id >= 400 AND c.doc_id < 400),
+      jac AS (
+        SELECT cd.id_a, cd.id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM cand cd JOIN sh a ON a.doc_id = cd.id_a JOIN sh b ON b.doc_id = cd.id_b)
+      SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.4
+      ORDER BY id_a, id_b"""))
+
   /** SimHash under the FULL hash oracle (r7): the 64 fingerprint bits
     * are md5-hex-digit arithmetic ([[graft.plans.SimHash64]] — bit p =
     * bit (p mod 4) of hex digit (15 − p div 4)), so DuckDB replays
@@ -5217,6 +5282,53 @@ $roundCtes"""
       SELECT doc_id, CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS score
       FROM terms GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** Persisted-keyword-index BM25 ([[graft.operators.Retrieval
+    * .buildKeywordIndex]] → [[graft.operators.Retrieval
+    * .appendToKeywordIndex]] → [[graft.operators.Retrieval
+    * .bm25SearchFromIndex]], r11): q_bm25's exact ranking with the
+    * corpus tokenize moved to ingest — postings term-sorted so the
+    * probe's IN-filter prunes row groups, totals folded from
+    * build+append DELTA rows (the span-index convention, exercised
+    * here by building from doc_id < 250 and appending the rest).
+    * Same oracle as q_bm25: the index roundtrip must be invisible to
+    * scores. */
+  private val bm25IndexQ = Q("q_bm25_index",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val indexDir = s"/tmp/graft_kwidx/$tag"
+      val docs = Tables.documents(s, d)
+      graft.operators.Retrieval.buildKeywordIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", indexDir)
+      graft.operators.Retrieval.appendToKeywordIndex(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", indexDir)
+      graft.operators.Retrieval.bm25SearchFromIndex(s, indexDir, "doc_id",
+          Seq("vector", "hash", "window", "stream"), k = 20)
+        .select(col("doc_id"), col("score"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      ftoks AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+      dl AS (SELECT doc_id, count(*) AS dl FROM ftoks GROUP BY doc_id),
+      tot AS (SELECT (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+                     (SELECT count(*) FROM documents) AS n_docs),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM ftoks
+             WHERE term IN ('vector', 'hash', 'window', 'stream')
+             GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      terms AS (
+        SELECT tf.doc_id AS doc_id,
+               round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                 * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+                     0.75 * (dl.dl * n_docs / CAST(sum_dl AS DOUBLE))))),
+                 6) AS t
+        FROM tf JOIN dfreq USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM terms GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** N-gram novelty ([[graft.operators.CorpusStats.ngramNovelty]]):
     * per doc, the fraction of its distinct 3-grams occurring in no
     * other document — the memorization/boilerplate dial from the
@@ -7844,7 +7956,8 @@ $roundCtes"""
     sessionize,
     arrayFns, arrayHof, mapFns, cubeAgg, mathFns, pitMultiGroup,
     embedNearDup, editNearDup, weightedSample,
-    ngramJac, minhashDup, minhashIncremental, simhashDup, bucketedAnn,
+    ngramJac, minhashDup, minhashIncremental, minhashIndexQ, simhashDup,
+    bucketedAnn,
     ivfAnn, ivfIndexAnn,
     qualityChecks,
     dedupCc, dedupCanonical, hashSample, stratifiedSample, rangeJoin,
@@ -7857,7 +7970,8 @@ $roundCtes"""
     outlierMad, semDedup, knnGraphQ, decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
-    labelProp, scoreCalibration, bm25Q, noveltyQ, splitDedupAwareQ,
+    labelProp, scoreCalibration, bm25Q, bm25IndexQ, noveltyQ,
+    splitDedupAwareQ,
     ivfAppend, embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,
     langPurity, qualityDrift, uniformNegatives, stalenessReport,

@@ -166,15 +166,14 @@ object Dedup {
       textCol: String, idCol: String,
       shingleN: Int = 3, bands: Int = 4, rows: Int = 4,
       threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
-    def bandSide(df: DataFrame, guard: String) = Guards.capBuckets(
-      df.select(col(idCol).as("id"),
-        posexplode(MinHashBands.column(
-          shingles(col(textCol), shingleN), bands, rows)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket"),
-      Seq("band", "bucket"), maxBucket, observeAs = Some(guard))
-    val b = bandSide(batch, "minhash_inc_batch_guard").as("b")
-    val c = bandSide(corpus, "minhash_inc_corpus_guard").as("c")
+    val b = Guards.capBuckets(
+      bandRows(batch, textCol, idCol, shingleN, bands, rows),
+      Seq("band", "bucket"), maxBucket,
+      observeAs = Some("minhash_inc_batch_guard")).as("b")
+    val c = Guards.capBuckets(
+      bandRows(corpus, textCol, idCol, shingleN, bands, rows),
+      Seq("band", "bucket"), maxBucket,
+      observeAs = Some("minhash_inc_corpus_guard")).as("c")
     val candidates = b.join(c,
         col("b.band") === col("c.band") &&
           col("b.bucket") === col("c.bucket"))
@@ -182,10 +181,30 @@ object Dedup {
       .distinct()
       // feeds two candidate-id semi-joins below; pin one evaluation
       .localCheckpoint(false)
-    // side-qualified verify (NOT the shared-frame ngramJaccard): each
-    // pair's jaccard reads id_a's shingles from the BATCH and id_b's
-    // from the CORPUS, so overlapping ids across frames verify against
-    // the right text instead of a union-frame coin toss (review r9)
+    verifySidedPairs(candidates, batch, corpus, textCol, idCol,
+      shingleN, threshold)
+  }
+
+  /** (id, band, bucket) LSH band rows of `df` — the map-side sketch
+    * both the self-join and the incremental gates shuffle on. */
+  private def bandRows(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, bands: Int, rows: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(MinHashBands.column(
+          shingles(col(textCol), shingleN), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** Side-qualified exact-Jaccard verify (NOT the shared-frame
+    * ngramJaccard): each pair's jaccard reads id_a's shingles from the
+    * BATCH and id_b's from the CORPUS, so overlapping ids across
+    * frames verify against the right text instead of a union-frame
+    * coin toss (review r9). Text is touched only for candidate ids —
+    * left-semi restriction on both sides. */
+  private def verifySidedPairs(candidates: DataFrame,
+      batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
     def shingled(df: DataFrame, side: String) = df
       .join(candidates.select(col(side).as("__cid")).distinct(),
         col(idCol) === col("__cid"), "left_semi")
@@ -198,6 +217,87 @@ object Dedup {
           size(array_union(col("sh_id_a"), col("sh_id_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Build and PERSIST the MinHash band index — the sketch half of
+    * [[minhashNearDupsAgainst]] moved to ingest time, closing the
+    * promise that operator's scaladoc makes ("on a 100 TB corpus the
+    * corpus-side sketches would be computed once at ingest and served
+    * from storage"): `indexDir/bands` holds the corpus's (id, band,
+    * bucket) rows — 32-byte-ish rows regardless of document size — and
+    * `indexDir/meta` pins the sketch parameters (shingleN, bands,
+    * rows) so a probe can never silently band against an index built
+    * under a different hash family. Probes
+    * ([[minhashNearDupsAgainstIndex]]) then pay O(batch sketch +
+    * band join + candidate verify); the corpus TEXT is touched only
+    * for candidate ids.
+    *
+    * WRITE CONTRACT: same as the span/IVF indexes — append is neither
+    * atomic nor idempotent (a retried batch duplicates its band rows,
+    * which only duplicates CANDIDATES — the verify dedups pairs — but
+    * wastes work); single-writer with external sequencing. */
+  def buildMinhashIndex(corpus: DataFrame, textCol: String, idCol: String,
+      indexDir: String, shingleN: Int = 3, bands: Int = 4,
+      rows: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((shingleN, bands, rows)).toDF("shingle_n", "bands", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    bandRows(corpus, textCol, idCol, shingleN, bands, rows)
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Append a NEW batch's band rows to a persisted
+    * [[buildMinhashIndex]] index under the index's OWN pinned
+    * parameters — O(batch sketch), never a corpus re-shingle. */
+  def appendToMinhashIndex(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String): Unit = {
+    val (shingleN, bands, rows) = minhashIndexMeta(batch.sparkSession, indexDir)
+    bandRows(batch, textCol, idCol, shingleN, bands, rows)
+      .write.mode("append").parquet(s"$indexDir/bands")
+  }
+
+  private def minhashIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$indexDir/meta")
+      .select(col("shingle_n"), col("bands"), col("rows"))
+      .limit(2).collect() // bounded: meta is one pinned-params row
+    require(m.length == 1, s"minhash index $indexDir: malformed meta")
+    (m(0).getInt(0), m(0).getInt(1), m(0).getInt(2))
+  }
+
+  /** Ingest-time near-dup gate against a PERSISTED band index — the
+    * [[minhashNearDupsAgainst]] semantics with the corpus-side sketch
+    * read from [[buildMinhashIndex]] storage instead of recomputed
+    * per gate run (which re-paid the corpus explode+hash — the
+    * dominant cost — on every daily shard). Sketch parameters come
+    * from the index's meta, never from the caller, so batch and
+    * corpus always band under the same hash family. `corpus` supplies
+    * only the TEXT for the exact-Jaccard verify, restricted to
+    * candidate ids by the left-semi in the shared verify stage. */
+  def minhashNearDupsAgainstIndex(
+      batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, indexDir: String,
+      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+    val spark = batch.sparkSession
+    val (shingleN, bands, rows) = minhashIndexMeta(spark, indexDir)
+    val b = Guards.capBuckets(
+      bandRows(batch, textCol, idCol, shingleN, bands, rows),
+      Seq("band", "bucket"), maxBucket,
+      observeAs = Some("minhash_idx_batch_guard")).as("b")
+    val c = Guards.capBuckets(
+      spark.read.parquet(s"$indexDir/bands")
+        .select(col("id"), col("band"), col("bucket")),
+      Seq("band", "bucket"), maxBucket,
+      observeAs = Some("minhash_idx_corpus_guard")).as("c")
+    val candidates = b.join(c,
+        col("b.band") === col("c.band") &&
+          col("b.bucket") === col("c.bucket"))
+      .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
+      .distinct()
+      .localCheckpoint(false)
+    verifySidedPairs(candidates, batch, corpus, textCol, idCol,
+      shingleN, threshold)
   }
 
   /** Winnowing near-dup pairs: docs sharing ≥ `minShared` winnow

@@ -72,6 +72,88 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Build and PERSIST the keyword-retrieval index (r11) — the
+    * tokenize/postings half of [[bm25Search]] moved to ingest time,
+    * completing the persisted-index family (IVF, PQ, span-hash,
+    * MinHash bands): layout is `indexDir/postings` (idCol, term, tf)
+    * repartitioned AND sorted by term so a probe's IN-filter prunes
+    * row groups, `indexDir/doclens` (idCol, dl), and
+    * `indexDir/totals` (n_docs, sum_dl) DELTA rows — append never
+    * read-modify-writes; probes sum the deltas (the span-index
+    * convention). Document frequencies are NOT stored: df of a query
+    * term is a count over its (pruned) postings, so appends keep df
+    * consistent for free.
+    *
+    * WRITE CONTRACT: append is neither atomic nor idempotent (a
+    * retried batch double-counts tf/dl/totals); single-writer with
+    * external sequencing, rebuild to compact. */
+  def buildKeywordIndex(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit =
+    writeKeywordIndex(docs, idCol, textCol, indexDir, overwrite = true)
+
+  /** Append a NEW batch to a persisted [[buildKeywordIndex]] index —
+    * O(batch tokens), never a corpus re-tokenize. */
+  def appendToKeywordIndex(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String): Unit =
+    writeKeywordIndex(batch, idCol, textCol, indexDir, overwrite = false)
+
+  private def writeKeywordIndex(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val toks = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(lower(col(textCol))))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint(false) // feeds postings AND doclens (diamond DAG)
+    toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode(mode).parquet(s"$indexDir/postings")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false) // feeds the table AND the totals delta
+    dl.write.mode(mode).parquet(s"$indexDir/doclens")
+    dl.agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("sum_dl"))
+      .coalesce(1).write.mode(mode).parquet(s"$indexDir/totals")
+  }
+
+  /** [[bm25Search]] against a PERSISTED [[buildKeywordIndex]] index —
+    * identical ranking arithmetic (the roundtrip must be invisible,
+    * which is what the shared oracle checks); the plan difference is
+    * the point: the corpus tokenize/explode — the dominant per-run
+    * cost — happened once at ingest, and the probe reads only the
+    * query terms' postings (IN-filter pushed to the term-sorted
+    * parquet → row-group pruning) plus the doclens of candidate
+    * docs. */
+  def bm25SearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25SearchFromIndex: need at least one term")
+    val tfq = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(queryTerms.distinct: _*))
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$indexDir/doclens")
+    // totals are DELTA rows (one per build/append) — sum to fold
+    val totals = spark.read.parquet(s"$indexDir/totals")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val idf = round(log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    val norm = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * (col("dl") * col("n_docs") /
+          col("sum_dl").cast(DoubleType))))
+    tfq.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("t", round(idf * norm, 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(sum(col("t")).cast(DoubleType).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Okapi BM25 (Robertson et al.) — [[tfidfSearch]] plus the two
     * things production keyword retrieval actually needs: tf
     * SATURATION (k1 — the 50th occurrence of a term shouldn't count

@@ -206,6 +206,33 @@ class OperatorsSpec extends SparkSpec {
       s"re-ingested id must compare against the CORPUS text, got $cross")
   }
 
+  test("persisted minhash band index: probe ≡ direct gate, append under pinned meta params") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " and then keeps going with more words after that")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " extra"),
+      (12L, "unrelated gibberish zebra quantum flux harmonics nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val dir = s"/tmp/graft_mhidx_spec_${java.util.UUID.randomUUID()}"
+    // build from one doc, APPEND the other — the append must band under
+    // the index's pinned (shingleN, bands, rows), not caller defaults
+    Dedup.buildMinhashIndex(corpus.filter($"doc_id" === 1L), "text", "doc_id",
+      dir, shingleN = 3, bands = 4, rows = 4)
+    Dedup.appendToMinhashIndex(corpus.filter($"doc_id" === 2L), "text", "doc_id", dir)
+    val got = Dedup.minhashNearDupsAgainstIndex(batch, corpus, "text", "doc_id",
+        dir, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.minhashNearDupsAgainst(batch, corpus, "text", "doc_id",
+        shingleN = 3, bands = 4, rows = 4, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want && want.nonEmpty,
+      s"index roundtrip must be invisible: got $got want $want")
+    assert(got.map(_._1) == Set(10L), "only the near-dup batch doc pairs")
+  }
+
   test("incremental span dedup: batch-vs-index only, delta append merges (VERDICT r10 #2)") {
     // k=4 spans; "alpha beta gamma delta" is the planted shared span
     val shared = "alpha beta gamma delta"

@@ -851,6 +851,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byId(3L) < byId(1L), s"got $got")
   }
 
+  test("persisted keyword index: build+append probe ≡ direct bm25Search (r11)") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf).filter($"doc_id" < 120)
+    val dir = s"/tmp/graft_kwidx_spec_${java.util.UUID.randomUUID()}"
+    // split the corpus across build and append: totals/df/dl must fold
+    // back to exactly the whole-corpus statistics
+    Retrieval.buildKeywordIndex(docs.filter($"doc_id" < 60),
+      "doc_id", "text", dir)
+    Retrieval.appendToKeywordIndex(docs.filter($"doc_id" >= 60),
+      "doc_id", "text", dir)
+    val terms = Seq("vector", "hash", "window", "stream")
+    val got = Retrieval.bm25SearchFromIndex(spark, dir, "doc_id", terms, 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val want = Retrieval.bm25Search(docs, "doc_id", "text", terms, 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == want && want.nonEmpty,
+      s"index roundtrip must be score-identical:\n got $got\nwant $want")
+  }
+
   test("ngram novelty: unique text scores 1, a copy zeroes both twins") {
     import graft.operators.CorpusStats
     val docs = Seq(

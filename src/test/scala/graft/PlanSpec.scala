@@ -418,6 +418,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"terms join must broadcast:\n${physical(df)}")
   }
 
+  test("q_bm25_index pushes the query-term IN filter into the postings scan (r11)") {
+    // The point of the persisted index: the probe reads only the query
+    // terms' postings — the In(term, …) filter must reach the parquet
+    // scan (term-sorted layout → row-group pruning), not evaluate
+    // post-scan over the whole postings table.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = run("q_bm25_index")
+    df.collect()
+    val postingsScans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingsScans.nonEmpty, s"no postings scan:\n${physical(df)}")
+    assert(postingsScans.forall(_.metadata.getOrElse("PushedFilters", "")
+        .contains("In(term")),
+      s"term IN-filter not pushed:\n${postingsScans.map(_.metadata).mkString}")
+  }
+
   test("weighted median pays exactly two windows, both off the raw stream") {
     // phase 1 windows the bucket histogram (bucket-count-sized); phase
     // 2 windows only the crossing bucket's rows — never the full table
