@@ -2412,6 +2412,42 @@ $steps
       FROM tf JOIN dfreq USING (term) CROSS JOIN n
       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** Persisted-index tf-idf probe ([[graft.operators.Retrieval
+    * .tfidfSearchFromIndex]], r11): the SECOND scorer over the same
+    * [[graft.operators.Retrieval.buildKeywordIndex]] layout q_bm25_index
+    * probes — "one index, many scorers". Same oracle as
+    * q_retrieve_tfidf: the roundtrip must be score-identical. */
+  private val tfidfIndexQ = Q("q_tfidf_index",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val indexDir = s"/tmp/graft_kwidx_tfidf/$tag"
+      val docs = Tables.documents(s, d)
+      graft.operators.Retrieval.buildKeywordIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", indexDir)
+      graft.operators.Retrieval.appendToKeywordIndex(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", indexDir)
+      graft.operators.Retrieval.tfidfSearchFromIndex(s, indexDir, "doc_id",
+          Seq("vector", "hash", "window", "stream"), k = 20)
+        .select(col("doc_id"), col("score"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE length(term) > 0
+          AND term IN ('vector', 'hash', 'window', 'stream')
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id,
+             CAST(sum(tf * ((n.n_docs + 1) * 1000000 // (df + 1))) AS BIGINT)
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** Unrolled DuckDB replay of [[graft.operators.Bpe.train]]: one CTE
     * trio per merge round (pair explode+count, argmax with the same
     * (cnt DESC, find) tie order, vocab rewrite via the same
@@ -7962,7 +7998,8 @@ $roundCtes"""
     qualityChecks,
     dedupCc, dedupCanonical, hashSample, stratifiedSample, rangeJoin,
     intervalOverlapQ,
-    tfidfTerms, retrieveTfidf, bpeTrain, bpeTokens, bpeBatched,
+    tfidfTerms, retrieveTfidf, tfidfIndexQ, bpeTrain, bpeTokens,
+    bpeBatched,
     lmPerplexity, lmDomain, lmInterpolated, kfold,
     countsIncremental,
     driftReport, spanDedup, spanScrub, spanIncremental,

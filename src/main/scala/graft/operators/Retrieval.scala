@@ -154,6 +154,29 @@ object Retrieval {
       .limit(k)
   }
 
+  /** [[tfidfSearch]] against a PERSISTED [[buildKeywordIndex]] index —
+    * the second scorer over the same postings ("one index, many
+    * scorers"): identical rational-idf ranking, corpus tokenize paid
+    * at ingest, probe reads only the query terms' pruned postings +
+    * the folded totals deltas. */
+  def tfidfSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "tfidfSearchFromIndex: need at least one term")
+    val tfq = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(queryTerms.distinct: _*))
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = spark.read.parquet(s"$indexDir/totals")
+      .agg(sum(col("n_docs")).as("n_docs"))
+    tfq.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * expr("(n_docs + 1) * 1000000L div (df + 1)"))
+        .cast("long").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Okapi BM25 (Robertson et al.) — [[tfidfSearch]] plus the two
     * things production keyword retrieval actually needs: tf
     * SATURATION (k1 — the 50th occurrence of a term shouldn't count

@@ -870,6 +870,19 @@ class PipelineOpsSpec extends SparkSpec {
       s"index roundtrip must be score-identical:\n got $got\nwant $want")
   }
 
+  test("keyword index serves tf-idf too: probe ≡ direct tfidfSearch (r11)") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf).filter($"doc_id" < 120)
+    val dir = s"/tmp/graft_kwidx_spec2_${java.util.UUID.randomUUID()}"
+    Retrieval.buildKeywordIndex(docs, "doc_id", "text", dir)
+    val terms = Seq("vector", "hash", "window", "stream")
+    val got = Retrieval.tfidfSearchFromIndex(spark, dir, "doc_id", terms, 10)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSeq
+    val want = Retrieval.tfidfSearch(docs, "doc_id", "text", terms, 10)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("ngram novelty: unique text scores 1, a copy zeroes both twins") {
     import graft.operators.CorpusStats
     val docs = Seq(
