@@ -1201,14 +1201,19 @@ $steps
     * encoding and every downstream access is a typed path lookup on
     * that encoding — at 100 TB the parse cost is paid once per row,
     * not once per extracted field, and shredded Variant columns keep
-    * min/max pruning that a JSON string scan loses. Missing paths
-    * return NULL (counted here as the schema-drift audit column);
-    * per-type aggregates over the extracted value replay as plain
+    * min/max pruning that a JSON string scan loses. `try_parse_json`,
+    * not strict `parse_json`: a malformed props row becomes a NULL
+    * Variant (every path lookup NULL — it joins the missing-path
+    * audit column) instead of failing the whole scan — the same
+    * malformed-input posture q_json_quarantine documents as a
+    * production shape (ADVICE r11; the fixtures are quarantined-clean,
+    * so the oracle's plain extraction replays identically).
+    * Per-type aggregates over the extracted value replay as plain
     * JSON extraction in DuckDB. See FIXTURES.md for the
     * variant-vs-map tradeoff note. */
   private val variantQ = Q("q_variant",
     (s, d) => Tables.events(s, d)
-      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .select(col("event_type"),
         expr("variant_get(v, '$.k', 'bigint')").as("k"),
         expr("variant_get(v, '$.missing', 'bigint')").as("miss"))

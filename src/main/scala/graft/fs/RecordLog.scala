@@ -197,7 +197,7 @@ final class RecordLog(val spark: SparkSession, val root: String) {
     }
     val affected = doomed(log)
       .groupBy(col("p_date")).agg(count(lit(1)).as("n"))
-      .collect() // bounded by the entity's active dates, not the log
+      .collect() // bounded: the entity's active dates, not the log
     if (affected.isEmpty) return 0L
     val dates = affected.map(_.getAs[java.sql.Date]("p_date"))
     val removed = affected.map(_.getAs[Long]("n")).sum

@@ -159,7 +159,9 @@ object Labels {
     // wall at 7 cpu s). The arithmetic mirrors the SQL oracle
     // operation for operation: HALF_UP 6-dp rounds, exact BigDecimal
     // term sums, the same double division chain.
-    val p = players.as[(String, Long, Long)].collect()
+    // limit bounds the COLLECT itself (maxPlayers+1 rows max, like the
+    // sym collect below); the require turns the overflow into the error
+    val p = players.limit(maxPlayers + 1).as[(String, Long, Long)].collect()
     require(p.length <= maxPlayers,
       s"bradleyTerry: ${p.length} players exceed maxPlayers=$maxPlayers")
     if (p.isEmpty)

@@ -388,9 +388,11 @@ object Similarity {
     * assign through a coarse-then-fine hierarchy (√nCells coarse
     * probes, then fine argmax within the coarse cell) — same
     * O(rows·√nCells·dim) assign with constant-occupancy pairs. The
-    * declared q_semdedup/q_knn_graph keep (constant-occupancy, flat
-    * assign) because the oracle replays the exact flat argmax chain;
-    * at their measured scales assignment is not yet dominant. */
+    * declared q_semdedup/q_knn_graph use answer (a) via
+    * [[balancedCells]] (√N occupancy, both cost terms at N^1.5),
+    * with the oracle replaying the dial as a scalar-subquery
+    * count — this constant-occupancy entry point remains for
+    * pair-stage-dominant callers below the assign crossover. */
   def cellsForOccupancy(rows: Long, targetOccupancy: Int): Int = {
     require(rows >= 0 && targetOccupancy >= 1,
       s"cellsForOccupancy(rows=$rows, targetOccupancy=$targetOccupancy)")
@@ -988,7 +990,7 @@ object Similarity {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(1)
         .select("vec_id", "v", "rel", "score")
-        .collect() // exactly one bounded row per step, like the BPE argmax
+        .collect() // bounded: exactly one row per step, like the BPE argmax
       if (top.isEmpty) exhausted = true
       else {
         val r = top.head
