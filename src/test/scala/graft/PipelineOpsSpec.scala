@@ -1009,6 +1009,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.contains(1L), "self must stay excluded")
   }
 
+  test("pq append: probes find appended vectors under the frozen " +
+      "codebooks (r12)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val build = emb.filter($"vec_id" >= 50)
+    val dir = java.nio.file.Files.createTempDirectory("pq_append").toString
+    Similarity.buildPqIndex(build, "vec_id", "embedding", dir,
+      m = 16, trainIters = 2, trainFraction = 0.25)
+    // append a CLONE of a build vector under a new id: its codes under
+    // the frozen codebooks equal the original's, so the original's
+    // probe must surface it at the original's own ADC similarity —
+    // deterministic proof the appended codes are probe-visible
+    val clone = build.filter($"vec_id" === 60)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    Similarity.appendToPqIndex(clone, "vec_id", "embedding", dir)
+    val top = Similarity.pqTopKFromIndex(
+        build.filter($"vec_id" === 60), dir, "vec_id", "embedding", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top.contains(9999L), s"appended clone missing from probe: $top")
+  }
+
   test("two-phase weighted median matches the hand-computed crossing row") {
     import graft.operators.WeightedStats
     // group A: values 1..4 with weights 1,1,1,5 → total 8, half 4;

@@ -468,6 +468,42 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no broadcast join over doclens found:\n${physical(df)}")
   }
 
+  test("q_knn_append restricts the corpus join to touched cells via a " +
+      "broadcast semi-join, no cartesian (r12)") {
+    // the |graph|+|batch| contract: the corpus side may pay one
+    // map-side assignment scan, but it joins pair-candidates only for
+    // cells the batch touches — a LeftSemi broadcast join over the
+    // ≤ nCells touched-cell values. The declared query's
+    // localCheckpoint pins sever that stage from the final executed
+    // plan, so the gate asserts it on the operator's OWN membership
+    // frame (knnRefreshMembers — the exact code path the query runs),
+    // and keeps the no-cartesian check on the full declared plan.
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec,
+      CartesianProductExec}
+    val df = run("q_knn_append")
+    df.collect()
+    val cartesians = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case c: CartesianProductExec => c
+    }
+    assert(cartesians.isEmpty, s"cartesian crept in:\n${physical(df)}")
+    val emb = graft.Tables.embeddings(spark, sf)
+    val members = graft.operators.Similarity.knnRefreshMembers(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 50),
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 50),
+      "vec_id", "embedding", nCells = 4, trainIters = 1,
+      trainFraction = 0.25, maxCell = 2048)
+    members.collect()
+    val semi = collectWithSubqueries(members.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      case j: BroadcastNestedLoopJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semi.nonEmpty,
+      s"no touched-cells broadcast semi-join found:\n${physical(members)}")
+  }
+
   test("weighted median pays exactly two windows, both off the raw stream") {
     // phase 1 windows the bucket histogram (bucket-count-sized); phase
     // 2 windows only the crossing bucket's rows — never the full table
