@@ -1793,7 +1793,7 @@ $steps
         "text", "doc_id", indexDir, shingleN = 3, bands = 4, rows = 4)
       Dedup.appendToMinhashIndex(
         docs.filter(col("doc_id") >= 200 && col("doc_id") < 400),
-        "text", "doc_id", indexDir)
+        "text", "doc_id", indexDir, batchId = 0L)
       Dedup.minhashNearDupsAgainstIndex(
           docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
           "text", "doc_id", indexDir, threshold = 0.4)
@@ -2430,7 +2430,8 @@ $steps
       graft.operators.Retrieval.buildKeywordIndex(
         docs.filter(col("doc_id") < 250), "doc_id", "text", indexDir)
       graft.operators.Retrieval.appendToKeywordIndex(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text", indexDir)
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", indexDir,
+        batchId = 0L)
       graft.operators.Retrieval.tfidfSearchFromIndex(s, indexDir, "doc_id",
           Seq("vector", "hash", "window", "stream"), k = 20)
         .select(col("doc_id"), col("score"))
@@ -4570,7 +4571,7 @@ $roundCtes"""
         "text", "doc_id", k = 8, indexDir)
       Dedup.appendToSpanIndex(
         docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),
-        "text", "doc_id", k = 8, indexDir)
+        "text", "doc_id", k = 8, indexDir, batchId = 0L)
       Dedup.spanDupStatsAgainst(docs.filter(col("doc_id") < 100),
           "text", "doc_id", k = 8, indexDir, maxDocs = 1000,
           observeAs = Some("span_incremental_cap"))
@@ -5341,7 +5342,8 @@ $roundCtes"""
       graft.operators.Retrieval.buildKeywordIndex(
         docs.filter(col("doc_id") < 250), "doc_id", "text", indexDir)
       graft.operators.Retrieval.appendToKeywordIndex(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text", indexDir)
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", indexDir,
+        batchId = 0L)
       graft.operators.Retrieval.bm25SearchFromIndex(s, indexDir, "doc_id",
           Seq("vector", "hash", "window", "stream"), k = 20)
         .select(col("doc_id"), col("score"))
@@ -5464,7 +5466,7 @@ $roundCtes"""
         "vec_id", "embedding", indexDir,
         nCells = 16, trainIters = 2, trainFraction = 0.25)
       Similarity.appendToIvfIndex(emb.filter(col("vec_id") < 50),
-        "vec_id", "embedding", indexDir)
+        "vec_id", "embedding", indexDir, batchId = 0L)
       Similarity.ivfTopKFromIndex(
           emb.filter(col("vec_id") < 5), indexDir, "vec_id", "embedding",
           k = 5, nProbe = 2)
@@ -5531,7 +5533,7 @@ $roundCtes"""
         "vec_id", "embedding", dir, m = 16, trainIters = 2,
         trainFraction = 0.25)
       Similarity.appendToPqIndex(emb.filter(col("vec_id") < 50),
-        "vec_id", "embedding", dir)
+        "vec_id", "embedding", dir, batchId = 0L)
       Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5), dir,
           "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank"))

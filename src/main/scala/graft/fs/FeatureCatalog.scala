@@ -137,67 +137,12 @@ final class FeatureCatalog(val spark: SparkSession, val root: String,
     * LockStealAfterMs + LockTimeoutMs so a waiter that arrives while an
     * orphaned lock is still young always lives to steal it rather than
     * timing out first (ADVICE r3). */
-  private def withLock[A](dir: String)(body: => A): A = {
-    Files.createDirectories(Paths.get(dir))
-    val lock = Paths.get(dir, "_LOCK")
-    val token =
-      s"${ProcessHandle.current().pid()} ${UUID.randomUUID()} ${System.currentTimeMillis()}"
-    val deadline = System.nanoTime() +
-      (FeatureCatalog.LockStealAfterMs + FeatureCatalog.LockTimeoutMs) * 1000L * 1000L
-    var acquired = false
-    while (!acquired) {
-      try {
-        Files.write(lock, token.getBytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        acquired = true
-      } catch {
-        case _: FileAlreadyExistsException =>
-          val ageMs =
-            try System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-            catch { case _: java.io.IOException => 0L } // raced: re-loop
-          if (ageMs > FeatureCatalog.LockStealAfterMs) {
-            val grave = Paths.get(dir, s"_LOCK.stolen.${UUID.randomUUID()}")
-            try {
-              Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
-              org.apache.log4j.Logger.getLogger(getClass).warn(
-                s"stole catalog lock $lock (age ${ageMs}ms > " +
-                  s"${FeatureCatalog.LockStealAfterMs}ms; owner presumed dead)")
-              Files.deleteIfExists(grave)
-            } catch { case _: java.io.IOException => () } // lost the steal race: re-loop
-          } else if (System.nanoTime() > deadline)
-            throw new IllegalStateException(
-              s"catalog lock $lock contended for >${
-                FeatureCatalog.LockStealAfterMs + FeatureCatalog.LockTimeoutMs}ms")
-          else Thread.sleep(10)
-      }
-    }
-    try body finally {
-      // Release only our own lock: if someone stole it mid-section (we
-      // held it past the steal TTL), the thief's lock must survive.
-      // read==token then deleteIfExists is check-then-act — a thief
-      // stealing between the two would have its fresh lock deleted
-      // (ADVICE r4). Instead mirror the steal protocol: atomically move
-      // the lock aside, and only the holder of the moved file decides —
-      // delete if it carries our token, move it back if not. The
-      // residual window (thief's lock invisible while moved aside)
-      // exists only after a double fault — we overstayed the TTL AND
-      // lost the steal race between the pre-check and the move — and
-      // lasts two renames; accepted and documented rather than claimed
-      // closed.
-      val ours =
-        try new String(Files.readAllBytes(lock)) == token
-        catch { case _: java.io.IOException => false }
-      if (ours) {
-        val moved = Paths.get(dir, s"_LOCK.release.${UUID.randomUUID()}")
-        try {
-          Files.move(lock, moved, StandardCopyOption.ATOMIC_MOVE)
-          if (new String(Files.readAllBytes(moved)) == token) Files.delete(moved)
-          else Files.move(moved, lock, StandardCopyOption.ATOMIC_MOVE)
-        } catch { case _: java.io.IOException => () } // already stolen+replaced: not ours to touch
-      }
-    }
-  }
+  private def withLock[A](dir: String)(body: => A): A =
+    // protocol extracted to the shared DirLock (r12) so index appends
+    // can opt into the same guard; this private delegate remains both
+    // as the catalog's seam and as the entry point the forked-JVM
+    // CatalogLockChild drives by reflection
+    DirLock.withLock(dir)(body)
 
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
 
@@ -326,8 +271,10 @@ object FeatureCatalog {
     * driver — past this, registry semantics (whole-table upserts,
     * in-memory ordering) stop being metadata operations. */
   val MaxCatalogRows: Int = 1000000
-  /** Give up waiting for a contended lock after this long. */
-  val LockTimeoutMs: Long = 30000L
-  /** Steal a lock file older than this (owner presumed dead). */
-  val LockStealAfterMs: Long = 60000L
+  /** Give up waiting for a contended lock after this long
+    * (aliases [[DirLock.TimeoutMs]] — one protocol, one dial). */
+  val LockTimeoutMs: Long = DirLock.TimeoutMs
+  /** Steal a lock file older than this (owner presumed dead;
+    * aliases [[DirLock.StealAfterMs]]). */
+  val LockStealAfterMs: Long = DirLock.StealAfterMs
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared filesystem plumbing for the persisted-index family's
+  * hive-partitioned delta layout (`<table>/batch_id=<id>` — see
+  * [[Dedup.buildSpanIndex]] for the write contract it carries).
+  * Centralized so every index clears/lists through one audited path
+  * rather than five hand-rolled Hadoop snippets. */
+private[graft] object IndexLayout {
+
+  /** Recursively delete a table directory (no-op when absent) — the
+    * build-side reset: a rebuild must clear PRIOR batch partitions,
+    * which a per-partition overwrite cannot (it only replaces its own
+    * `batch_id` dir). */
+  def clear(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Compact one delta table: fold all `batch_id` partitions through
+    * `fold` into a single `batch_id=-1` base, under the
+    * [[graft.fs.RecordLog]] crash-safe staged-swap protocol (VERDICT
+    * r11 #7 — append-forever deltas otherwise grow one file set per
+    * micro-batch until the probe's scan is a metadata storm):
+    *
+    *  1. recover any prior interrupted compact (a marked stage is
+    *     durable → finish its swap; an unmarked stage is garbage →
+    *     discard),
+    *  2. write the folded table to a SIBLING stage dir (invisible to
+    *     probes reading `tableDir`),
+    *  3. drop a `_STAGED` marker — the folded data is now durable,
+    *  4. swap: delete the live table, rename the stage into place.
+    *
+    * A crash before (3) discards the stage next time; after (3) the
+    * next compact's recovery finishes the swap — idempotent. Probes
+    * racing the swap window can see a missing dir: compaction runs
+    * under the index family's single-writer/quiescence contract
+    * ([[graft.fs.DirLock]] is the opt-in cross-process guard), and a
+    * replay of a pre-compaction batchId afterwards would re-add
+    * already-folded deltas — compact only beyond the replay
+    * horizon. */
+  def compactTable(spark: SparkSession, tableDir: String)(
+      fold: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(spark, tableDir)
+    val stage = new org.apache.hadoop.fs.Path(tableDir + StageSuffix)
+    fold(spark.read.parquet(tableDir))
+      .write.mode("overwrite").parquet(s"$stage/batch_id=-1")
+    fs.create(new org.apache.hadoop.fs.Path(stage, Marker), true).close()
+    swapStage(fs, stage, live)
+  }
+
+  /** Finish (marked) or discard (unmarked) a crashed compact's stage;
+    * called at the start of every [[compactTable]]. */
+  def recoverCompact(spark: SparkSession, tableDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(tableDir + StageSuffix)
+    if (!fs.exists(stage)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, Marker)))
+      swapStage(fs, stage, live) // durable: finish the interrupted swap
+    else fs.delete(stage, true) // pre-marker crash: stage is garbage
+  }
+
+  private def swapStage(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(live)) fs.delete(live, true)
+    if (!fs.rename(stage, live))
+      throw new java.io.IOException(s"compact swap: rename $stage -> $live")
+    fs.delete(new org.apache.hadoop.fs.Path(live, Marker), false)
+  }
+
+  private val StageSuffix = "__staged"
+  private val Marker = "_STAGED"
+
+  /** Number of data files under a table directory (recursive,
+    * `_`-prefixed metadata excluded) — the compaction specs'
+    * file-count-collapse evidence. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+}

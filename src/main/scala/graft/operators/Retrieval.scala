@@ -103,25 +103,36 @@ object Retrieval {
     * uncapped terms; appends do not re-apply the cap (a batch-local
     * df says nothing about corpus ubiquity — rebuild to re-prune).
     *
-    * WRITE CONTRACT: append is neither atomic nor idempotent (a
-    * retried batch double-counts tf/dl/totals); single-writer with
-    * external sequencing, rebuild to compact. */
+    * WRITE CONTRACT (upgraded r12): each build/append lands under its
+    * own `batch_id=<id>` hive partition of all three tables (build =
+    * `batch_id=-1`), and an append OVERWRITES its own partition — so
+    * a retried batch replaces rather than double-counts its
+    * tf/dl/totals deltas: IDEMPOTENT per batchId (the
+    * [[graft.streaming.StreamingFeatures.keywordIndexBatch]]
+    * foreachBatch contract). Distinct batchIds remain the caller's
+    * exactly-once sequencing; [[compactKeywordIndex]] folds the
+    * deltas. */
   def buildKeywordIndex(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, maxDf: Option[Long] = None): Unit =
-    writeKeywordIndex(docs, idCol, textCol, indexDir, overwrite = true,
-      maxDf)
+      indexDir: String, maxDf: Option[Long] = None): Unit = {
+    for (t <- Seq("postings", "doclens", "totals"))
+      IndexLayout.clear(docs.sparkSession, s"$indexDir/$t")
+    writeKeywordIndex(docs, idCol, textCol, indexDir, batchId = -1L, maxDf)
+  }
 
   /** Append a NEW batch to a persisted [[buildKeywordIndex]] index —
-    * O(batch tokens), never a corpus re-tokenize. */
+    * O(batch tokens), never a corpus re-tokenize; idempotent per
+    * `batchId` (a replay overwrites its own partitions). */
   def appendToKeywordIndex(batch: DataFrame, idCol: String,
-      textCol: String, indexDir: String): Unit =
-    writeKeywordIndex(batch, idCol, textCol, indexDir, overwrite = false,
+      textCol: String, indexDir: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"appendToKeywordIndex: batchId=$batchId " +
+      "(negative ids are reserved for the build/compact base)")
+    writeKeywordIndex(batch, idCol, textCol, indexDir, batchId,
       maxDf = None)
+  }
 
   private def writeKeywordIndex(docs: DataFrame, idCol: String,
-      textCol: String, indexDir: String, overwrite: Boolean,
+      textCol: String, indexDir: String, batchId: Long,
       maxDf: Option[Long]): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
     val toks = docs.select(col(idCol),
         explode(graft.functions.TextFns.tokens(lower(col(textCol))))
           .as("term"))
@@ -141,14 +152,43 @@ object Retrieval {
     postings
       .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions(col("term"), col(idCol))
-      .write.mode(mode).parquet(s"$indexDir/postings")
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/postings/batch_id=$batchId")
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
       .localCheckpoint(false) // feeds the table AND the totals delta
-    dl.write.mode(mode).parquet(s"$indexDir/doclens")
+    dl.write.mode("overwrite")
+      .parquet(s"$indexDir/doclens/batch_id=$batchId")
     dl.agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
       .select(col("n_docs"), col("sum_dl"))
-      .coalesce(1).write.mode(mode).parquet(s"$indexDir/totals")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/totals/batch_id=$batchId")
+  }
+
+  /** Compact a [[buildKeywordIndex]] index's delta partitions
+    * (VERDICT r11 #7): tf folds per (doc, term), dl per doc, totals
+    * to one row, each table rewritten as a single `batch_id=-1` base
+    * — postings back in the (term, id) range layout so the probe's
+    * IN-filter pruning keeps its tight row-group stats. Probe
+    * results are unchanged by construction FOR DISJOINT-DOC APPENDS
+    * (the append contract): df counts (doc, term) posting rows, and
+    * folding deltas of distinct docs touches no (doc, term) group
+    * twice. Crash-safe per table via [[IndexLayout.compactTable]]'s
+    * staged swap (a crash between tables leaves each individually
+    * consistent — every fold is value-preserving on its own);
+    * single-writer, beyond the replay horizon. */
+  def compactKeywordIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String): Unit = {
+    IndexLayout.compactTable(spark, s"$indexDir/postings")(df =>
+      df.groupBy(col(idCol), col("term")).agg(sum(col("tf")).as("tf"))
+        .repartitionByRange(col("term"), col(idCol))
+        .sortWithinPartitions(col("term"), col(idCol)))
+    IndexLayout.compactTable(spark, s"$indexDir/doclens")(df =>
+      df.groupBy(col(idCol)).agg(sum(col("dl")).as("dl")))
+    IndexLayout.compactTable(spark, s"$indexDir/totals")(df =>
+      df.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+        .coalesce(1))
   }
 
   /** [[bm25Search]] against a PERSISTED [[buildKeywordIndex]] index —
@@ -166,8 +206,10 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25SearchFromIndex: need at least one term")
     val tfq = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(queryTerms.distinct: _*))
+      .select(col(idCol), col("term"), col("tf")) // shed batch_id
     val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = spark.read.parquet(s"$indexDir/doclens")
+      .select(col(idCol), col("dl")) // shed batch_id
     // totals are DELTA rows (one per build/append) — sum to fold
     val totals = spark.read.parquet(s"$indexDir/totals")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
@@ -206,6 +248,7 @@ object Retrieval {
     require(queryTerms.nonEmpty, "tfidfSearchFromIndex: need at least one term")
     val tfq = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(queryTerms.distinct: _*))
+      .select(col(idCol), col("term"), col("tf")) // shed batch_id
     val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = spark.read.parquet(s"$indexDir/totals")
       .agg(sum(col("n_docs")).as("n_docs"))

@@ -640,13 +640,14 @@ object Similarity {
       trainFraction = trainFraction)
     val centDf = cent.toDF("cell_id", "cv0")
     centDf.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    IndexLayout.clear(spark, s"$indexDir/assigned")
     corpus.select(
         col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"),
         cellOf(cent, col(vecCol)).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/assigned")
+      .parquet(s"$indexDir/assigned/batch_id=-1")
   }
 
   /** Append a NEW vector batch to a persisted [[buildIvfIndex]] index
@@ -666,18 +667,18 @@ object Similarity {
     * (watch cell occupancy; `Guards.oversizedBuckets` over the
     * assigned table is the monitor) until the next offline retrain.
     *
-    * WRITE CONTRACT (ADVICE r9): the append is neither atomic nor
-    * idempotent — a plain `mode("append")` into the partitioned
-    * layout. A RETRIED batch double-inserts every vector (duplicate
-    * neighbors in subsequent probes); a mid-write failure leaves
-    * partial files that probes will read. Run it single-writer with
-    * external exactly-once sequencing (the same contract as any
-    * HDFS-era append sink); for retry-safe ingestion, stage the batch
-    * under a batch-id subdirectory and rename into place, or
-    * compact-and-dedup by `neighbor_id` on the next [[buildIvfIndex]]
-    * rebuild. */
+    * WRITE CONTRACT (upgraded r12, was ADVICE r9's named remedy): the
+    * batch's rows land under `assigned/batch_id=<id>/cell=<c>` and a
+    * replay OVERWRITES its own `batch_id` subtree — IDEMPOTENT per
+    * batchId, no double-inserted neighbors; a mid-write failure is
+    * healed by the replay's overwrite. Distinct batchIds remain the
+    * caller's exactly-once sequencing. Probes discover (batch_id,
+    * cell) as nested partition columns, so cell partition PRUNING is
+    * unchanged. */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"appendToIvfIndex: batchId=$batchId " +
+      "(negative ids are reserved for the build/compact base)")
     val spark = batch.sparkSession
     val cent = spark.read.parquet(s"$indexDir/centroids")
       .collect() // bounded: the persisted centroid table is nCells rows
@@ -688,8 +689,8 @@ object Similarity {
         col(vecCol).cast("array<double>").as("cv"),
         cellOf(cent, col(vecCol)).as("cell"))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/assigned")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assigned/batch_id=$batchId")
   }
 
   /** Probe a persisted [[buildIvfIndex]] index. Identical ranking
@@ -710,6 +711,7 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted // bounded: ≤ nCells distinct cells
     val assigned = spark.read.parquet(s"$indexDir/assigned")
       .filter(col("cell").isin(probeCells: _*))
+      .select(col("neighbor_id"), col("cv"), col("cell")) // shed batch_id
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
@@ -957,8 +959,9 @@ object Similarity {
       trainFraction = trainFraction)
     cb.toDF("j", "cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    IndexLayout.clear(spark, s"$indexDir/codes")
     pqEncode(corpus, cb, m, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
+      .write.mode("overwrite").parquet(s"$indexDir/codes/batch_id=-1")
   }
 
   /** Reload a [[buildPqIndex]] index's persisted codebooks as the
@@ -993,16 +996,19 @@ object Similarity {
     * under the frozen codebooks until the next offline retrain
     * ([[buildPqIndex]] rebuild).
     *
-    * WRITE CONTRACT: same as the IVF append — neither atomic nor
-    * idempotent (a retried batch double-inserts its codes, which
-    * duplicates those neighbors in probes); single-writer with
-    * external exactly-once sequencing. */
+    * WRITE CONTRACT (r12, the family contract): the batch's codes
+    * land under `codes/batch_id=<id>` and a replay OVERWRITES its own
+    * partition — IDEMPOTENT per batchId, no double-inserted
+    * neighbors. Distinct batchIds remain the caller's exactly-once
+    * sequencing. */
   def appendToPqIndex(batch: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"appendToPqIndex: batchId=$batchId " +
+      "(negative ids are reserved for the build/compact base)")
     val cb = loadCodebooks(batch.sparkSession, indexDir, "appendToPqIndex")
     val m = cb.map(_._1).distinct.length
     pqEncode(batch, cb, m, idCol, vecCol)
-      .write.mode("append").parquet(s"$indexDir/codes")
+      .write.mode("overwrite").parquet(s"$indexDir/codes/batch_id=$batchId")
   }
 
   /** Probe a [[buildPqIndex]] index: codebooks reload as the (bounded,
@@ -1016,6 +1022,7 @@ object Similarity {
     val cb = loadCodebooks(spark, indexDir, "pqTopKFromIndex")
     val m = cb.map(_._1).distinct.length
     val codes = spark.read.parquet(s"$indexDir/codes")
+      .select(col("neighbor_id"), col("j"), col("cid")) // shed batch_id
     pqScore(queries, codes, cb, idCol, vecCol, k, m)
   }
 

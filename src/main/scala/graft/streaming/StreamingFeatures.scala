@@ -290,22 +290,38 @@ object StreamingFeatures {
     * whole-doc near-dup, this = substring-level (Lee et al.).
     *
     * Scale contract: the batch pays its own explode+md5; the corpus
-    * rides the probe as stored hashes+counts. DELIVERY: the index
-    * append inherits the at-least-once caveat of
-    * [[graft.operators.Dedup.appendToSpanIndex]] — a REPLAYED batch
-    * double-counts its deltas (which can only make the gate
-    * stricter, never leak a duplicate); run the sink single-writer
-    * with external sequencing for exactly-once counts. */
+    * rides the probe as stored hashes+counts.
+    *
+    * DELIVERY (r12, closing the ADVICE r11 replay hole): foreachBatch
+    * is at-least-once — if the sink write fails after the index
+    * append committed, the micro-batch REPLAYS against an index that
+    * already holds its own spans, every previously-kept doc
+    * self-matches at dup_ratio 1.0, and the batch's novel docs are
+    * silently dropped. So the gate is keyed by the foreachBatch
+    * `batchId`: the probe EXCLUDES the batch's own `batch_id`
+    * partition (a replay sees exactly the index the first attempt
+    * saw), and the append OVERWRITES that partition (no
+    * double-count). Replay is therefore idempotent end to end —
+    * same gate decisions, same survivors, same deltas — under
+    * foreachBatch's stable-batchId contract. Usage:
+    * {{{
+    * stream.writeStream.foreachBatch { (b, id) =>
+    *   StreamingFeatures.spanGateBatch(b, "text", "doc_id", dir, id)
+    *     .write.mode("append").parquet(out)
+    * }
+    * }}} */
   def spanGateBatch(
       batch: DataFrame,
       textCol: String,
       idCol: String,
       indexDir: String,
+      batchId: Long,
       k: Int = 8,
       maxDupRatio: Double = 0.5,
       updateIndex: Boolean = true): DataFrame = {
     val dups = graft.operators.Dedup
-      .spanDupStatsAgainst(batch, textCol, idCol, k, indexDir)
+      .spanDupStatsAgainst(batch, textCol, idCol, k, indexDir,
+        excludeBatchId = Some(batchId))
       .filter(col("dup_ratio") >= maxDupRatio)
       .select(col(idCol).as("__dup_id"))
     val kept = batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
@@ -315,9 +331,46 @@ object StreamingFeatures {
       // append must see the SAME rows (diamond DAGs recompute)
       val pinned = kept.localCheckpoint(false)
       graft.operators.Dedup
-        .appendToSpanIndex(pinned, textCol, idCol, k, indexDir)
+        .appendToSpanIndex(pinned, textCol, idCol, k, indexDir, batchId)
       pinned
     }
+  }
+
+  /** Streaming keyword-index maintenance (r12, VERDICT r11 #6) — the
+    * `foreachBatch` body that keeps a served
+    * [[graft.operators.Retrieval.buildKeywordIndex]] BM25/tf-idf index
+    * current per micro-batch: the batch's postings/doclens/totals
+    * deltas append under the batch's own `batch_id` partition, and
+    * the SAME pinned rows return for the caller's sink write. Probes
+    * ([[graft.operators.Retrieval.bm25SearchFromIndex]]) see the new
+    * docs from the next read on — df and totals fold from the deltas,
+    * so ranking stays consistent with a full rebuild over everything
+    * ingested (the q_bm25_index oracle's invariant).
+    *
+    * DELIVERY: the append OVERWRITES its `batch_id` partition, so an
+    * at-least-once replay replaces — never double-counts — its own
+    * tf/dl/totals deltas: idempotent under foreachBatch's
+    * stable-batchId contract. Unlike [[spanGateBatch]] there is no
+    * probe-before-write here, so no self-match exclusion is needed.
+    * Usage:
+    * {{{
+    * stream.writeStream.foreachBatch { (b, id) =>
+    *   StreamingFeatures.keywordIndexBatch(b, "text", "doc_id", dir, id)
+    *     .write.mode("append").parquet(out)
+    * }
+    * }}} */
+  def keywordIndexBatch(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      batchId: Long): DataFrame = {
+    // pin once: the index append and the caller's sink write must see
+    // the same rows (diamond DAGs recompute)
+    val pinned = batch.localCheckpoint(false)
+    graft.operators.Retrieval
+      .appendToKeywordIndex(pinned, idCol, textCol, indexDir, batchId)
+    pinned
   }
 
   def maintainLatest(features: DataFrame, outDir: String,

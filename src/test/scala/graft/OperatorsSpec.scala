@@ -221,7 +221,8 @@ class OperatorsSpec extends SparkSpec {
     // the index's pinned (shingleN, bands, rows), not caller defaults
     Dedup.buildMinhashIndex(corpus.filter($"doc_id" === 1L), "text", "doc_id",
       dir, shingleN = 3, bands = 4, rows = 4)
-    Dedup.appendToMinhashIndex(corpus.filter($"doc_id" === 2L), "text", "doc_id", dir)
+    Dedup.appendToMinhashIndex(corpus.filter($"doc_id" === 2L), "text",
+      "doc_id", dir, batchId = 0L)
     val got = Dedup.minhashNearDupsAgainstIndex(batch, corpus, "text", "doc_id",
         dir, threshold = 0.4)
       .as[(Long, Long, Double)].collect().toSet
@@ -254,7 +255,8 @@ class OperatorsSpec extends SparkSpec {
     // build from one slab, APPEND the other — the probe must see the
     // merged delta counts, identically to a single build of the union
     Dedup.buildSpanIndex(corpusOld, "text", "doc_id", k = 4, dir)
-    Dedup.appendToSpanIndex(corpusNew, "text", "doc_id", k = 4, dir)
+    Dedup.appendToSpanIndex(corpusNew, "text", "doc_id", k = 4, dir,
+      batchId = 0L)
     val got = Dedup.spanDupStatsAgainst(batch, "text", "doc_id", k = 4, dir)
       .as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
@@ -281,6 +283,51 @@ class OperatorsSpec extends SparkSpec {
     val capped = Dedup.spanDupStatsAgainst(batch, "text", "doc_id", k = 4,
       dir, maxDocs = 1).as[(Long, Long, Long, Double)].collect()
     assert(capped.isEmpty, s"maxDocs=1 must exclude the 2-doc span: ${capped.toSeq}")
+    // compaction (r12, VERDICT r11 #7): fold build+append deltas to a
+    // single base — probe rows identical, file count collapses, and
+    // the folded table carries one row per hash (sum is associative)
+    val filesBefore = graft.operators.IndexLayout
+      .dataFileCount(spark, s"$dir/spans")
+    Dedup.compactSpanIndex(spark, dir)
+    val viaCompacted = Dedup
+      .spanDupStatsAgainst(batch, "text", "doc_id", k = 4, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaCompacted == viaUnion, "compaction changed probe results")
+    val filesAfter = graft.operators.IndexLayout
+      .dataFileCount(spark, s"$dir/spans")
+    assert(filesAfter < filesBefore,
+      s"spans files: $filesBefore -> $filesAfter (no collapse)")
+    val dupHashes = spark.read.parquet(s"$dir/spans")
+      .groupBy("h").count().filter(col("count") > 1).count()
+    assert(dupHashes == 0, "a hash still carries multiple delta rows")
+  }
+
+  test("minhash index compaction: probe-identical, files collapse (r12)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different document about spark physical planning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again!"))
+      .toDF("doc_id", "text")
+    val dir = s"/tmp/graft_mhidx_compact_${java.util.UUID.randomUUID()}"
+    Dedup.buildMinhashIndex(corpus.filter($"doc_id" === 1L), "text",
+      "doc_id", dir, shingleN = 3, bands = 4, rows = 4)
+    Dedup.appendToMinhashIndex(corpus.filter($"doc_id" === 2L), "text",
+      "doc_id", dir, batchId = 0L)
+    def probe() = Dedup.minhashNearDupsAgainstIndex(batch, corpus,
+        "text", "doc_id", dir, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val before = probe()
+    val filesBefore = graft.operators.IndexLayout
+      .dataFileCount(spark, s"$dir/bands")
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(probe() == before && before.nonEmpty,
+      "compaction changed candidates/verdicts")
+    val filesAfter = graft.operators.IndexLayout
+      .dataFileCount(spark, s"$dir/bands")
+    assert(filesAfter < filesBefore,
+      s"bands files: $filesBefore -> $filesAfter (no collapse)")
   }
 
   test("batched BPE equals sequential when the top pairs are symbol-disjoint") {

@@ -860,7 +860,7 @@ class PipelineOpsSpec extends SparkSpec {
     Retrieval.buildKeywordIndex(docs.filter($"doc_id" < 60),
       "doc_id", "text", dir)
     Retrieval.appendToKeywordIndex(docs.filter($"doc_id" >= 60),
-      "doc_id", "text", dir)
+      "doc_id", "text", dir, batchId = 0L)
     val terms = Seq("vector", "hash", "window", "stream")
     val got = Retrieval.bm25SearchFromIndex(spark, dir, "doc_id", terms, 10)
       .select("doc_id", "score").as[(Long, Double)].collect().toSeq
@@ -1000,13 +1000,115 @@ class PipelineOpsSpec extends SparkSpec {
       trainIters = 2)
     // new batch lands in the x-cluster's cell
     val batch = Seq(mk(100, 0.98, 0.02)).toDF("id", "v")
-    Similarity.appendToIvfIndex(batch, "id", "v", dir)
+    Similarity.appendToIvfIndex(batch, "id", "v", dir, batchId = 0L)
     val got = Similarity.ivfTopKFromIndex(
         Seq(mk(1, 1.0, 0.0)).toDF("id", "v"), dir, "id", "v",
         k = 4, nProbe = 1)
       .select("neighbor_id").as[Long].collect().toSet
     assert(got.contains(100L), s"appended vector missing from probe: $got")
     assert(!got.contains(1L), "self must stay excluded")
+  }
+
+  test("keyword index compaction: probe-identical, file count " +
+      "collapses, garbage stage discarded (r12, VERDICT r11 #7)") {
+    import graft.operators.{IndexLayout, Retrieval}
+    val docs = Tables.documents(spark, sf).filter($"doc_id" < 120)
+    val dir = s"/tmp/graft_kwidx_compact_${java.util.UUID.randomUUID()}"
+    Retrieval.buildKeywordIndex(docs.filter($"doc_id" < 40),
+      "doc_id", "text", dir)
+    Retrieval.appendToKeywordIndex(docs.filter($"doc_id" >= 40 &&
+      $"doc_id" < 80), "doc_id", "text", dir, batchId = 0L)
+    Retrieval.appendToKeywordIndex(docs.filter($"doc_id" >= 80),
+      "doc_id", "text", dir, batchId = 1L)
+    val terms = Seq("vector", "hash", "window", "stream")
+    def probe() = Retrieval.bm25SearchFromIndex(spark, dir, "doc_id",
+      terms, 10).select("doc_id", "score").as[(Long, Double)]
+      .collect().toSeq
+    val before = probe()
+    val filesBefore = IndexLayout.dataFileCount(spark, s"$dir/postings")
+    // a crashed previous compact left an UNMARKED stage — recovery
+    // must discard it, not swap garbage in
+    val garbage = new java.io.File(s"$dir/postings__staged/batch_id=-1")
+    garbage.mkdirs()
+    Retrieval.compactKeywordIndex(spark, dir, "doc_id")
+    val after = probe()
+    assert(after == before && before.nonEmpty,
+      s"compaction changed scores:\n$before\n$after")
+    val filesAfter = IndexLayout.dataFileCount(spark, s"$dir/postings")
+    assert(filesAfter < filesBefore,
+      s"postings files: $filesBefore -> $filesAfter (no collapse)")
+    assert(IndexLayout.dataFileCount(spark, s"$dir/totals") == 1,
+      "totals must fold to one file")
+    assert(!new java.io.File(s"$dir/postings__staged").exists(),
+      "stage dir must not survive")
+  }
+
+  test("ivf append replay: a redelivered batch replaces its partition — " +
+      "no duplicate neighbors (r12)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivf_replay").toString
+    val mk = (id: Long, x: Double, y: Double) => (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1), mk(3, 0.95, 0.05),
+      mk(10, 0.0, 1.0), mk(11, 0.1, 0.9), mk(12, 0.05, 0.95))
+      .toDF("id", "v")
+    Similarity.buildIvfIndex(corpus, "id", "v", dir, nCells = 2,
+      trainIters = 2)
+    val batch = Seq(mk(100, 0.98, 0.02)).toDF("id", "v")
+    Similarity.appendToIvfIndex(batch, "id", "v", dir, batchId = 0L)
+    // at-least-once redelivery under the SAME batchId: the old append
+    // mode double-inserted vector 100 (two probe rows); the overwrite
+    // layout must leave exactly one
+    Similarity.appendToIvfIndex(batch, "id", "v", dir, batchId = 0L)
+    val neighbors = Similarity.ivfTopKFromIndex(
+        Seq(mk(1, 1.0, 0.0)).toDF("id", "v"), dir, "id", "v",
+        k = 6, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(neighbors.count(_ == 100L) == 1,
+      s"replayed batch duplicated its vectors: $neighbors")
+  }
+
+  test("locked span append: a surviving writer steals a crashed " +
+      "writer's index lock and completes (r12, VERDICT r11 #8)") {
+    import graft.operators.Dedup
+    val dir = s"/tmp/graft_spanidx_lock_${java.util.UUID.randomUUID()}"
+    val shared = "alpha beta gamma delta"
+    Dedup.buildSpanIndex(
+      Seq((100L, s"$shared epsilon zeta eta theta")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 4, dir)
+    // a second REAL JVM takes the index-dir lock (the same DirLock the
+    // catalog's forked specs prove) and halts inside the critical
+    // section — the crashed-ingest-writer state
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val child = new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.CatalogLockChild", "crash", dir)
+      .redirectErrorStream(true).start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(child.getInputStream))
+    val deadline = System.currentTimeMillis() + 30000
+    var line = out.readLine()
+    while (line != null && !line.contains("HOLDING")) {
+      assert(System.currentTimeMillis() < deadline, "child never held")
+      line = out.readLine()
+    }
+    assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    val lock = java.nio.file.Paths.get(dir, "_LOCK")
+    assert(java.nio.file.Files.exists(lock), "crashed child left its lock")
+    // present the crash as a minute old, then the locked append must
+    // steal, run, and release
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - graft.fs.DirLock.StealAfterMs - 1000))
+    Dedup.appendToSpanIndexLocked(
+      Seq((200L, s"$shared tail words")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 4, dir, batchId = 0L)
+    assert(!java.nio.file.Files.exists(lock), "lock released after steal")
+    // the append landed: the shared span's folded doc count is now 2
+    val maxDocs = spark.read.parquet(s"$dir/spans")
+      .groupBy("h").agg(sum("n_docs").as("n"))
+      .agg(max("n")).as[Long].head()
+    assert(maxDocs == 2L, s"appended deltas missing: max n_docs=$maxDocs")
   }
 
   test("pq append: probes find appended vectors under the frozen " +
@@ -1023,7 +1125,8 @@ class PipelineOpsSpec extends SparkSpec {
     // deterministic proof the appended codes are probe-visible
     val clone = build.filter($"vec_id" === 60)
       .select(lit(9999L).as("vec_id"), $"embedding")
-    Similarity.appendToPqIndex(clone, "vec_id", "embedding", dir)
+    Similarity.appendToPqIndex(clone, "vec_id", "embedding", dir,
+      batchId = 0L)
     val top = Similarity.pqTopKFromIndex(
         build.filter($"vec_id" === 60), dir, "vec_id", "embedding", k = 10)
       .select("neighbor_id").as[Long].collect().toSet

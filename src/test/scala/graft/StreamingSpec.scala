@@ -309,8 +309,8 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[Doc]
     val kept = scala.collection.mutable.Set[Long]()
     val q = mem.toDF().writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        StreamingFeatures.spanGateBatch(b, "text", "doc_id", dir,
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingFeatures.spanGateBatch(b, "text", "doc_id", dir, id,
             k = 4, maxDupRatio = 0.3)
           .select("doc_id").collect().foreach(r => kept += r.getLong(0))
         ()
@@ -330,5 +330,85 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(kept.toSet == Set(2L), s"batch 2 must drop the copy: $kept")
     } finally q.stop()
+  }
+
+  test("span gate replay: a redelivered micro-batch keeps its survivors " +
+      "and never double-counts (r12, ADVICE r11)") {
+    import graft.operators.Dedup
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = s"/tmp/graft_spanidx_replay_${java.util.UUID.randomUUID()}"
+    Dedup.buildSpanIndex(
+      Seq((100L, s"$shared iota kappa lambda mu")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 4, dir)
+    val novel = "completely different words about streams windows " +
+      "joins and state with nothing shared"
+    val batch = Seq(
+      (1L, s"$shared nu xi"), // corpus near-copy → dropped
+      (2L, novel)             // novel → kept + indexed
+    ).toDF("doc_id", "text")
+    def gate() = StreamingFeatures
+      .spanGateBatch(batch, "text", "doc_id", dir, batchId = 7L,
+        k = 4, maxDupRatio = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val first = gate()
+    assert(first == Set(2L), s"first delivery: $first")
+    // the r11 hole: the replayed batch probed an index already holding
+    // its own spans, self-matched doc 2 at dup_ratio 1.0, and silently
+    // dropped it. The batch_id exclusion must keep the survivors.
+    val replay = gate()
+    assert(replay == Set(2L), s"replay dropped the batch's survivors: $replay")
+    // and the overwrite-per-batch_id append must not double-count:
+    // doc 2's spans appear once, so a later batch copy still gates on
+    // n_docs = 1 (not 2) for those spans
+    val counts = spark.read.parquet(s"$dir/spans")
+      .groupBy("h").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 1L), "a span hash carries duplicated deltas")
+  }
+
+  test("foreachBatch keyword-index maintenance: batch-2 probes find " +
+      "batch-1 docs; replay is idempotent (r12, VERDICT r11 #6)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    val dir = s"/tmp/graft_kwidx_stream_${java.util.UUID.randomUUID()}"
+    // the index exists before the stream starts (the serving shape:
+    // build at bootstrap, maintain per micro-batch)
+    Retrieval.buildKeywordIndex(
+      Seq((100L, "seed document about parquet files")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingFeatures.keywordIndexBatch(b, "text", "doc_id", dir, id)
+          .collect() // stand-in for the caller's sink write
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Doc(1L, ts("2024-01-01 10:00:00"),
+        "zebra quantum harmonics in vector spaces"))
+      q.processAllAvailable()
+      // the served index answers for batch-1 docs immediately
+      val afterB1 = Retrieval.bm25SearchFromIndex(spark, dir, "doc_id",
+        Seq("zebra"), 5).select("doc_id").as[Long].collect().toSet
+      assert(afterB1 == Set(1L), s"batch-1 doc not served: $afterB1")
+      mem.addData(Doc(2L, ts("2024-01-01 10:01:00"),
+        "another zebra sighting in embedding space"))
+      q.processAllAvailable()
+      val afterB2 = Retrieval.bm25SearchFromIndex(spark, dir, "doc_id",
+        Seq("zebra"), 5).select("doc_id").as[Long].collect().toSet
+      assert(afterB2 == Set(1L, 2L), s"batch-2 probe: $afterB2")
+    } finally q.stop()
+    // replay: re-appending under an already-used batchId must replace,
+    // not double-count — scores stay identical
+    val before = Retrieval.bm25SearchFromIndex(spark, dir, "doc_id",
+      Seq("zebra"), 5).select("doc_id", "score")
+      .as[(Long, Double)].collect().toSet
+    Retrieval.appendToKeywordIndex(
+      Seq((2L, "another zebra sighting in embedding space"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, batchId = 1L)
+    val after = Retrieval.bm25SearchFromIndex(spark, dir, "doc_id",
+      Seq("zebra"), 5).select("doc_id", "score")
+      .as[(Long, Double)].collect().toSet
+    assert(after == before, s"replayed append changed scores:\n$before\n$after")
   }
 }
