@@ -285,15 +285,21 @@ object Dedup {
   def minhashNearDupsAgainstIndex(
       batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, indexDir: String,
-      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 10000,
+      excludeBatchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val (shingleN, bands, rows) = minhashIndexMeta(spark, indexDir)
     val b = Guards.capBuckets(
       bandRows(batch, textCol, idCol, shingleN, bands, rows),
       Seq("band", "bucket"), maxBucket,
       observeAs = Some("minhash_idx_batch_guard")).as("b")
+    // excludeBatchId: a REPLAYED ingest batch must not band against
+    // its own previous attempt's rows (the span-gate replay
+    // contract); partition-pruning predicate on the batch_id layout
+    val idx0 = spark.read.parquet(s"$indexDir/bands")
     val c = Guards.capBuckets(
-      spark.read.parquet(s"$indexDir/bands")
+      excludeBatchId.fold(idx0)(id =>
+          idx0.filter(col("batch_id") =!= lit(id)))
         .select(col("id"), col("band"), col("bucket")),
       Seq("band", "bucket"), maxBucket,
       observeAs = Some("minhash_idx_corpus_guard")).as("c")

@@ -41,15 +41,17 @@ private[graft] object IndexLayout {
     * replay of a pre-compaction batchId afterwards would re-add
     * already-folded deltas — compact only beyond the replay
     * horizon. */
-  def compactTable(spark: SparkSession, tableDir: String)(
+  def compactTable(spark: SparkSession, tableDir: String,
+      partitionByCols: Seq[String] = Nil)(
       fold: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame): Unit = {
     val live = new org.apache.hadoop.fs.Path(tableDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(spark, tableDir)
     val stage = new org.apache.hadoop.fs.Path(tableDir + StageSuffix)
-    fold(spark.read.parquet(tableDir))
-      .write.mode("overwrite").parquet(s"$stage/batch_id=-1")
+    val w = fold(spark.read.parquet(tableDir)).write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*)
+     else w).parquet(s"$stage/batch_id=-1")
     fs.create(new org.apache.hadoop.fs.Path(stage, Marker), true).close()
     swapStage(fs, stage, live)
   }

@@ -150,6 +150,13 @@ object Retrieval {
       postings0.join(keep, Seq("term"), "left_semi")
     }
     postings
+      // pin once: repartitionByRange's boundary-sampling job triggers
+      // full computation of every postings partition, so without the
+      // pin the (doc, term) aggregation runs TWICE (sample + write).
+      // Neutral at bench scale (A/B r12: 3.50 vs 3.44 s — the local
+      // materialization costs what the re-agg did); at corpus scale
+      // one linear local write beats re-aggregating the corpus.
+      .localCheckpoint(false)
       .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions(col("term"), col(idCol))
       .write.mode("overwrite")

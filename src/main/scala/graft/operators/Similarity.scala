@@ -693,6 +693,36 @@ object Similarity {
       .parquet(s"$indexDir/assigned/batch_id=$batchId")
   }
 
+  /** Compact a [[buildIvfIndex]] index's append partitions into one
+    * `batch_id=-1` base (r12 — the IVF member of the family-wide
+    * compaction, VERDICT r11 #7): the assigned table grows one file
+    * set per daily shard forever; the fold rewrites it as one
+    * cell-partitioned layout (one file per cell), keeping the probes'
+    * cell partition PRUNING and collapsing the per-append file
+    * growth. Vectors carry no counts to fold, so compaction is a
+    * value-preserving rewrite — probe-identical by construction,
+    * spec-checked. Centroids are untouched (one bounded file). Same
+    * staged-swap crash protocol and single-writer/replay-horizon
+    * contract as [[graft.operators.IndexLayout.compactTable]]. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    IndexLayout.compactTable(spark, s"$indexDir/assigned",
+      partitionByCols = Seq("cell"))(df =>
+      df.select(col("neighbor_id"), col("cv"), col("cell"))
+        .repartition(col("cell")))
+
+  /** Compact a [[buildPqIndex]] index's code partitions into one
+    * `batch_id=-1` base — the PQ member of the family-wide
+    * compaction: codes fold is a value-preserving rewrite
+    * (neighbor-sorted for row-group locality), codebooks untouched.
+    * Same staged-swap and single-writer contracts. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    IndexLayout.compactTable(spark, s"$indexDir/codes")(df =>
+      df.select(col("neighbor_id"), col("j"), col("cid"))
+        .repartitionByRange(col("neighbor_id"), col("j"))
+        .sortWithinPartitions(col("neighbor_id"), col("j")))
+
   /** Probe a persisted [[buildIvfIndex]] index. Identical ranking
     * semantics to [[ivfTopK]]; the difference is the plan — the
     * assigned scan carries a partition filter over the probed cells

@@ -336,6 +336,55 @@ object StreamingFeatures {
     }
   }
 
+  /** Streaming ingest near-dup gate against the PERSISTED band index
+    * (r12) — [[nearDupGateBatch]] with the corpus-side sketch served
+    * from [[graft.operators.Dedup.buildMinhashIndex]] storage instead
+    * of recomputed per micro-batch (which re-paid the corpus
+    * explode+hash — the dominant cost — every batch), PLUS the
+    * index-maintaining loop: survivors' band rows append under the
+    * batch's own partition so the NEXT micro-batch near-dups against
+    * them too. This gives the MinHash family the same closed ingest
+    * triangle the span family has (probe → gate → append), with the
+    * same replay contract: the probe EXCLUDES the batch's own
+    * `batch_id` (a replay sees the index the first attempt saw) and
+    * the append OVERWRITES it — idempotent under foreachBatch's
+    * stable-batchId delivery. `corpus` supplies only the TEXT for the
+    * exact-Jaccard verify (candidate-restricted by the left-semi in
+    * the shared verify stage); at scale it is the ingested table the
+    * sink feeds. Usage:
+    * {{{
+    * stream.writeStream.foreachBatch { (b, id) =>
+    *   StreamingFeatures.minhashGateBatch(b, ingested, "text",
+    *       "doc_id", dir, id)
+    *     .write.mode("append").parquet(out)
+    * }
+    * }}} */
+  def minhashGateBatch(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      batchId: Long,
+      threshold: Double = 0.7,
+      updateIndex: Boolean = true): DataFrame = {
+    val dups = graft.operators.Dedup
+      .minhashNearDupsAgainstIndex(batch, corpus, textCol, idCol,
+        indexDir, threshold = threshold, excludeBatchId = Some(batchId))
+      .select(col("id_a").as("__dup_id"))
+      .distinct()
+    val kept = batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
+    if (!updateIndex) kept
+    else {
+      // pin the survivors once: the caller's sink write and the index
+      // append must see the SAME rows (diamond DAGs recompute)
+      val pinned = kept.localCheckpoint(false)
+      graft.operators.Dedup
+        .appendToMinhashIndex(pinned, textCol, idCol, indexDir, batchId)
+      pinned
+    }
+  }
+
   /** Streaming keyword-index maintenance (r12, VERDICT r11 #6) — the
     * `foreachBatch` body that keeps a served
     * [[graft.operators.Retrieval.buildKeywordIndex]] BM25/tf-idf index

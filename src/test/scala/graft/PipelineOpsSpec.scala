@@ -1065,6 +1065,19 @@ class PipelineOpsSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSeq
     assert(neighbors.count(_ == 100L) == 1,
       s"replayed batch duplicated its vectors: $neighbors")
+    // compaction folds build+append partitions to one cell-partitioned
+    // base: probe-identical, file count collapses (r12, VERDICT r11 #7)
+    import graft.operators.IndexLayout
+    val filesBefore = IndexLayout.dataFileCount(spark, s"$dir/assigned")
+    Similarity.compactIvfIndex(spark, dir)
+    val afterCompact = Similarity.ivfTopKFromIndex(
+        Seq(mk(1, 1.0, 0.0)).toDF("id", "v"), dir, "id", "v",
+        k = 6, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(afterCompact == neighbors, "compaction changed the probe")
+    val filesAfter = IndexLayout.dataFileCount(spark, s"$dir/assigned")
+    assert(filesAfter < filesBefore,
+      s"assigned files: $filesBefore -> $filesAfter (no collapse)")
   }
 
   test("locked span append: a surviving writer steals a crashed " +
@@ -1131,6 +1144,19 @@ class PipelineOpsSpec extends SparkSpec {
         build.filter($"vec_id" === 60), dir, "vec_id", "embedding", k = 10)
       .select("neighbor_id").as[Long].collect().toSet
     assert(top.contains(9999L), s"appended clone missing from probe: $top")
+    // compaction: value-preserving code rewrite — probe rows identical
+    // (scores included), file count collapses (r12, VERDICT r11 #7)
+    import graft.operators.IndexLayout
+    def probeRows() = Similarity.pqTopKFromIndex(
+        build.filter($"vec_id" === 60), dir, "vec_id", "embedding", k = 10)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect().toSet
+    val beforeCompact = probeRows()
+    val filesBefore = IndexLayout.dataFileCount(spark, s"$dir/codes")
+    Similarity.compactPqIndex(spark, dir)
+    assert(probeRows() == beforeCompact, "compaction changed ADC scores")
+    val filesAfter = IndexLayout.dataFileCount(spark, s"$dir/codes")
+    assert(filesAfter < filesBefore,
+      s"codes files: $filesBefore -> $filesAfter (no collapse)")
   }
 
   test("two-phase weighted median matches the hand-computed crossing row") {

@@ -365,6 +365,33 @@ class StreamingSpec extends SparkSpec {
     assert(counts.forall(_ == 1L), "a span hash carries duplicated deltas")
   }
 
+  test("minhash gate serves the persisted band index, keeps it " +
+      "current, and survives replay (r12)") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val novel = "completely different content about compaction locks " +
+      "and staged swaps in index maintenance"
+    val dir = s"/tmp/graft_mhidx_stream_${java.util.UUID.randomUUID()}"
+    Dedup.buildMinhashIndex(Seq((100L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", dir, shingleN = 3, bands = 4, rows = 4)
+    // `corpus` = the ingested table (text lookup for the verify stage)
+    val allDocs = Seq((100L, base), (1L, base + "!"), (2L, novel),
+      (3L, novel + "!")).toDF("doc_id", "text")
+    def gate(ids: Seq[Long], batchId: Long) = StreamingFeatures
+      .minhashGateBatch(allDocs.filter($"doc_id".isin(ids: _*)), allDocs,
+        "text", "doc_id", dir, batchId, threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    // batch 1: doc 1 near-copies the CORPUS doc → dropped; doc 2 is
+    // novel → kept AND its bands appended
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L))
+    // replay of batch 1 (at-least-once): its own banded rows must not
+    // self-match the survivor away
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L), "replay dropped survivors")
+    // batch 2: a near-copy of batch 1's NOVEL doc — caught only if the
+    // gate appended doc 2's bands (the index-maintaining loop)
+    assert(gate(Seq(3L), 1L).isEmpty, "batch-1 survivor's copy leaked")
+  }
+
   test("foreachBatch keyword-index maintenance: batch-2 probes find " +
       "batch-1 docs; replay is idempotent (r12, VERDICT r11 #6)") {
     implicit val sqlCtx = spark.sqlContext
