@@ -5671,6 +5671,108 @@ ${pqPartsPivot(16)}
         FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Incremental SemDeDup ([[Similarity.semDedupAgainstIndex]], r12):
+    * a new embedding batch near-dups against the PERSISTED IVF index
+    * under the frozen corpus-trained quantizer — the ingest-time
+    * member of the q_semdedup family and the semantic corner of the
+    * index-probe dedup set (span / MinHash / keyword / IVF-ANN /
+    * this). The index is built on the vec_id ≥ 50 corpus with the
+    * same balanced dial as q_semdedup (nCells from a corpus count,
+    * skew cap scaling with the dial), the vec_id < 50 batch is FIRST
+    * APPENDED as batch_id 0 and the probe then EXCLUDES that
+    * partition — so the oracled path itself proves the at-least-once
+    * replay contract (a redelivered batch pairs against the index its
+    * first attempt saw, never against its own rows). Orientation:
+    * id_b = the batch doc under scrutiny, id_a = the index doc it
+    * matched or an earlier (lower-id) batch doc — greedy
+    * keep-lowest-id within the batch. Oracle replays the Lloyd train
+    * on the corpus only, assigns both sides against the frozen cent2,
+    * caps the union occupancy, and pairs batch-involving rows. */
+  private val semDedupAppendQ = Q("q_semdedup_append",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + full rebuild each run (the build's
+      // overwrite clears prior appends); single-writer by harness
+      // contract — one Verify/Bench at a time — like q_ivf_append
+      val indexDir = s"/tmp/graft_semdedup_append/$tag"
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 50)
+      val batch = emb.filter(col("vec_id") < 50)
+      val n = corpus.count()
+      val occ = Similarity.balancedOccupancy(n, minOccupancy = 32)
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding", indexDir,
+        nCells = Similarity.cellsForOccupancy(n, occ),
+        trainIters = 2, trainFraction = 0.25)
+      Similarity.appendToIvfIndex(batch, "vec_id", "embedding",
+        indexDir, batchId = 0L)
+      Similarity.semDedupAgainstIndex(batch, indexDir,
+          "vec_id", "embedding", threshold = 0.35,
+          maxCell = math.min(Int.MaxValue.toLong, 64L * occ).toInt,
+          excludeBatchId = Some(0L))
+        .orderBy(col("id_b"), col("id_a"))
+    },
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, least(CAST(ceil(count(*) / greatest(32.0, ceil(sqrt(count(*))))) AS BIGINT), 1048576)) FROM e)",
+      "WHERE vec_id >= 50") + """,
+      newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 50),
+      assign_new AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT n.vec_id, n.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM newb n CROSS JOIN cent2 c) WHERE rn = 1),
+      allm AS (
+        SELECT neighbor_id, cv, cell, FALSE AS is_batch FROM assign
+        UNION ALL
+        SELECT neighbor_id, cv, cell, TRUE AS is_batch FROM assign_new),
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v, is_batch FROM (
+          SELECT cell, neighbor_id, cv, is_batch,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM allm) WHERE cn <= (SELECT 64 * greatest(32,
+            CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e))
+      SELECT cell, id_a, id_b, sim FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM capped a JOIN capped b
+          ON a.cell = b.cell AND b.is_batch AND a.id <> b.id
+          AND (NOT a.is_batch OR a.id < b.id))
+      WHERE sim >= 0.35 ORDER BY id_b, id_a"""))
+
+  /** Quantizer-occupancy monitor (r12) — the drift watch every IVF
+    * contract in the repo defers to ("batches far from the training
+    * distribution crowd few cells; watch cell occupancy"), made a
+    * first-class oracled query instead of a doc-comment promise:
+    * per-cell vector counts under the balanced-dial quantizer plus
+    * the oversized flag at the same 64·occupancy tolerance the
+    * declared semdedup/knn guards enforce — the report that tells an
+    * operator the quantizer has fallen behind the corpus and
+    * [[Similarity.rebuildIvfIndex]] is due. Zero-shuffle map-side
+    * assignment + one keyed count; the oracle replays the Lloyd train
+    * and the dial as scalar subqueries. */
+  private val ivfOccupancy = Q("q_ivf_occupancy",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val occ = Similarity.balancedOccupancy(n, minOccupancy = 32)
+      val cent = Similarity.kmeansFit(emb, "vec_id", "embedding",
+        Similarity.cellsForOccupancy(n, occ), iters = 2,
+        trainFraction = 0.25)
+      Similarity.assignCells(emb, "vec_id", "embedding", cent)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("oversized", col("n_vecs") > lit(64L * occ))
+        .orderBy(col("cell"))
+    },
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, least(CAST(ceil(count(*) / greatest(32.0, ceil(sqrt(count(*))))) AS BIGINT), 1048576)) FROM e)") + """
+      SELECT cell, count(*) AS n_vecs,
+             count(*) > (SELECT 64 * greatest(32,
+               CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e) AS oversized
+      FROM assign GROUP BY cell ORDER BY cell"""))
+
   /** Embedding-table health audit: per DIMENSION mean/min/max plus a
     * dead-dimension flag (a dimension whose fixed-point values never
     * vary carries no information — the classic symptom of a broken
@@ -8185,7 +8287,8 @@ ${pqPartsPivot(16)}
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
     labelProp, scoreCalibration, bm25Q, bm25IndexQ, noveltyQ,
     splitDedupAwareQ,
-    ivfAppend, pqAppendQ, knnAppendQ, embedAudit, tokenizerFertility,
+    ivfAppend, pqAppendQ, knnAppendQ, semDedupAppendQ, ivfOccupancy,
+    embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,
     langPurity, qualityDrift, uniformNegatives, stalenessReport,
     epochShuffle, funnelQ, cohortQ, behaviorTrigrams,

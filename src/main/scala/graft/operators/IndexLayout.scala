@@ -56,6 +56,36 @@ private[graft] object IndexLayout {
     swapStage(fs, stage, live)
   }
 
+  /** Crash-safe WHOLE-INDEX rebuild (r12) — the offline-RETRAIN path
+    * the IVF/PQ quantizer-drift contract defers to ("retraining is a
+    * rare offline event"): `build` writes a complete fresh index
+    * (centroids/codebooks AND data tables) into a SIBLING stage dir
+    * invisible to probes, then the marker + swap make it live
+    * atomically-enough — the same protocol as [[compactTable]], at
+    * the index-dir level (`<indexDir>__staged`, so it never collides
+    * with a table-level compact stage under `<indexDir>/<table>`).
+    *
+    * Without this, a retrain is `build*Index` over the live dir:
+    * centroids overwrite FIRST, assignment second — a crash between
+    * them serves a new quantizer over the old assignment (silently
+    * wrong probes, not just missing data). Here a pre-marker crash
+    * leaves the live index untouched (stage discarded on the next
+    * rebuild); a post-marker crash is finished by the next rebuild's
+    * recovery. Same single-writer/quiescence contract as compaction;
+    * a replayed append from before the retrain re-lands its batch
+    * under the NEW quantizer — correct by the frozen-quantizer append
+    * contract (assignment is recomputed, not replayed). */
+  def stagedRebuild(spark: SparkSession, indexDir: String)(
+      build: String => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(spark, indexDir) // finish a marked / drop a garbage stage
+    val stage = new org.apache.hadoop.fs.Path(indexDir + StageSuffix)
+    build(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, Marker), true).close()
+    swapStage(fs, stage, live)
+  }
+
   /** Finish (marked) or discard (unmarked) a crashed compact's stage;
     * called at the start of every [[compactTable]]. */
   def recoverCompact(spark: SparkSession, tableDir: String): Unit = {

@@ -711,6 +711,33 @@ object Similarity {
       df.select(col("neighbor_id"), col("cv"), col("cell"))
         .repartition(col("cell")))
 
+  /** Crash-safe OFFLINE RETRAIN of a persisted IVF index (r12) — the
+    * operation the [[appendToIvfIndex]] quantizer-drift contract
+    * defers to: re-train centroids and re-assign the full corpus into
+    * a staged sibling dir, then swap ([[IndexLayout.stagedRebuild]]).
+    * A plain [[buildIvfIndex]] over the LIVE dir overwrites centroids
+    * before the assignment — a crash between the two serves a new
+    * quantizer over the old cells (silently wrong probes); the staged
+    * rebuild leaves the live index untouched until the whole fresh
+    * index is durable. Appends resume against the NEW frozen
+    * quantizer. */
+  def rebuildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nCells: Int = 16, trainIters: Int = 2,
+      trainFraction: Double = 1.0): Unit =
+    IndexLayout.stagedRebuild(corpus.sparkSession, indexDir)(stage =>
+      buildIvfIndex(corpus, idCol, vecCol, stage, nCells, trainIters,
+        trainFraction))
+
+  /** Crash-safe offline retrain of a persisted PQ index — the PQ twin
+    * of [[rebuildIvfIndex]]: codebooks + full-corpus codes build into
+    * the stage, swap when durable. */
+  def rebuildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, m: Int = 4, nCents: Int = 16,
+      trainIters: Int = 2, trainFraction: Double = 1.0): Unit =
+    IndexLayout.stagedRebuild(corpus.sparkSession, indexDir)(stage =>
+      buildPqIndex(corpus, idCol, vecCol, stage, m, nCents, trainIters,
+        trainFraction))
+
   /** Compact a [[buildPqIndex]] index's code partitions into one
     * `batch_id=-1` base — the PQ member of the family-wide
     * compaction: codes fold is a value-preserving rewrite
@@ -746,6 +773,91 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
     topKPerQuery(scored, k)
+  }
+
+  /** Incremental SemDeDup (r12) — semantic near-dup pairs of a NEW
+    * batch against a persisted [[buildIvfIndex]] index, the
+    * ingest-time member of the [[semDedupPairs]] family and the
+    * semantic twin of [[graft.operators.Dedup.spanDupStatsAgainst]] /
+    * [[graft.operators.Dedup.minhashNearDupsAgainstIndex]]: the batch
+    * assigns under the FROZEN corpus-trained quantizer (bounded
+    * centroid collect + zero-shuffle native argmax), the index scan is
+    * partition-PRUNED to the batch's touched cells (≤ nCells values),
+    * and pair work is (touched-cell members × batch-in-cell) — the
+    * corpus never re-clusters and untouched cells never leave storage.
+    *
+    * Output orientation is the GATE's: `id_b` is always the batch
+    * member under scrutiny, `id_a` the existing doc it matched — an
+    * index doc (any id order) or an EARLIER batch doc (`id_a < id_b`,
+    * so within-batch duplicates resolve keep-lowest-id, the greedy
+    * SemDeDup keep-one policy). Equivalent to semDedupPairs over
+    * corpus ∪ batch under the corpus-trained quantizer, restricted to
+    * batch-involving pairs — the full-recompute equivalence the
+    * declared `q_semdedup_append` oracle hashes.
+    *
+    * The [[Guards.capBuckets]] guard counts the UNION membership of
+    * each touched cell (same surface a full recompute caps), drops
+    * observable under "semdedup_idx_cells"; size `maxCell` with
+    * [[balancedOccupancy]] as the declared query does. `excludeBatchId`
+    * is the replay contract shared with the other index probes: an
+    * at-least-once redelivered ingest batch must not pair against its
+    * own previous attempt's appended partition (partition-pruning
+    * predicate on the `batch_id` layout). */
+  def semDedupAgainstIndex(batch: DataFrame, indexDir: String,
+      idCol: String, vecCol: String, threshold: Double,
+      maxCell: Int = 2000,
+      excludeBatchId: Option[Long] = None): DataFrame = {
+    val members = semDedupIndexMembers(batch, indexDir, idCol, vecCol,
+        maxCell, excludeBatchId)
+      .localCheckpoint(false) // feeds both pair-join sides
+    val aSide = members.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("is_batch").as("a_batch"))
+    val bSide = members.filter(col("is_batch"))
+      .select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    // batch side broadcasts (micro-batch-bounded by the ingest
+    // contract); index pairs each touched cell's members against it
+    aSide.join(broadcast(bSide), Seq("cell"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (!col("a_batch") || col("id_a") < col("id_b")))
+      .withColumn("sim", round(VectorFns.cosineFast(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** [[semDedupAgainstIndex]]'s membership frame, pre-pin: batch
+    * assignment under the frozen persisted quantizer ∪ the assigned
+    * table pruned to the batch's touched cells, one capBuckets over
+    * the union occupancy. Exposed (like [[knnRefreshMembers]]) so the
+    * plan gate can assert the cell PARTITION filter reaches the
+    * assigned scan — the caller's localCheckpoint severs it from the
+    * final executed plan. */
+  private[graft] def semDedupIndexMembers(batch: DataFrame,
+      indexDir: String, idCol: String, vecCol: String, maxCell: Int,
+      excludeBatchId: Option[Long]): DataFrame = {
+    val spark = batch.sparkSession
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+      .collect() // bounded: the persisted centroid table is nCells rows
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    // one materialization: the batch assignment feeds the touched-cell
+    // collect AND the pair join (diamond DAGs recompute)
+    val b = batch.select(
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        cellOf(cent, col(vecCol)).as("cell"),
+        lit(true).as("is_batch"))
+      .localCheckpoint(false)
+    val touched = b.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: ≤ nCells cells
+    val idx0 = spark.read.parquet(s"$indexDir/assigned")
+      .filter(col("cell").isin(touched: _*)) // partition pruning
+    val idx = excludeBatchId.fold(idx0)(id =>
+      idx0.filter(col("batch_id") =!= lit(id)))
+    Guards.capBuckets(
+      idx.select(col("neighbor_id").as("id"), col("cv").as("v"),
+          col("cell"), lit(false).as("is_batch"))
+        .unionByName(b),
+      Seq("cell"), maxCell, Some("semdedup_idx_cells"))
   }
 
   /** Per-group embedding centroids — the "update" half of a k-means /

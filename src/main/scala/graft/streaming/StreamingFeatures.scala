@@ -385,6 +385,60 @@ object StreamingFeatures {
     }
   }
 
+  /** Streaming SEMANTIC ingest gate (r12) — the `foreachBatch` body
+    * that puts the persisted IVF index on the embedding-ingest path,
+    * completing the dedup ingest quadrangle: [[dedupStream]] = exact,
+    * [[minhashGateBatch]] = whole-doc lexical, [[spanGateBatch]] =
+    * substring, this = SEMANTIC (SemDeDup at ingest). Batch vectors
+    * whose cosine against the index — or against an EARLIER
+    * (lower-id) batch member, the keep-one policy — reaches
+    * `threshold` are dropped before the sink, and the SURVIVORS
+    * append to the index under the frozen quantizer
+    * ([[graft.operators.Similarity.appendToIvfIndex]]) so the next
+    * micro-batch dedups against them too.
+    *
+    * Scale contract rides [[Similarity.semDedupAgainstIndex]]: the
+    * index scan is partition-pruned to the batch's touched cells, the
+    * batch side broadcasts, the corpus never re-clusters. Same replay
+    * contract as the other gates: the probe EXCLUDES the batch's own
+    * `batch_id` partition and the append OVERWRITES it — idempotent
+    * under foreachBatch's stable-batchId delivery. Quantizer drift
+    * (batches far from the training distribution) is the IVF append's
+    * documented trade: monitor cell occupancy, retrain offline.
+    * Usage:
+    * {{{
+    * stream.writeStream.foreachBatch { (b, id) =>
+    *   StreamingFeatures.semanticGateBatch(b, "vec_id", "embedding",
+    *       dir, id)
+    *     .write.mode("append").parquet(out)
+    * }
+    * }}} */
+  def semanticGateBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      batchId: Long,
+      threshold: Double = 0.85,
+      maxCell: Int = 2000,
+      updateIndex: Boolean = true): DataFrame = {
+    val dups = graft.operators.Similarity
+      .semDedupAgainstIndex(batch, indexDir, idCol, vecCol, threshold,
+        maxCell = maxCell, excludeBatchId = Some(batchId))
+      .select(col("id_b").as("__dup_id"))
+      .distinct()
+    val kept = batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
+    if (!updateIndex) kept
+    else {
+      // pin the survivors once: the caller's sink write and the index
+      // append must see the SAME rows (diamond DAGs recompute)
+      val pinned = kept.localCheckpoint(false)
+      graft.operators.Similarity
+        .appendToIvfIndex(pinned, idCol, vecCol, indexDir, batchId)
+      pinned
+    }
+  }
+
   /** Streaming keyword-index maintenance (r12, VERDICT r11 #6) — the
     * `foreachBatch` body that keeps a served
     * [[graft.operators.Retrieval.buildKeywordIndex]] BM25/tf-idf index
@@ -419,6 +473,34 @@ object StreamingFeatures {
     val pinned = batch.localCheckpoint(false)
     graft.operators.Retrieval
       .appendToKeywordIndex(pinned, idCol, textCol, indexDir, batchId)
+    pinned
+  }
+
+  /** Streaming PQ-index maintenance (r12) — the `foreachBatch` body
+    * that keeps a served [[graft.operators.Similarity.buildPqIndex]]
+    * ANN index current per micro-batch: the batch encodes under the
+    * FROZEN persisted codebooks and its m-byte codes land under the
+    * batch's own `batch_id` partition (the
+    * [[graft.operators.Similarity.appendToPqIndex]] contract — never
+    * a corpus re-encode), while the SAME pinned rows return for the
+    * caller's sink write. With [[semanticGateBatch]] (IVF),
+    * [[keywordIndexBatch]], [[spanGateBatch]] and
+    * [[minhashGateBatch]], every persisted index family now has its
+    * streaming-maintenance member. Replay: the append OVERWRITES its
+    * `batch_id` partition — idempotent under foreachBatch's
+    * stable-batchId delivery; no probe-before-write here, so no
+    * self-match exclusion is needed. */
+  def pqIndexBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      batchId: Long): DataFrame = {
+    // pin once: the index append and the caller's sink write must see
+    // the same rows (diamond DAGs recompute)
+    val pinned = batch.localCheckpoint(false)
+    graft.operators.Similarity
+      .appendToPqIndex(pinned, idCol, vecCol, indexDir, batchId)
     pinned
   }
 

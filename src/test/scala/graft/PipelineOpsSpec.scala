@@ -1009,6 +1009,71 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.contains(1L), "self must stay excluded")
   }
 
+  test("staged IVF retrain: garbage stage discarded, retrain swaps in " +
+      "whole, a marked crashed stage is recovered (r12)") {
+    import graft.operators.{IndexLayout, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    val dir = s"$root/idx"
+    val mk = (id: Long, x: Double, y: Double) => (id, Seq(x.toFloat, y.toFloat))
+    val v1 = Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1), mk(10, 0.0, 1.0),
+      mk(11, 0.1, 0.9)).toDF("id", "v")
+    Similarity.buildIvfIndex(v1, "id", "v", dir, nCells = 2, trainIters = 2)
+    def probe() = Similarity.ivfTopKFromIndex(
+        Seq(mk(99, 1.0, 0.0)).toDF("id", "v"), dir, "id", "v",
+        k = 10, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(probe() == Set(1L, 2L, 10L, 11L))
+    // a pre-marker crash left an UNMARKED stage — garbage, discarded
+    assert(new java.io.File(s"${dir}__staged/centroids").mkdirs())
+    val v2 = v1.union(Seq(mk(50, 0.7, 0.7)).toDF("id", "v"))
+    Similarity.rebuildIvfIndex(v2, "id", "v", dir, nCells = 2,
+      trainIters = 2)
+    assert(probe() == Set(1L, 2L, 10L, 11L, 50L),
+      "retrained index must serve the new corpus")
+    assert(!new java.io.File(s"${dir}__staged").exists(),
+      "stage must be gone after the swap")
+    // a post-marker crash: stage holds a COMPLETE index + marker, live
+    // still the old one — recovery must finish the swap
+    val v3 = Seq(mk(7, 0.5, 0.5)).toDF("id", "v")
+    Similarity.buildIvfIndex(v3, "id", "v", s"$root/stagebuild",
+      nCells = 1, trainIters = 1)
+    assert(new java.io.File(s"$root/stagebuild")
+      .renameTo(new java.io.File(s"${dir}__staged")))
+    new java.io.File(s"${dir}__staged/_STAGED").createNewFile()
+    IndexLayout.recoverCompact(spark, dir)
+    assert(probe() == Set(7L),
+      "marked stage must become the live index on recovery")
+  }
+
+  test("semdedup against index: corpus + earlier-batch matches flagged, " +
+      "keep-lowest-id orientation, replay-safe exclusion (r12)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_idx").toString
+    val mk = (id: Long, x: Double, y: Double) => (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(10, 1.0, 0.0), mk(11, 0.9, 0.1), mk(12, 0.95, 0.05),
+      mk(20, 0.0, 1.0), mk(21, 0.1, 0.9), mk(22, 0.05, 0.95))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 2, trainIters = 2)
+    // 1 near-copies the corpus x-cluster; 2 is novel; 3 near-copies 2
+    val batch = Seq(mk(1, 0.99, 0.01), mk(2, 0.6, 0.8), mk(3, 0.61, 0.79))
+      .toDF("vec_id", "embedding")
+    def probe(excl: Option[Long]) = Similarity.semDedupAgainstIndex(
+        batch, dir, "vec_id", "embedding", threshold = 0.98,
+        excludeBatchId = excl)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairs = probe(None)
+    assert(pairs.map(_._2) == Set(1L, 3L),
+      s"flagged batch docs (id_b) wrong: $pairs")
+    assert(pairs.contains((2L, 3L)),
+      s"within-batch keep-lowest-id pair (2,3) missing: $pairs")
+    // replay contract: the batch's own appended partition must be
+    // invisible to its probe — same pairs as before the append
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", dir,
+      batchId = 7L)
+    assert(probe(Some(7L)) == pairs, "replay saw its own prior append")
+  }
+
   test("keyword index compaction: probe-identical, file count " +
       "collapses, garbage stage discarded (r12, VERDICT r11 #7)") {
     import graft.operators.{IndexLayout, Retrieval}

@@ -468,6 +468,44 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no broadcast join over doclens found:\n${physical(df)}")
   }
 
+  test("q_semdedup_append prunes the assigned scan to touched cells " +
+      "and broadcasts the batch side of the pair join (r12)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val df = run("q_semdedup_append")
+    df.collect()
+    val cartesians = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case c: CartesianProductExec => c
+    }
+    assert(cartesians.isEmpty, s"cartesian crept in:\n${physical(df)}")
+    assert(physical(df).contains("BroadcastHashJoin"),
+      s"pair join must broadcast the batch side:\n${physical(df)}")
+    // cell partition pruning is asserted on the operator's OWN
+    // membership frame (the declared query's localCheckpoint pins
+    // sever the assigned scan from the final executed plan) — the
+    // query above just built+appended the index at this sf's dir
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val members = graft.operators.Similarity.semDedupIndexMembers(
+      graft.Tables.embeddings(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 50),
+      s"/tmp/graft_semdedup_append/$tag", "vec_id", "embedding",
+      maxCell = 2048, excludeBatchId = Some(0L))
+    members.collect()
+    val assignedScans = collectWithSubqueries(
+        members.queryExecution.executedPlan) {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("assigned")) => s
+    }
+    assert(assignedScans.nonEmpty, s"no assigned scan:\n" +
+      members.queryExecution.executedPlan.toString)
+    assert(assignedScans.forall(s =>
+        s.metadata.getOrElse("PartitionFilters", "").contains("cell") &&
+        s.metadata.getOrElse("PartitionFilters", "").contains("batch_id")),
+      s"cell/batch_id partition filters not applied:\n" +
+        assignedScans.map(_.metadata).mkString)
+  }
+
   test("q_knn_append restricts the corpus join to touched cells via a " +
       "broadcast semi-join, no cartesian (r12)") {
     // the |graph|+|batch| contract: the corpus side may pay one

@@ -392,6 +392,63 @@ class StreamingSpec extends SparkSpec {
     assert(gate(Seq(3L), 1L).isEmpty, "batch-1 survivor's copy leaked")
   }
 
+  test("semantic gate serves the persisted IVF index, keeps it " +
+      "current, and survives replay (r12)") {
+    import graft.operators.Similarity
+    val dir = s"/tmp/graft_ivf_stream_${java.util.UUID.randomUUID()}"
+    val mk = (id: Long, x: Double, y: Double) => (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(100, 1.0, 0.0), mk(101, 0.9, 0.1),
+      mk(110, 0.0, 1.0), mk(111, 0.1, 0.9)).toDF("vec_id", "embedding")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 2, trainIters = 2)
+    // 1 near-copies the corpus; 2 is novel; 3 near-copies 2
+    val allVecs = Seq(mk(1, 0.99, 0.01), mk(2, 0.6, 0.8),
+      mk(3, 0.61, 0.79)).toDF("vec_id", "embedding")
+    def gate(ids: Seq[Long], batchId: Long) = StreamingFeatures
+      .semanticGateBatch(allVecs.filter($"vec_id".isin(ids: _*)),
+        "vec_id", "embedding", dir, batchId, threshold = 0.98)
+      .select("vec_id").as[Long].collect().toSet
+    // batch 1: doc 1 near-copies the CORPUS → dropped; doc 2 is novel
+    // → kept AND appended under the frozen quantizer
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L))
+    // replay of batch 1 (at-least-once): its own appended partition
+    // must not change the gate's decisions
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L), "replay changed the gate")
+    // batch 2: a near-copy of batch 1's NOVEL doc — caught only if the
+    // gate appended doc 2's vector (the index-maintaining loop)
+    assert(gate(Seq(3L), 1L).isEmpty, "batch-1 survivor's copy leaked")
+  }
+
+  test("foreachBatch PQ-index maintenance: probes find streamed codes; " +
+      "replay is idempotent (r12)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val build = emb.filter($"vec_id" >= 50)
+    val dir = s"/tmp/graft_pq_stream_${java.util.UUID.randomUUID()}"
+    Similarity.buildPqIndex(build, "vec_id", "embedding", dir,
+      m = 16, trainIters = 2, trainFraction = 0.25)
+    // micro-batch carries a clone of a build vector under a new id:
+    // identical codes under the frozen codebooks, so the original's
+    // probe must surface it — deterministic probe-visibility proof
+    val clone = build.filter($"vec_id" === 60)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    val kept = StreamingFeatures.pqIndexBatch(clone, "vec_id",
+      "embedding", dir, batchId = 0L)
+    assert(kept.count() == 1, "gateless maintenance must keep the batch")
+    def probe() = Similarity.pqTopKFromIndex(
+        build.filter($"vec_id" === 60), dir, "vec_id", "embedding",
+        k = 10)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect().toSet
+    val first = probe()
+    assert(first.map(_._1).contains(9999L),
+      s"streamed codes missing from probe: $first")
+    // at-least-once replay: the overwrite-per-batchId append must not
+    // duplicate the clone's codes or change any score
+    StreamingFeatures.pqIndexBatch(clone, "vec_id", "embedding", dir,
+      batchId = 0L)
+    assert(probe() == first, "replayed micro-batch changed the probe")
+  }
+
   test("foreachBatch keyword-index maintenance: batch-2 probes find " +
       "batch-1 docs; replay is idempotent (r12, VERDICT r11 #6)") {
     implicit val sqlCtx = spark.sqlContext
