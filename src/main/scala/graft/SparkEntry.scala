@@ -5528,7 +5528,11 @@ $roundCtes"""
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val dir = s"/tmp/graft_pq_append/${tag}_p${ProcessHandle.current().pid()}"
+      // stable per-dataset path + full rebuild each run, the family
+      // convention (q_ivf_append/q_semdedup_append): the harness is
+      // single-writer, and a PID suffix would leak one never-deleted
+      // index per process run
+      val dir = s"/tmp/graft_pq_append/$tag"
       Similarity.buildPqIndex(emb.filter(col("vec_id") >= 50),
         "vec_id", "embedding", dir, m = 16, trainIters = 2,
         trainFraction = 0.25)

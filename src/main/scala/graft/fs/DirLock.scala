@@ -20,15 +20,30 @@ import java.util.UUID
   * token (mirrored through a move-aside), so stealing a live lock
   * can't cascade into the victim deleting the thief's lock. The wait
   * deadline spans StealAfterMs + TimeoutMs so a waiter arriving while
-  * an orphaned lock is still young lives to steal it. Guarded
-  * sections are presumed sub-second (catalog mutations, index delta
-  * writes) — a minute-old lock is dead with high confidence. */
+  * an orphaned lock is still young lives to steal it.
+  *
+  * LONG SECTIONS (r12): a live holder HEARTBEATS — a daemon thread
+  * refreshes the lock file's mtime every [[HeartbeatMs]] while the
+  * body runs, so the age-based steal fires only when the owner
+  * process actually died (no more touches), never merely because a
+  * distributed index write outlived the 60 s horizon (a cluster-wide
+  * parquet write trivially does; without the heartbeat a contender
+  * would steal the lock MID-WRITE — the exact race the lock exists to
+  * prevent). The beat re-reads the file first and stops the moment
+  * the token is not ours (double-fault stolen lock: never refresh the
+  * thief's mtime). Contenders against a live long holder time out
+  * with an error after StealAfterMs + TimeoutMs — loud, not a silent
+  * concurrent write. java.nio paths: this lock guards LOCAL or
+  * NFS-posix dirs (the catalog's and the test harness's shape). */
 object DirLock {
 
   /** How long a waiter keeps contending after the steal horizon. */
   val TimeoutMs: Long = 30000L
   /** Age past which a lock's owner is presumed dead and stealable. */
   val StealAfterMs: Long = 60000L
+  /** Live-holder mtime refresh period — 4 beats per steal horizon, so
+    * one missed beat (GC pause, fs hiccup) never loses the lock. */
+  val HeartbeatMs: Long = StealAfterMs / 4
 
   def withLock[A](dir: String)(body: => A): A = {
     Files.createDirectories(Paths.get(dir))
@@ -64,7 +79,28 @@ object DirLock {
           else Thread.sleep(10)
       }
     }
+    // heartbeat: keep the lock's mtime fresh while the body runs so
+    // age-based stealing targets only DEAD owners (doc above)
+    val beat = new Thread(() => {
+      try {
+        var mine = true
+        while (mine && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(HeartbeatMs)
+          try {
+            if (new String(Files.readAllBytes(lock)) == token)
+              Files.setLastModifiedTime(lock,
+                java.nio.file.attribute.FileTime
+                  .fromMillis(System.currentTimeMillis()))
+            // stolen (double fault): never touch the thief's lock
+            else mine = false
+          } catch { case _: java.io.IOException => () } // transient: next beat retries
+        }
+      } catch { case _: InterruptedException => () } // released: stop
+    }, s"dirlock-heartbeat-$dir")
+    beat.setDaemon(true)
+    beat.start()
     try body finally {
+      beat.interrupt()
       // Release only our own lock: if someone stole it mid-section (we
       // held it past the steal TTL), the thief's lock must survive.
       // read==token then deleteIfExists is check-then-act — a thief

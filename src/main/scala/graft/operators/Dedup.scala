@@ -259,12 +259,15 @@ object Dedup {
       idCol: String, indexDir: String, batchId: Long): Unit = {
     require(batchId >= 0, s"appendToMinhashIndex: batchId=$batchId " +
       "(negative ids are reserved for the build/compact base)")
+    // recover-before-write: see appendToSpanIndex
+    IndexLayout.recoverCompact(batch.sparkSession, indexDir)
+    IndexLayout.recoverCompact(batch.sparkSession, s"$indexDir/bands")
     val (shingleN, bands, rows) = minhashIndexMeta(batch.sparkSession, indexDir)
     bandRows(batch, textCol, idCol, shingleN, bands, rows)
       .write.mode("overwrite").parquet(s"$indexDir/bands/batch_id=$batchId")
   }
 
-  private def minhashIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def minhashIndexMeta(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (Int, Int, Int) = {
     val m = spark.read.parquet(s"$indexDir/meta")
       .select(col("shingle_n"), col("bands"), col("rows"))
@@ -670,9 +673,18 @@ object Dedup {
     * replay overwrites — `spans/batch_id=<batchId>`). See
     * [[buildSpanIndex]] for the delta/compaction/write contracts. */
   def appendToSpanIndex(batch: DataFrame, textCol: String, idCol: String,
-      k: Int, indexDir: String, batchId: Long): Unit =
+      k: Int, indexDir: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"appendToSpanIndex: batchId=$batchId " +
+      "(negative ids are reserved for the build/compact base)")
+    // every write op recovers first (the RecordLog discipline): after
+    // a MID-SWAP compact crash the live table is missing, and an
+    // append that recreated it would doom the staged corpus to the
+    // stale-stage discard on the next maintenance run
+    IndexLayout.recoverCompact(batch.sparkSession, indexDir)
+    IndexLayout.recoverCompact(batch.sparkSession, s"$indexDir/spans")
     spanIndexDelta(batch, textCol, idCol, k)
       .write.mode("overwrite").parquet(s"$indexDir/spans/batch_id=$batchId")
+  }
 
   /** [[appendToSpanIndex]] under the cross-process [[graft.fs.DirLock]]
     * — the opt-in serialization for deployments where two ingest jobs
@@ -727,9 +739,15 @@ object Dedup {
     * [[spanDupStats]] (whose self-contained shape re-hashes the whole
     * corpus every run). A batch span is DUPLICATED when it occurs in
     * ≥ 1 corpus document (batch doc + corpus doc = the cross-doc
-    * sharing Lee et al. flag); batch-INTERNAL sharing is out of scope
-    * here, exactly like [[minhashNearDupsAgainst]] — run
-    * [[spanDupStats]] over the batch for that. Output shape matches
+    * sharing Lee et al. flag); batch-INTERNAL sharing is opt-in via
+    * `includeBatchSelf` (r12 review fix): when set, a span also
+    * counts as duplicated for a doc when a LOWER-id doc of the SAME
+    * batch contains it — keep-first ownership, so of two identical
+    * novel docs arriving together the first keeps dup_ratio 0 and
+    * the copy scores 1.0 (the [[graft.streaming.StreamingFeatures
+    * .spanGateBatch]] gate needs exactly this; the default false
+    * keeps the declared q_span_incremental's index-only semantics
+    * and its oracle). Output shape matches
     * [[spanDupStats]]: one row per batch doc with ≥ 1 shared span —
     * (id, n_spans, n_dup_spans, dup_ratio) over the doc's distinct
     * spans.
@@ -746,7 +764,8 @@ object Dedup {
   def spanDupStatsAgainst(batch: DataFrame, textCol: String,
       idCol: String, k: Int, indexDir: String, maxDocs: Int = 1000,
       observeAs: Option[String] = None,
-      excludeBatchId: Option[Long] = None): DataFrame = {
+      excludeBatchId: Option[Long] = None,
+      includeBatchSelf: Boolean = false): DataFrame = {
     require(maxDocs >= 1, s"spanDupStatsAgainst: maxDocs=$maxDocs")
     val spark = batch.sparkSession
     // excludeBatchId: a REPLAYED ingest batch must not probe its own
@@ -758,9 +777,12 @@ object Dedup {
     val idx = excludeBatchId.fold(idx0)(id =>
         idx0.filter(col("batch_id") =!= lit(id)))
       .select(col("h"), col("n_docs")) // shed batch_id
-    val bs = batch.select(col(idCol).as("id"),
+    val bs0 = batch.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("sp"))
       .select(col("id"), md5(col("sp")).as("h"))
+    // the self branch reuses the batch explode+md5 on both sides of a
+    // diamond — pin it (micro-batch-sized by the gate contract)
+    val bs = if (includeBatchSelf) bs0.localCheckpoint(false) else bs0
     // inner join on h: only corpus-shared spans survive; then the
     // per-(id, h) sum folds multi-append deltas back to the hash's
     // total corpus doc count before the ubiquity gate
@@ -771,8 +793,23 @@ object Dedup {
       sum(when(col("n_docs") > maxDocs, lit(1L)).otherwise(lit(0L)))
         .as("dropped_rows"),
       max(col("n_docs")).as("max_span_docs")))
-    val perDoc = observed
+    val idxDupSpans = observed
       .filter(col("n_docs") <= maxDocs)
+      .select(col("id"), col("h"))
+    val dupSpans =
+      if (!includeBatchSelf) idxDupSpans
+      else {
+        // keep-first ownership: a span whose LOWEST batch id is below
+        // this doc's id is duplicated within the batch (no ubiquity
+        // cap — within-batch multiplicity is bounded by the batch)
+        val owner = bs.groupBy(col("h")).agg(min(col("id")).as("__owner"))
+        idxDupSpans.unionByName(
+          bs.join(owner, Seq("h"))
+            .filter(col("id") > col("__owner"))
+            .select(col("id"), col("h")))
+          .distinct()
+      }
+    val perDoc = dupSpans
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
     val totals = batch.select(col(idCol).as("id"),
       size(shingles(col(textCol), k)).cast("long").as("n_spans"))

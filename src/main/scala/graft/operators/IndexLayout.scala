@@ -33,8 +33,12 @@ private[graft] object IndexLayout {
     *  3. drop a `_STAGED` marker — the folded data is now durable,
     *  4. swap: delete the live table, rename the stage into place.
     *
-    * A crash before (3) discards the stage next time; after (3) the
-    * next compact's recovery finishes the swap — idempotent. Probes
+    * A crash before (3) discards the stage next time. A crash after
+    * (3) but before the live delete ALSO discards it — the fold is
+    * re-derivable from live, which may have received appends since
+    * the crash (see [[recoverCompact]]); only the mid-swap crash
+    * (live already deleted) finishes the rename, because there the
+    * stage is the sole surviving copy. Probes
     * racing the swap window can see a missing dir: compaction runs
     * under the index family's single-writer/quiescence contract
     * ([[graft.fs.DirLock]] is the opt-in cross-process guard), and a
@@ -68,10 +72,13 @@ private[graft] object IndexLayout {
     * Without this, a retrain is `build*Index` over the live dir:
     * centroids overwrite FIRST, assignment second — a crash between
     * them serves a new quantizer over the old assignment (silently
-    * wrong probes, not just missing data). Here a pre-marker crash
-    * leaves the live index untouched (stage discarded on the next
-    * rebuild); a post-marker crash is finished by the next rebuild's
-    * recovery. Same single-writer/quiescence contract as compaction;
+    * wrong probes, not just missing data). Here any crash that leaves
+    * the live index standing leaves it UNTOUCHED (the stage — marked
+    * or not — is discarded on the next write: a retrain is always
+    * re-runnable, while live may have taken appends since the crash);
+    * only the mid-swap crash, where live is already gone, is finished
+    * from the durable stage ([[recoverCompact]]'s rule). Same
+    * single-writer/quiescence contract as compaction;
     * a replayed append from before the retrain re-lands its batch
     * under the NEW quantizer — correct by the frozen-quantizer append
     * contract (assignment is recomputed, not replayed). */
@@ -86,16 +93,29 @@ private[graft] object IndexLayout {
     swapStage(fs, stage, live)
   }
 
-  /** Finish (marked) or discard (unmarked) a crashed compact's stage;
-    * called at the start of every [[compactTable]]. */
+  /** Recover a crashed compact/rebuild's stage; called at the start
+    * of every [[compactTable]] / [[stagedRebuild]].
+    *
+    * An UNMARKED stage is garbage (pre-marker crash) — discarded. A
+    * MARKED stage is finished ONLY when the live dir is MISSING: that
+    * is the mid-swap crash (after `delete(live)`, before the rename),
+    * the one state where the stage is the sole surviving copy. When
+    * the live dir still EXISTS, the marked stage is discarded even
+    * though its data is durable — the fold/rebuild that produced it
+    * is always RE-DERIVABLE from live, while the live table may have
+    * received appends AFTER the crash (days of ingest before anyone
+    * re-ran maintenance); swapping the stale stage in would silently
+    * destroy those batches. Re-deriving a compact is cheap; a lost
+    * append is unrecoverable. */
   def recoverCompact(spark: SparkSession, tableDir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(tableDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(tableDir + StageSuffix)
     if (!fs.exists(stage)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(stage, Marker)))
-      swapStage(fs, stage, live) // durable: finish the interrupted swap
-    else fs.delete(stage, true) // pre-marker crash: stage is garbage
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, Marker)) &&
+        !fs.exists(live))
+      swapStage(fs, stage, live) // mid-swap crash: stage is the only copy
+    else fs.delete(stage, true) // stale stage: live wins, re-derive later
   }
 
   private def swapStage(fs: org.apache.hadoop.fs.FileSystem,

@@ -126,6 +126,13 @@ object Retrieval {
       textCol: String, indexDir: String, batchId: Long): Unit = {
     require(batchId >= 0, s"appendToKeywordIndex: batchId=$batchId " +
       "(negative ids are reserved for the build/compact base)")
+    // recover-before-write (the Dedup.appendToSpanIndex rationale):
+    // an append after a mid-swap compact crash must finish the swap,
+    // not recreate a live table that dooms the staged corpus
+    val spark = batch.sparkSession
+    IndexLayout.recoverCompact(spark, indexDir)
+    Seq("postings", "doclens", "totals").foreach(t =>
+      IndexLayout.recoverCompact(spark, s"$indexDir/$t"))
     writeKeywordIndex(batch, idCol, textCol, indexDir, batchId,
       maxDf = None)
   }
@@ -141,13 +148,16 @@ object Retrieval {
     val postings0 = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val postings = maxDf.fold(postings0) { cap =>
+      // pin: postings0 feeds the keep-list agg AND the semi-join —
+      // without it the full (doc, term) aggregation runs twice
+      val p0 = postings0.localCheckpoint(false)
       // vocab-sized keep-list, left-semi so the postings schema is
       // untouched; dl/totals stay FULL-corpus (length normalization
       // must not shift because boilerplate terms were pruned)
-      val keep = postings0.groupBy(col("term"))
+      val keep = p0.groupBy(col("term"))
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= cap).select(col("term"))
-      postings0.join(keep, Seq("term"), "left_semi")
+      p0.join(keep, Seq("term"), "left_semi")
     }
     postings
       // pin once: repartitionByRange's boundary-sampling job triggers
@@ -209,12 +219,22 @@ object Retrieval {
   def bm25SearchFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String,
       queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxBroadcastCandidates: Long = 4000000L): DataFrame = {
     require(queryTerms.nonEmpty, "bm25SearchFromIndex: need at least one term")
+    import spark.implicits._
     val tfq = spark.read.parquet(s"$indexDir/postings")
       .filter(col("term").isin(queryTerms.distinct: _*))
       .select(col(idCol), col("term"), col("tf")) // shed batch_id
-    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df per query term, collected — decides the doclens join plan
+    // below AND replaces the in-plan dfreq aggregate (one tiny frame
+    // instead of a recompute). Costs one extra scan of the PRUNED
+    // postings (In-filter row groups, never the corpus).
+    val dfRows = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect() // bounded: ≤ distinct query terms rows
+    val dfreq = dfRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("term", "df")
+    val candBound = dfRows.map(_.getLong(1)).sum
     val dl = spark.read.parquet(s"$indexDir/doclens")
       .select(col(idCol), col("dl")) // shed batch_id
     // totals are DELTA rows (one per build/append) — sum to fold
@@ -232,9 +252,15 @@ object Retrieval {
     // without the hint the pre-AQE plan shuffles ALL of doclens on
     // idCol; with it the declared plan streams doclens map-side under
     // a broadcast hash join, the same bounded-plan-by-construction
-    // convention as every other probe. Queries made of ubiquitous
-    // terms inflate tfq — cap them with the build-time maxDf dial.
-    broadcast(tfq.join(broadcast(dfreq), Seq("term")))
+    // convention as every other probe. BUT the bound is Σ_t df(t),
+    // and on an index built without the maxDf cap a stopword-grade
+    // query term makes that corpus-sized — broadcasting it would die
+    // at the driver where a shuffle join completes. The measured
+    // candBound picks the plan: broadcast below the dial, shuffle
+    // join (the right plan for that shape) above it.
+    val candSide = tfq.join(broadcast(dfreq), Seq("term"))
+    (if (candBound <= maxBroadcastCandidates) broadcast(candSide)
+     else candSide)
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(totals))
       .withColumn("t", round(idf * norm, 6).cast(DecimalType(18, 6)))

@@ -680,6 +680,9 @@ object Similarity {
     require(batchId >= 0, s"appendToIvfIndex: batchId=$batchId " +
       "(negative ids are reserved for the build/compact base)")
     val spark = batch.sparkSession
+    // recover-before-write: see Dedup.appendToSpanIndex
+    IndexLayout.recoverCompact(spark, indexDir)
+    IndexLayout.recoverCompact(spark, s"$indexDir/assigned")
     val cent = spark.read.parquet(s"$indexDir/centroids")
       .collect() // bounded: the persisted centroid table is nCells rows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
@@ -1147,6 +1150,9 @@ object Similarity {
       indexDir: String, batchId: Long): Unit = {
     require(batchId >= 0, s"appendToPqIndex: batchId=$batchId " +
       "(negative ids are reserved for the build/compact base)")
+    // recover-before-write: see Dedup.appendToSpanIndex
+    IndexLayout.recoverCompact(batch.sparkSession, indexDir)
+    IndexLayout.recoverCompact(batch.sparkSession, s"$indexDir/codes")
     val cb = loadCodebooks(batch.sparkSession, indexDir, "appendToPqIndex")
     val m = cb.map(_._1).distinct.length
     pqEncode(batch, cb, m, idCol, vecCol)

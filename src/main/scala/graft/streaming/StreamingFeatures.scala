@@ -321,7 +321,12 @@ object StreamingFeatures {
       updateIndex: Boolean = true): DataFrame = {
     val dups = graft.operators.Dedup
       .spanDupStatsAgainst(batch, textCol, idCol, k, indexDir,
-        excludeBatchId = Some(batchId))
+        excludeBatchId = Some(batchId),
+        // within-batch copies must not ride in together: a span owned
+        // by a LOWER-id batch doc counts as duplicated for the later
+        // doc (keep-first; r12 review fix — the index probe alone
+        // cannot see same-batch duplicates)
+        includeBatchSelf = true)
       .filter(col("dup_ratio") >= maxDupRatio)
       .select(col(idCol).as("__dup_id"))
     val kept = batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
@@ -348,14 +353,28 @@ object StreamingFeatures {
     * same replay contract: the probe EXCLUDES the batch's own
     * `batch_id` (a replay sees the index the first attempt saw) and
     * the append OVERWRITES it — idempotent under foreachBatch's
-    * stable-batchId delivery. `corpus` supplies only the TEXT for the
-    * exact-Jaccard verify (candidate-restricted by the left-semi in
-    * the shared verify stage); at scale it is the ingested table the
-    * sink feeds. Usage:
+    * stable-batchId delivery.
+    *
+    * WITHIN-BATCH duplicates (r12 review fix): the index probe alone
+    * cannot see two near-copies arriving in the SAME micro-batch (the
+    * batch's own bands are not in the index and its batch_id is
+    * excluded) — so the gate also runs the batch SELF-join under the
+    * index's pinned params and keeps the LOWEST id of each verified
+    * pair (greedy keep-first, the [[semanticGateBatch]] policy; the
+    * self-join is micro-batch-sized, not corpus-sized).
+    *
+    * `corpus` supplies only the TEXT for the exact-Jaccard verify
+    * (candidate-restricted by the left-semi in the shared verify
+    * stage) and MUST cover every doc the index knows — construct it
+    * INSIDE the foreachBatch body (a frame captured once before the
+    * stream starts snapshots its file listing, so candidates against
+    * later survivors would find no text and silently verify away —
+    * leaked duplicates). Usage:
     * {{{
     * stream.writeStream.foreachBatch { (b, id) =>
-    *   StreamingFeatures.minhashGateBatch(b, ingested, "text",
-    *       "doc_id", dir, id)
+    *   StreamingFeatures.minhashGateBatch(b,
+    *       b.sparkSession.read.parquet(out), // fresh listing per batch
+    *       "text", "doc_id", dir, id)
     *     .write.mode("append").parquet(out)
     * }
     * }}} */
@@ -368,11 +387,20 @@ object StreamingFeatures {
       batchId: Long,
       threshold: Double = 0.7,
       updateIndex: Boolean = true): DataFrame = {
-    val dups = graft.operators.Dedup
+    import graft.operators.Dedup
+    val idxDups = Dedup
       .minhashNearDupsAgainstIndex(batch, corpus, textCol, idCol,
         indexDir, threshold = threshold, excludeBatchId = Some(batchId))
       .select(col("id_a").as("__dup_id"))
-      .distinct()
+    // within-batch near-dups under the SAME pinned hash family:
+    // (id_a < id_b) pairs → drop the later id (keep-first)
+    val (shingleN, bands, rows) =
+      Dedup.minhashIndexMeta(batch.sparkSession, indexDir)
+    val selfDups = Dedup
+      .minhashNearDups(batch, textCol, idCol, shingleN, bands, rows,
+        threshold = threshold)
+      .select(col("id_b").as("__dup_id"))
+    val dups = idxDups.unionByName(selfDups).distinct()
     val kept = batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
     if (!updateIndex) kept
     else {

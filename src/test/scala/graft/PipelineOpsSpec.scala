@@ -1032,8 +1032,9 @@ class PipelineOpsSpec extends SparkSpec {
       "retrained index must serve the new corpus")
     assert(!new java.io.File(s"${dir}__staged").exists(),
       "stage must be gone after the swap")
-    // a post-marker crash: stage holds a COMPLETE index + marker, live
-    // still the old one — recovery must finish the swap
+    // a post-marker crash with live still standing: the stage, though
+    // durable, is DISCARDED — live may hold appends from after the
+    // crash, and the retrain is re-derivable (recoverCompact's rule)
     val v3 = Seq(mk(7, 0.5, 0.5)).toDF("id", "v")
     Similarity.buildIvfIndex(v3, "id", "v", s"$root/stagebuild",
       nCells = 1, trainIters = 1)
@@ -1041,8 +1042,21 @@ class PipelineOpsSpec extends SparkSpec {
       .renameTo(new java.io.File(s"${dir}__staged")))
     new java.io.File(s"${dir}__staged/_STAGED").createNewFile()
     IndexLayout.recoverCompact(spark, dir)
+    assert(probe() == Set(1L, 2L, 10L, 11L, 50L),
+      "live must win over a stale marked stage")
+    assert(!new java.io.File(s"${dir}__staged").exists(),
+      "stale marked stage must be discarded")
+    // the MID-SWAP crash (live already deleted): the marked stage is
+    // the sole surviving copy — recovery must finish the rename
+    Similarity.buildIvfIndex(v3, "id", "v", s"$root/stagebuild2",
+      nCells = 1, trainIters = 1)
+    assert(new java.io.File(s"$root/stagebuild2")
+      .renameTo(new java.io.File(s"${dir}__staged")))
+    new java.io.File(s"${dir}__staged/_STAGED").createNewFile()
+    IndexLayout.clear(spark, dir) // the mid-swap state: live is gone
+    IndexLayout.recoverCompact(spark, dir)
     assert(probe() == Set(7L),
-      "marked stage must become the live index on recovery")
+      "a mid-swap crash's marked stage must become the live index")
   }
 
   test("semdedup against index: corpus + earlier-batch matches flagged, " +
@@ -1143,6 +1157,56 @@ class PipelineOpsSpec extends SparkSpec {
     val filesAfter = IndexLayout.dataFileCount(spark, s"$dir/assigned")
     assert(filesAfter < filesBefore,
       s"assigned files: $filesBefore -> $filesAfter (no collapse)")
+  }
+
+  test("index append after a mid-swap compact crash finishes the " +
+      "recovery first — the staged corpus survives (r12 review fix)") {
+    import graft.operators.Dedup
+    val dir = s"/tmp/graft_spanidx_recover_${java.util.UUID.randomUUID()}"
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    Dedup.buildSpanIndex(
+      Seq((100L, s"$shared iota kappa")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 4, dir)
+    // simulate the MID-SWAP compact crash: the live table is deleted,
+    // the marked stage is the sole surviving copy of the corpus
+    val live = new java.io.File(s"$dir/spans")
+    val stage = new java.io.File(s"$dir/spans__staged")
+    assert(live.renameTo(stage))
+    new java.io.File(stage, "_STAGED").createNewFile()
+    // an append arriving now must RECOVER first: without it, the new
+    // batch partition would recreate the live dir and the next
+    // maintenance run's stale-stage rule would discard the corpus
+    Dedup.appendToSpanIndex(
+      Seq((1L, "totally new words about recovery protocols here"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", k = 4, dir, batchId = 0L)
+    assert(!stage.exists, "append must finish the interrupted swap")
+    // the corpus spans survived: a corpus near-copy still gates high
+    val stats = Dedup.spanDupStatsAgainst(
+        Seq((9L, s"$shared nu")).toDF("doc_id", "text"),
+        "text", "doc_id", k = 4, dir)
+      .select("doc_id", "dup_ratio").as[(Long, Double)].collect().toMap
+    assert(stats.getOrElse(9L, 0.0) > 0.5,
+      s"staged corpus lost by the append: $stats")
+  }
+
+  test("dir lock heartbeat keeps a LIVE holder's lock fresh past the " +
+      "steal horizon's beat period (r12 review fix)") {
+    // without the heartbeat, any critical section longer than
+    // StealAfterMs (a cluster-sized index write trivially is) would be
+    // stolen MID-WRITE by a contender; the beat refreshes mtime so
+    // age-based stealing targets only dead owners
+    import graft.fs.DirLock
+    val dir = java.nio.file.Files
+      .createTempDirectory("dirlock_beat").toString
+    val lock = java.nio.file.Paths.get(dir, "_LOCK")
+    DirLock.withLock(dir) {
+      val t0 = java.nio.file.Files.getLastModifiedTime(lock).toMillis
+      Thread.sleep(DirLock.HeartbeatMs + 3000)
+      val t1 = java.nio.file.Files.getLastModifiedTime(lock).toMillis
+      assert(t1 > t0, s"heartbeat never refreshed the lock ($t0 -> $t1)")
+    }
+    assert(!java.nio.file.Files.exists(lock), "release must drop the lock")
   }
 
   test("locked span append: a surviving writer steals a crashed " +

@@ -343,8 +343,10 @@ class StreamingSpec extends SparkSpec {
     val novel = "completely different words about streams windows " +
       "joins and state with nothing shared"
     val batch = Seq(
-      (1L, s"$shared nu xi"), // corpus near-copy → dropped
-      (2L, novel)             // novel → kept + indexed
+      (1L, s"$shared nu xi"),    // corpus near-copy → dropped
+      (2L, novel),               // novel → kept + indexed
+      (3L, s"$novel and a tail") // SAME-batch copy of 2 → dropped
+                                 // (keep-first ownership, r12 fix)
     ).toDF("doc_id", "text")
     def gate() = StreamingFeatures
       .spanGateBatch(batch, "text", "doc_id", dir, batchId = 7L,
@@ -374,9 +376,15 @@ class StreamingSpec extends SparkSpec {
     val dir = s"/tmp/graft_mhidx_stream_${java.util.UUID.randomUUID()}"
     Dedup.buildMinhashIndex(Seq((100L, base)).toDF("doc_id", "text"),
       "text", "doc_id", dir, shingleN = 3, bands = 4, rows = 4)
-    // `corpus` = the ingested table (text lookup for the verify stage)
+    // `corpus` = the ingested table (text lookup for the verify
+    // stage); static here because it already covers every doc any
+    // batch can index — production constructs it fresh per batch
+    // (see the minhashGateBatch scaladoc)
+    val novel2 = "entirely fresh sentence describing quantizer retrain " +
+      "swap protocols in careful detail"
     val allDocs = Seq((100L, base), (1L, base + "!"), (2L, novel),
-      (3L, novel + "!")).toDF("doc_id", "text")
+      (3L, novel + "!"), (4L, novel2), (5L, novel2 + " indeed"))
+      .toDF("doc_id", "text")
     def gate(ids: Seq[Long], batchId: Long) = StreamingFeatures
       .minhashGateBatch(allDocs.filter($"doc_id".isin(ids: _*)), allDocs,
         "text", "doc_id", dir, batchId, threshold = 0.4)
@@ -390,6 +398,11 @@ class StreamingSpec extends SparkSpec {
     // batch 2: a near-copy of batch 1's NOVEL doc — caught only if the
     // gate appended doc 2's bands (the index-maintaining loop)
     assert(gate(Seq(3L), 1L).isEmpty, "batch-1 survivor's copy leaked")
+    // batch 3: two near-copies arriving TOGETHER — the index probe
+    // alone can't see them (their bands aren't indexed yet); the
+    // within-batch self-join keeps the lowest id (r12 review fix)
+    assert(gate(Seq(4L, 5L), 2L) == Set(4L),
+      "same-batch duplicate pair must keep only the first doc")
   }
 
   test("semantic gate serves the persisted IVF index, keeps it " +
