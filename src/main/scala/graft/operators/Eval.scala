@@ -50,7 +50,14 @@ object Eval {
         lit("normalize the score first (got "), s6.cast("string"), lit(")"))))
     val byScore = df
       .select(guarded.as("s"),
-        when(label, lit(1L)).otherwise(lit(0L)).as("y"))
+        // NULL label → loud error (r12 review fix): otherwise(0L)
+        // silently counted unlabeled rows as NEGATIVES, deflating the
+        // AUC of a good scorer with no warning
+        when(label === lit(true), lit(1L))
+          .when(label === lit(false), lit(0L))
+          .otherwise(raise_error(lit("aucRankSum: NULL label — " +
+            "unlabeled rows would count as negatives; filter or " +
+            "impute labels first"))).as("y"))
       .groupBy(col("s"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
     val w = Window.orderBy(col("s"))
@@ -86,11 +93,24 @@ object Eval {
   def calibrationBins(df: DataFrame, p: Column, label: Column,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2 && nBins <= 10000, s"calibrationBins: nBins=$nBins")
-    val p6 = round(p, 6)
+    // domain guard (r12 review fix, the aucRankSum convention): a
+    // negative score emitted a nonsense negative bin id and a score
+    // > 1 silently clamped into the top bin with mean_p > 1 — both
+    // corrupt the reliability diagram instead of failing loudly
+    val p6r = round(p, 6)
+    val p6 = when(p6r.isNull || p6r < 0.0 || p6r > 1.0,
+        raise_error(concat(lit("calibrationBins: score out of [0,1] " +
+          "(got "), coalesce(p6r.cast("string"), lit("NULL")),
+          lit(") — bins are meaningless off-domain; normalize first"))))
+      .otherwise(p6r)
     df.select(
         least(floor(p6 * nBins).cast("int"), lit(nBins - 1)).as("bin"),
         p6.cast(DecimalType(18, 6)).as("p"),
-        when(label, 1L).otherwise(0L).as("y"))
+        when(label === lit(true), lit(1L))
+          .when(label === lit(false), lit(0L))
+          .otherwise(raise_error(lit("calibrationBins: NULL label — " +
+            "unlabeled rows would count as negatives; filter first")))
+          .as("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
         sum(col("y")).as("pos"))
@@ -128,7 +148,15 @@ object Eval {
     // DECIMAL(38,6) keeps integral inputs bit-identical (sum of exact
     // decimals → the same double) and fractional inputs exact to the
     // suite-wide 6-dp contract.
-    val exploded = df.select(group.as("g"), key.as("k"),
+    // NULL key → loud error (r12 review fix): concat_ws skips null
+    // args, so every null-key row would share ONE hash verdict per
+    // replicate — kept or dropped as a block, wrecking the CI's
+    // independent-per-row subsampling
+    val kGuard = when(key.isNull, raise_error(lit("bootstrapMeanCI: " +
+        "NULL key — null-key rows would subsample as one block; " +
+        "coalesce or filter first")))
+      .otherwise(key.cast("string"))
+    val exploded = df.select(group.as("g"), kGuard.as("k"),
         value.cast(DecimalType(38, 6)).as("v"))
       .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
     val kept = Sampling.sampleByHash(exploded,

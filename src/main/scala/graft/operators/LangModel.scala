@@ -38,7 +38,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object LangModel {
 
-  /** Lowercase `[a-z0-9]+` token array per row (empty when none). */
+  /** Lowercase `[a-z0-9]+` token array per row (empty when none).
+    * NOTE: stricter than [[CorpusStats]]' bare whitespace split —
+    * punctuation-bearing and non-ASCII tokens are EXCLUDED here, so
+    * LM vocabularies and CorpusStats heavy-hitter counts are not
+    * directly comparable (r12 review fix: the doc previously implied
+    * one shared tokenization). */
   private def alnumTokens(textCol: String) =
     expr(s"filter(split(trim(lower($textCol)), '\\\\s+'), " +
       "w -> w rlike '^[a-z0-9]+$')")
@@ -106,8 +111,14 @@ object LangModel {
       textCol: String,
       lamNum: Int = 8,
       lamDen: Int = 10): DataFrame = {
-    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
-      s"lambda $lamNum/$lamDen must lie in [0, 1]")
+    // lamNum == lamDen (pure-bigram) is excluded (r12 review fix):
+    // an unseen bigram's probability would be exactly 0, log(0) is
+    // NULL in Spark, the DECIMAL sum skips it but n_bigrams counts it
+    // — a silently underestimated avg_nll. The unigram floor must
+    // carry nonzero weight for the interpolation to be total.
+    require(lamDen > 0 && lamNum >= 0 && lamNum < lamDen,
+      s"lambda $lamNum/$lamDen must lie in [0, 1) — the unigram " +
+        "backoff needs nonzero weight or unseen bigrams hit log(0)")
     val trainToks = train.select(alnumTokens(textCol).as("ws"))
     val uni = trainToks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))

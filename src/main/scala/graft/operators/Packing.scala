@@ -42,13 +42,26 @@ object Packing {
     * Output columns: groupCol (string), orderCol (long), sizeCol
     * (long), `bin` (long, 1-based per group).
     */
+
+  /** Cast to long with a LOUD null guard (r12 review fix): a null
+    * size/order slot — null input or a failed cast — previously died
+    * deep in the partition scan as a bare unboxing NPE with no column
+    * name; now the select names the offender before the scan runs. */
+  private def longOrFail(c: Column, name: String, op: String): Column = {
+    val cl = c.cast("long")
+    when(cl.isNull, raise_error(lit(s"$op: NULL $name (null input or " +
+      "failed long cast) — filter or repair the column first")))
+      .otherwise(cl)
+  }
+
   def packGreedy(
       df: DataFrame, groupCol: String, orderCol: String,
       sizeCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"packGreedy: budget must be positive, got $budget")
     val in = df.select(
-      col(groupCol).cast("string"), col(orderCol).cast("long"),
-      col(sizeCol).cast("long"))
+      col(groupCol).cast("string"),
+      longOrFail(col(orderCol), orderCol, "packGreedy"),
+      longOrFail(col(sizeCol), sizeCol, "packGreedy"))
     val outSchema = StructType(Seq(
       StructField(groupCol, org.apache.spark.sql.types.StringType),
       StructField(orderCol, LongType),
@@ -58,14 +71,21 @@ object Packing {
     in.repartition(col(groupCol))
       .sortWithinPartitions(col(groupCol), col(orderCol))
       .mapPartitions { rows =>
-        // forward scan; state resets at each group boundary
+        // forward scan; state resets at each group boundary. `first`
+        // (r12 review fix): a NULL group made `g != curGroup` false on
+        // the very first row (null == null), emitting bin 0 against
+        // the 1-based contract — null groups now pack as their own
+        // ordinary group
+        var first = true
         var curGroup: String = null
         var bin = 0L
         var fill = 0L
         rows.map { r =>
           val g = r.getString(0)
           val size = r.getLong(2)
-          if (g != curGroup) { curGroup = g; bin = 1L; fill = size }
+          if (first || g != curGroup) {
+            first = false; curGroup = g; bin = 1L; fill = size
+          }
           else if (fill + size > budget) { bin += 1L; fill = size }
           else fill += size
           Row(g, r.getLong(1), size, bin)
@@ -90,8 +110,10 @@ object Packing {
     require(nShards > 0, s"packGreedySharded: nShards must be positive, got $nShards")
     val in = df.select(
       col(groupCol).cast("string"),
-      pmod(col(orderCol).cast("long"), lit(nShards.toLong)).as("shard"),
-      col(orderCol).cast("long"), col(sizeCol).cast("long"))
+      pmod(longOrFail(col(orderCol), orderCol, "packGreedySharded"),
+        lit(nShards.toLong)).as("shard"),
+      longOrFail(col(orderCol), orderCol, "packGreedySharded"),
+      longOrFail(col(sizeCol), sizeCol, "packGreedySharded"))
     val outSchema = StructType(Seq(
       StructField(groupCol, org.apache.spark.sql.types.StringType),
       StructField("shard", LongType),
@@ -103,6 +125,8 @@ object Packing {
       .sortWithinPartitions(col(groupCol), col("shard"), col(orderCol))
       .mapPartitions { rows =>
         // forward scan; state resets at each (group, shard) boundary
+        // (`first`: the packGreedy null-group fix)
+        var first = true
         var curGroup: String = null
         var curShard = -1L
         var bin = 0L
@@ -111,8 +135,8 @@ object Packing {
           val g = r.getString(0)
           val sh = r.getLong(1)
           val size = r.getLong(3)
-          if (g != curGroup || sh != curShard) {
-            curGroup = g; curShard = sh; bin = 1L; fill = size
+          if (first || g != curGroup || sh != curShard) {
+            first = false; curGroup = g; curShard = sh; bin = 1L; fill = size
           }
           else if (fill + size > budget) { bin += 1L; fill = size }
           else fill += size

@@ -32,13 +32,27 @@ object Sampling {
     f"${math.round(fraction * (1L << 48))}%012x"
   }
 
+  /** Null-key guard shared by every hash-keyed membership op (r12
+    * review fix): md5(seed ‖ NULL) is NULL, so a null key silently
+    * fell out of BOTH split sides / every fold / the sample — data
+    * loss, not an assignment. Hash-keyed membership must be a TOTAL
+    * function of the data, so a null key is a caller bug surfaced
+    * loudly at execution (coalesce or filter null keys first) — the
+    * aucRankSum domain-guard convention. */
+  private def keyOrFail(key: Column, op: String): Column = {
+    val s = key.cast("string")
+    when(s.isNull, raise_error(lit(s"$op: NULL key — hash-keyed " +
+      "membership would silently drop or misassign the row; coalesce " +
+      "or filter null keys first"))).otherwise(s)
+  }
+
   /** The sampling predicate itself, exposed for reuse in SQL/oracles. */
   def hashKeep(key: Column, fraction: Double, seed: String = ""): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
     val cut = math.round(fraction * (1L << 48))
     if (cut <= 0L) lit(false)
     else if (cut >= (1L << 48)) lit(true)
-    else substring(md5(concat(lit(seed), key.cast("string"))), 1, 12) <
+    else substring(md5(concat(lit(seed), keyOrFail(key, "hashKeep"))), 1, 12) <
       lit(thresholdHex(fraction))
   }
 
@@ -82,7 +96,8 @@ object Sampling {
     val cutHex = lpad(lower(hex(cut)), 12, "0")
     (fraction >= lit(1.0)) ||
       (fraction > lit(0.0) &&
-        substring(md5(concat(lit(seed), key.cast("string"))), 1, 12) < cutHex)
+        substring(md5(concat(lit(seed),
+          keyOrFail(key, "hashKeepWeighted"))), 1, 12) < cutHex)
   }
 
   /** Deterministic k-fold assignment: fold(row) ∈ [0, k) by which of k
@@ -96,7 +111,7 @@ object Sampling {
     * fold 0 at k=5 is exactly the 20 % sample hashKeep(0.2) admits. */
   def foldId(key: Column, k: Int, seed: String = ""): Column = {
     require(k >= 2 && k <= 4096, s"foldId: need 2 <= k <= 4096, got $k")
-    val h = substring(md5(concat(lit(seed), key.cast("string"))), 1, 12)
+    val h = substring(md5(concat(lit(seed), keyOrFail(key, "foldId"))), 1, 12)
     val cuts = (1 until k).map(i => thresholdHexClamped(i.toDouble / k))
     cuts.zipWithIndex.reverse.foldLeft(lit(k - 1): Column) {
       case (acc, (cut, i)) => when(h < lit(cut), lit(i)).otherwise(acc)
@@ -122,14 +137,18 @@ object Sampling {
     *
     * Shape: one count aggregate (strata-sized, broadcast back) + one
     * stratum-partitioned row_number — the window parallelizes across
-    * strata; no stratum's data crosses to another. */
+    * strata; no stratum's data crosses to another.
+    *
+    * OUTPUT: the input columns PLUS `rn` (the within-stratum hash
+    * rank, 1-based — the q_class_balance caller consumes it); an
+    * existing `rn` column on the input is overwritten. */
   def balanceByHash(df: DataFrame, stratum: Column, key: Column,
       seed: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val target = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n"))
       .agg(min(col("_n")).as("_target"))
     val w = Window.partitionBy(stratum)
-      .orderBy(md5(concat(lit(seed), key.cast("string"))), key)
+      .orderBy(md5(concat(lit(seed), keyOrFail(key, "balanceByHash"))), key)
     df.withColumn("rn", row_number().over(w))
       .crossJoin(broadcast(target))
       .where(col("rn") <= col("_target"))
@@ -150,7 +169,8 @@ object Sampling {
         lit(thresholdHexClamped(f))).otherwise(acc)
     }
     df.where(
-      substring(md5(concat(lit(seed), key.cast("string"))), 1, 12) < cut)
+      substring(md5(concat(lit(seed),
+        keyOrFail(key, "sampleStratified"))), 1, 12) < cut)
   }
 
   /** Rendezvous (highest-random-weight) shard assignment: a key lands
@@ -165,7 +185,7 @@ object Sampling {
   def rendezvousShard(key: Column, nShards: Int, seed: String = ""): Column = {
     require(nShards >= 1 && nShards <= 64, s"nShards=$nShards")
     val hs = (0 until nShards).map(i =>
-      md5(concat(lit(s"$seed$i:"), key.cast("string"))))
+      md5(concat(lit(s"$seed$i:"), keyOrFail(key, "rendezvousShard"))))
     (0 until nShards).foldRight(lit(nShards - 1): Column) { (i, acc) =>
       if (i == nShards - 1) acc
       else when((i until nShards).drop(1).map(j => hs(i) >= hs(j))

@@ -1190,6 +1190,53 @@ class PipelineOpsSpec extends SparkSpec {
       s"staged corpus lost by the append: $stats")
   }
 
+  test("null-contract guards: hash-keyed membership, eval domains, and " +
+      "packing fail loudly instead of silently corrupting (r12 review fixes)") {
+    import graft.operators.{Eval, Packing, Sampling}
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    def mustRaise(frag: String)(body: => Unit): Unit = {
+      val ex = intercept[Exception](body)
+      assert(msgs(ex).exists(_.contains(frag)),
+        s"expected '$frag' in: ${msgs(ex).mkString("; ")}")
+    }
+    val nullKey = Seq((Some(1L), 0.5), (None: Option[Long], 0.7))
+      .toDF("k", "v")
+    // a null key previously fell out of BOTH split sides (train+eval
+    // lost the row with no error) — now the membership op raises
+    mustRaise("NULL key")(
+      Sampling.sampleByHash(nullKey, $"k", 0.5).collect())
+    mustRaise("NULL key")(
+      nullKey.select(Sampling.foldId($"k", 5)).collect())
+    mustRaise("NULL key")(
+      nullKey.select(Sampling.rendezvousShard($"k", 4)).collect())
+    // eval domain guards: the aucRankSum convention on the siblings
+    mustRaise("NULL label")(Eval.aucRankSum(
+      Seq((Some(0.5), Some(true)), (Some(0.6), None: Option[Boolean]))
+        .toDF("s", "y"), col("s"), col("y")).collect())
+    mustRaise("out of [0,1]")(Eval.calibrationBins(
+      Seq((5.0, true)).toDF("p", "y"), col("p"), col("y")).collect())
+    mustRaise("NULL key")(Eval.bootstrapMeanCI(
+      Seq(("g", None: Option[Long], 1.0)).toDF("g", "k", "v"),
+      col("g"), col("k"), col("v")).collect())
+    // packGreedy: a NULL group previously emitted bin 0 on the first
+    // rows (null == null skipped the reset) — now it packs as its own
+    // ordinary group with 1-based bins
+    val packed = Packing.packGreedy(
+      Seq((None: Option[String], 1L, 5L), (None, 2L, 6L),
+        (Some("a"), 3L, 5L)).toDF("g", "o", "sz"),
+      "g", "o", "sz", budget = 8)
+    val nullBins = packed.filter($"g".isNull)
+      .select("bin").as[Long].collect().sorted.toSeq
+    assert(nullBins == Seq(1L, 2L),
+      s"null group must pack 1-based with overflow: $nullBins")
+    assert(packed.filter($"g" === "a").select("bin").as[Long].head() == 1L)
+    // and a null size names the column instead of a bare NPE
+    mustRaise("NULL sz")(Packing.packGreedy(
+      Seq((Some("a"), 1L, None: Option[Long])).toDF("g", "o", "sz"),
+      "g", "o", "sz", budget = 8).collect())
+  }
+
   test("dir lock heartbeat keeps a LIVE holder's lock fresh past the " +
       "steal horizon's beat period (r12 review fix)") {
     // without the heartbeat, any critical section longer than
