@@ -211,7 +211,20 @@ object Dedup {
       .select(col(idCol).as(side), shingles(col(textCol), shingleN).as(s"sh_$side"))
     candidates
       .join(shingled(batch, "id_a"), "id_a")
-      .join(shingled(corpus, "id_b"), "id_b")
+      // LEFT + raise on the corpus side (ADVICE r12): an index-probed
+      // candidate whose id_b finds no corpus text would otherwise be
+      // silently dropped by an inner join — a LEAKED duplicate
+      // (classic cause: a corpus frame captured before the stream
+      // started, missing later survivors — the minhashGateBatch
+      // scaladoc's coverage contract). Map-side, zero extra jobs.
+      .join(shingled(corpus, "id_b"), Seq("id_b"), "left")
+      .withColumn("sh_id_b",
+        when(col("sh_id_b").isNotNull, col("sh_id_b"))
+          .otherwise(raise_error(concat(
+            lit("near-dup verify: candidate id_b has no corpus text " +
+              "(corpus must cover every indexed doc — construct it " +
+              "fresh per batch, unioning any bootstrap corpus): "),
+            col("id_b").cast("string")))))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_id_a"), col("sh_id_b"))).cast("double") /
           size(array_union(col("sh_id_a"), col("sh_id_b"))), 6))
@@ -657,9 +670,15 @@ object Dedup {
     * IDEMPOTENT per batchId. Distinct batchIds remain the caller's
     * exactly-once sequencing (two writers sharing an id lose one
     * write); concurrent appends under DIFFERENT ids are safe by
-    * partition isolation, but build/compact still require
-    * single-writer quiescence ([[graft.fs.DirLock]] is the opt-in
-    * cross-process guard — see [[appendToSpanIndexLocked]]). */
+    * partition isolation AGAINST EACH OTHER — but never against a
+    * live compact/rebuild (ADVICE r12): every append runs
+    * recover-before-write, which DELETES an unmarked in-flight stage,
+    * so an append racing a compactor destroys the compactor's staged
+    * fold. Quiescence between appends and maintenance is therefore
+    * part of the append contract too, not only the compact side's;
+    * [[graft.fs.DirLock]] is the opt-in cross-process guard — the
+    * `*Locked` variants take it in BOTH paths
+    * ([[appendToSpanIndexLocked]], [[compactSpanIndexLocked]]). */
   def buildSpanIndex(corpus: DataFrame, textCol: String, idCol: String,
       k: Int, indexDir: String): Unit = {
     IndexLayout.clear(corpus.sparkSession, s"$indexDir/spans")
@@ -690,10 +709,13 @@ object Dedup {
     * — the opt-in serialization for deployments where two ingest jobs
     * could race the same batchId or overlap a build/compact (VERDICT
     * r11 #8: the catalog's steal-after-crash lock, proven under real
-    * process death, taken around an index mutation). */
+    * process death, taken around an index mutation). The lock lives in
+    * the index's SIBLING dir ([[IndexLayout.lockDir]], r13) so a
+    * staged whole-index rebuild swap can't destroy the holder's own
+    * lock; every family's `*Locked` variant shares that path. */
   def appendToSpanIndexLocked(batch: DataFrame, textCol: String,
       idCol: String, k: Int, indexDir: String, batchId: Long): Unit =
-    graft.fs.DirLock.withLock(indexDir)(
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
       appendToSpanIndex(batch, textCol, idCol, k, indexDir, batchId))
 
   /** Compact a [[buildSpanIndex]] index's delta partitions to one
@@ -725,6 +747,33 @@ object Dedup {
       df.select(col("id"), col("band"), col("bucket")).distinct()
         .repartitionByRange(col("band"), col("bucket"))
         .sortWithinPartitions(col("band"), col("bucket")))
+
+  // ---- cross-process Locked variants (r13, VERDICT r12 #6) ---------
+  // Every index family's mutation surface under the SAME proven
+  // DirLock guard (the appendToSpanIndexLocked rationale): appends and
+  // maintenance are mutually destructive when interleaved — an
+  // append's recover-before-write deletes a live compact's unmarked
+  // stage (ADVICE r12) — so the lock must wrap BOTH paths to close
+  // the race, not just one side's.
+
+  /** [[appendToMinhashIndex]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def appendToMinhashIndexLocked(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, batchId: Long): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      appendToMinhashIndex(batch, textCol, idCol, indexDir, batchId))
+
+  /** [[compactSpanIndex]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def compactSpanIndexLocked(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(compactSpanIndex(spark, indexDir))
+
+  /** [[compactMinhashIndex]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def compactMinhashIndexLocked(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(compactMinhashIndex(spark, indexDir))
 
   private def spanIndexDelta(df: DataFrame, textCol: String,
       idCol: String, k: Int): DataFrame =

@@ -130,6 +130,16 @@ private[graft] object IndexLayout {
   private val StageSuffix = "__staged"
   private val Marker = "_STAGED"
 
+  /** Where an index's cross-process [[graft.fs.DirLock]] lives: a
+    * SIBLING dir, never inside the index itself — a whole-index
+    * [[stagedRebuild]] swap deletes the live dir, and a lock stored
+    * there would be destroyed BY the guarded operation (the holder
+    * would then fail its own release as "stolen"). One path rule for
+    * every family's `*Locked` variant, so appends, compactions, and
+    * rebuilds of the same index all serialize on the same file. */
+  def lockDir(indexDir: String): String =
+    indexDir.stripSuffix("/") + "__lock"
+
   /** Number of data files under a table directory (recursive,
     * `_`-prefixed metadata excluded) — the compaction specs'
     * file-count-collapse evidence. */

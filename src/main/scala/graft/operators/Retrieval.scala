@@ -93,15 +93,32 @@ object Retrieval {
     * keeping each file's term min/max stats tight, so the probe's
     * In(term) row-group pruning is unchanged.
     *
-    * `maxDf` (opt-in, BUILD-time): drop terms whose build-corpus df
-    * exceeds the cap before persisting — a stopword's postings carry
-    * no signal a bag-of-terms probe would rank on (the spanDupStats
-    * `maxDocs` ubiquity reasoning), and the cap bounds the residual
-    * per-term row count the range layout spreads. Capped terms are
-    * ABSENT from the index (probes treat them as df=0), so the
-    * roundtrip-identity contract vs [[bm25Search]] holds only for
-    * uncapped terms; appends do not re-apply the cap (a batch-local
-    * df says nothing about corpus ubiquity — rebuild to re-prune).
+    * `maxDf` (opt-in): drop terms whose df exceeds the cap before
+    * persisting — a stopword's postings carry no signal a
+    * bag-of-terms probe would rank on (the spanDupStats `maxDocs`
+    * ubiquity reasoning), and the cap bounds the residual per-term
+    * row count the range layout spreads. Capped terms are ABSENT from
+    * the index (probes treat them as df=0), so the roundtrip-identity
+    * contract vs [[bm25Search]] holds only for uncapped terms.
+    *
+    * DURABLE CONTRACT (r13, VERDICT r12 #2): the cap persists in
+    * `indexDir/meta` (the [[graft.operators.Dedup.buildMinhashIndex]]
+    * pinned-params pattern) plus a `pruned` TOMBSTONE table holding
+    * every term the cap ever dropped (a build-capped term has NO
+    * standing postings, so index-level df alone would re-admit it at
+    * batch-local df), and APPENDS RE-APPLY the whole contract: a
+    * batch term is kept only if it is not tombstoned AND its
+    * index df + batch df stays ≤ cap — index df is one count over the
+    * term's pruned postings (the probe's own df job). A term CROSSING
+    * the cap through an append gets its batch postings dropped and a
+    * tombstone; its standing (≤ cap) postings keep serving with their
+    * frozen df until [[compactKeywordIndex]] removes them — a bounded
+    * staleness window, never the inverted-idf failure where every
+    * append resurrected a corpus-ubiquitous term with df ≈ batch
+    * (BM25 then handed the STRONGEST weight to exactly the term the
+    * build judged signal-free). dl/totals stay FULL-corpus in all
+    * paths (length normalization must not shift because boilerplate
+    * terms were pruned).
     *
     * WRITE CONTRACT (upgraded r12): each build/append lands under its
     * own `batch_id=<id>` hive partition of all three tables (build =
@@ -114,14 +131,41 @@ object Retrieval {
     * deltas. */
   def buildKeywordIndex(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, maxDf: Option[Long] = None): Unit = {
-    for (t <- Seq("postings", "doclens", "totals"))
-      IndexLayout.clear(docs.sparkSession, s"$indexDir/$t")
-    writeKeywordIndex(docs, idCol, textCol, indexDir, batchId = -1L, maxDf)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    for (t <- Seq("postings", "doclens", "totals", "pruned"))
+      IndexLayout.clear(spark, s"$indexDir/$t")
+    // pin the cap: appends and compaction re-apply the INDEX's
+    // contract, never a caller-supplied (possibly different) one
+    Seq(maxDf).toDF("max_df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    writeKeywordIndex(docs, idCol, textCol, indexDir, batchId = -1L,
+      maxDf, indexSide = None)
+  }
+
+  /** The pinned `maxDf` contract of a [[buildKeywordIndex]] index;
+    * None for uncapped indexes AND for pre-r13 indexes without a meta
+    * table (their build accepted no cap, so none can be owed). */
+  private[graft] def keywordIndexMaxDf(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Long] = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) return None
+    val m = spark.read.parquet(s"$indexDir/meta")
+      .select(col("max_df").cast("long"))
+      .limit(2).collect() // bounded: meta is one pinned-params row
+    require(m.length == 1, s"keyword index $indexDir: malformed meta")
+    if (m(0).isNullAt(0)) None else Some(m(0).getLong(0))
   }
 
   /** Append a NEW batch to a persisted [[buildKeywordIndex]] index —
-    * O(batch tokens), never a corpus re-tokenize; idempotent per
-    * `batchId` (a replay overwrites its own partitions). */
+    * O(batch tokens + the batch vocab's pruned index postings), never
+    * a corpus re-tokenize; idempotent per `batchId` (a replay
+    * overwrites its own partitions and reads the index MINUS them).
+    * On a capped index the batch's terms are re-judged under the
+    * durable-cap contract (tombstones + index df + batch df — see
+    * [[buildKeywordIndex]]). */
   def appendToKeywordIndex(batch: DataFrame, idCol: String,
       textCol: String, indexDir: String, batchId: Long): Unit = {
     require(batchId >= 0, s"appendToKeywordIndex: batchId=$batchId " +
@@ -131,15 +175,41 @@ object Retrieval {
     // not recreate a live table that dooms the staged corpus
     val spark = batch.sparkSession
     IndexLayout.recoverCompact(spark, indexDir)
-    Seq("postings", "doclens", "totals").foreach(t =>
+    Seq("postings", "doclens", "totals", "pruned").foreach(t =>
       IndexLayout.recoverCompact(spark, s"$indexDir/$t"))
     writeKeywordIndex(batch, idCol, textCol, indexDir, batchId,
-      maxDf = None)
+      keywordIndexMaxDf(spark, indexDir), indexSide = Some(batchId))
+  }
+
+  /** The standing index state an append's cap decision reads, both
+    * sides EXCLUDING the batch's own prior partition so a REPLAY
+    * judges against exactly what its first attempt saw: per-term df
+    * over the batch vocab's pruned postings (the probe's own df job,
+    * vocab micro-batch-bounded so it broadcasts) and the tombstone
+    * set restricted the same way. */
+  private def indexCapState(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchId: Long, batchVocab: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val idxDf = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("batch_id") =!= lit(batchId))
+      .join(broadcast(batchVocab), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("__idx_df"))
+    val prunedPath = new org.apache.hadoop.fs.Path(s"$indexDir/pruned")
+    val fs = prunedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombstones =
+      if (fs.exists(prunedPath))
+        spark.read.parquet(s"$indexDir/pruned")
+          .filter(col("batch_id") =!= lit(batchId))
+          .select(col("term"))
+      else spark.emptyDataFrame
+        .select(lit("").as("term")).limit(0)
+    (idxDf, tombstones)
   }
 
   private def writeKeywordIndex(docs: DataFrame, idCol: String,
       textCol: String, indexDir: String, batchId: Long,
-      maxDf: Option[Long]): Unit = {
+      maxDf: Option[Long], indexSide: Option[Long]): Unit = {
+    val spark = docs.sparkSession
     val toks = docs.select(col(idCol),
         explode(graft.functions.TextFns.tokens(lower(col(textCol))))
           .as("term"))
@@ -151,12 +221,36 @@ object Retrieval {
       // pin: postings0 feeds the keep-list agg AND the semi-join —
       // without it the full (doc, term) aggregation runs twice
       val p0 = postings0.localCheckpoint(false)
-      // vocab-sized keep-list, left-semi so the postings schema is
-      // untouched; dl/totals stay FULL-corpus (length normalization
-      // must not shift because boilerplate terms were pruned)
-      val keep = p0.groupBy(col("term"))
+      // vocab-sized keep/prune lists, left-semi so the postings schema
+      // is untouched; dl/totals stay FULL-corpus (length normalization
+      // must not shift because boilerplate terms were pruned). On an
+      // APPEND the keep decision is: not tombstoned AND
+      // (index df + batch df) ≤ cap — the term's TOTAL ubiquity,
+      // never its batch-local slice
+      val batchDf = p0.groupBy(col("term"))
         .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= cap).select(col("term"))
+      val judged = indexSide.fold(
+          batchDf.withColumn("__tomb", lit(false))) { bid =>
+        val (idxDf, tombstones) = indexCapState(spark, indexDir, bid,
+          batchDf.select(col("term")))
+        batchDf
+          .join(idxDf, Seq("term"), "left")
+          .join(tombstones.withColumn("__t", lit(true)).distinct(),
+            Seq("term"), "left")
+          .select(col("term"),
+            (col("__df") + coalesce(col("__idx_df"), lit(0L)))
+              .as("__df"),
+            coalesce(col("__t"), lit(false)).as("__tomb"))
+      }.localCheckpoint(false) // feeds the keep list AND the tombstones
+      val keep = judged.filter(!col("__tomb") && col("__df") <= cap)
+        .select(col("term"))
+      // newly over-cap terms tombstone under this batch's partition
+      // (overwrite → replay-idempotent); build writes its own
+      // build-capped set under batch_id=-1
+      judged.filter(!col("__tomb") && col("__df") > cap)
+        .select(col("term"))
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/pruned/batch_id=$batchId")
       p0.join(keep, Seq("term"), "left_semi")
     }
     postings
@@ -190,16 +284,41 @@ object Retrieval {
     * results are unchanged by construction FOR DISJOINT-DOC APPENDS
     * (the append contract): df counts (doc, term) posting rows, and
     * folding deltas of distinct docs touches no (doc, term) group
-    * twice. Crash-safe per table via [[IndexLayout.compactTable]]'s
-    * staged swap (a crash between tables leaves each individually
-    * consistent — every fold is value-preserving on its own);
-    * single-writer, beyond the replay horizon. */
+    * twice. On a capped index the fold ALSO re-prunes terms whose
+    * folded TOTAL df exceeds the pinned `maxDf` (r13 — the healing
+    * half of the durable-cap contract: append-time pruning keeps the
+    * invariant going forward, this re-establishes it over any rows
+    * that predate it). Crash-safe per table via
+    * [[IndexLayout.compactTable]]'s staged swap (a crash between
+    * tables leaves each individually consistent — every fold is
+    * value-preserving on its own); single-writer, beyond the replay
+    * horizon. */
   def compactKeywordIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String): Unit = {
-    IndexLayout.compactTable(spark, s"$indexDir/postings")(df =>
-      df.groupBy(col(idCol), col("term")).agg(sum(col("tf")).as("tf"))
+    val cap = keywordIndexMaxDf(spark, indexDir)
+    // fold the tombstone set first: the postings fold prunes against
+    // it (a term that crossed the cap mid-life sheds its frozen
+    // standing postings here — the healing half of the contract)
+    if (cap.isDefined)
+      IndexLayout.compactTable(spark, s"$indexDir/pruned")(df =>
+        df.select(col("term")).distinct())
+    IndexLayout.compactTable(spark, s"$indexDir/postings") { df =>
+      val folded0 = df.groupBy(col(idCol), col("term"))
+        .agg(sum(col("tf")).as("tf"))
+      val folded = cap.fold(folded0) { c =>
+        // pin: the fold feeds the keep-list agg AND the semi-join
+        val p0 = folded0.localCheckpoint(false)
+        val keep = p0.groupBy(col("term"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= c).select(col("term"))
+          .join(spark.read.parquet(s"$indexDir/pruned")
+            .select(col("term")), Seq("term"), "left_anti")
+        p0.join(keep, Seq("term"), "left_semi")
+      }
+      folded
         .repartitionByRange(col("term"), col(idCol))
-        .sortWithinPartitions(col("term"), col(idCol)))
+        .sortWithinPartitions(col("term"), col(idCol))
+    }
     IndexLayout.compactTable(spark, s"$indexDir/doclens")(df =>
       df.groupBy(col(idCol)).agg(sum(col("dl")).as("dl")))
     IndexLayout.compactTable(spark, s"$indexDir/totals")(df =>
@@ -208,6 +327,26 @@ object Retrieval {
         .coalesce(1))
   }
 
+  // ---- cross-process Locked variants (r13, VERDICT r12 #6) ---------
+  // Appends and maintenance are mutually destructive when interleaved
+  // (an append's recover-before-write deletes a live compact's
+  // unmarked stage — ADVICE r12), so the proven DirLock guard wraps
+  // BOTH paths; see Dedup.appendToSpanIndexLocked for the rationale.
+
+  /** [[appendToKeywordIndex]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def appendToKeywordIndexLocked(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String, batchId: Long): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      appendToKeywordIndex(batch, idCol, textCol, indexDir, batchId))
+
+  /** [[compactKeywordIndex]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def compactKeywordIndexLocked(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      compactKeywordIndex(spark, indexDir, idCol))
+
   /** [[bm25Search]] against a PERSISTED [[buildKeywordIndex]] index —
     * identical ranking arithmetic (the roundtrip must be invisible,
     * which is what the shared oracle checks); the plan difference is
@@ -215,7 +354,19 @@ object Retrieval {
     * cost — happened once at ingest, and the probe reads only the
     * query terms' postings (IN-filter pushed to the term-sorted
     * parquet → row-group pruning) plus the doclens of candidate
-    * docs. */
+    * docs.
+    *
+    * SNAPSHOT contract (ADVICE r12): the probe reads the postings in
+    * TWO jobs — the bounded df collect, then the scored join — so an
+    * append landing between them would mix two index states inside
+    * one query's scores (df from one snapshot, tf rows from the
+    * next). The index family's single-writer/quiescence contract
+    * covers probes too: don't interleave appends with a probe, or
+    * serve probes from a path that swaps atomically (the
+    * [[IndexLayout.stagedRebuild]] pattern). Not pinned here on
+    * purpose: a localCheckpoint of the pruned postings would pay a
+    * per-probe materialization to defend against a contract
+    * violation. */
   def bm25SearchFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String,
       queryTerms: Seq[String], k: Int,
@@ -309,11 +460,15 @@ object Retrieval {
     * run identical double arithmetic. Scale shape is [[tfidfSearch]]'s
     * — broadcast query terms, one corpus tokenize (reused for BOTH the
     * per-doc lengths and the query-term tf), keyed aggregates — plus
-    * one broadcast (N, Σdl) totals row. */
+    * one broadcast (N, Σdl) totals row; the candidate side of the
+    * doclens join broadcasts only below the measured Σ_t df(t) dial
+    * (r13 — a stopword-grade query term makes it corpus-sized, the
+    * [[bm25SearchFromIndex]] hazard in-plan). */
   def bm25Search(
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxBroadcastCandidates: Long = 4000000L): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Search: need at least one term")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -329,7 +484,19 @@ object Retrieval {
     val tfq = toks.join(broadcast(q), Seq("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df per query term, collected (bounded: ≤ distinct query terms
+    // rows) — replaces the in-plan dfreq aggregate AND decides the
+    // doclens join plan below, the same measured dial as
+    // bm25SearchFromIndex (ADVICE r12: the old unconditional
+    // broadcast made a stopword-grade query term — tfq ≈ corpus-sized
+    // — a driver killer where a shuffle join completes). Costs one
+    // extra pass over the PINNED toks (query-terms-only aggregate),
+    // never a second tokenize.
+    val dfRows = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect() // bounded: ≤ distinct query terms rows
+    val dfreq = dfRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("term", "df")
+    val candBound = dfRows.map(_.getLong(1)).sum
     val idf = round(log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
     // (k1 + 1) as a RUNTIME addition, not a Scala-folded literal: the
@@ -340,10 +507,13 @@ object Retrieval {
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
         lit(b) * (col("dl") * col("n_docs") /
           col("sum_dl").cast(DoubleType))))
-    // candidate side broadcasts into the dl join — the same bounded
+    // candidate side broadcasts into the dl join below the measured
+    // Σ_t df(t) dial, shuffle join above it — the same bounded
     // declared plan as bm25SearchFromIndex (dl here is the in-plan
     // corpus token fold, still the corpus-sized side)
-    broadcast(tfq.join(broadcast(dfreq), Seq("term")))
+    val candSide = tfq.join(broadcast(dfreq), Seq("term"))
+    (if (candBound <= maxBroadcastCandidates) broadcast(candSide)
+     else candSide)
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(totals))
       .withColumn("t", round(idf * norm, 6).cast(DecimalType(18, 6)))

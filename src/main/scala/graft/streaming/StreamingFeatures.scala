@@ -365,15 +365,24 @@ object StreamingFeatures {
     *
     * `corpus` supplies only the TEXT for the exact-Jaccard verify
     * (candidate-restricted by the left-semi in the shared verify
-    * stage) and MUST cover every doc the index knows — construct it
-    * INSIDE the foreachBatch body (a frame captured once before the
-    * stream starts snapshots its file listing, so candidates against
-    * later survivors would find no text and silently verify away —
-    * leaked duplicates). Usage:
+    * stage) and MUST cover every doc the index knows: the BOOTSTRAP
+    * corpus the index was built from UNIONED with the sink output,
+    * constructed INSIDE the foreachBatch body — a frame captured once
+    * before the stream starts snapshots its file listing, and a
+    * sink-only corpus misses the bootstrap docs (ADVICE r12; the
+    * verify now raises loudly on a candidate with no text instead of
+    * silently verifying the duplicate away). On the FIRST micro-batch
+    * the sink path may not exist yet — read it defensively. Usage:
     * {{{
     * stream.writeStream.foreachBatch { (b, id) =>
+    *   val s = b.sparkSession
+    *   val sunk = // fresh listing per batch; absent before batch 0
+    *     try s.read.parquet(out)
+    *     catch { case _: org.apache.spark.sql.AnalysisException =>
+    *       bootstrapCorpus.limit(0) }
     *   StreamingFeatures.minhashGateBatch(b,
-    *       b.sparkSession.read.parquet(out), // fresh listing per batch
+    *       bootstrapCorpus.select("doc_id", "text")
+    *         .unionByName(sunk.select("doc_id", "text")),
     *       "text", "doc_id", dir, id)
     *     .write.mode("append").parquet(out)
     * }
@@ -529,6 +538,34 @@ object StreamingFeatures {
     val pinned = batch.localCheckpoint(false)
     graft.operators.Similarity
       .appendToPqIndex(pinned, idCol, vecCol, indexDir, batchId)
+    pinned
+  }
+
+  /** Streaming k-NN-graph-index maintenance (r13) — the `foreachBatch`
+    * body that keeps a served
+    * [[graft.operators.Similarity.buildKnnGraphIndex]] graph current
+    * per micro-batch: the batch assigns under the FROZEN persisted
+    * quantizer, folds its heap delta against ONLY its touched cells'
+    * partitions (the [[graft.operators.Similarity.appendToKnnGraphIndex]]
+    * contract — never a corpus retrain or re-assignment, VERDICT r12
+    * #1), and the SAME pinned rows return for the caller's sink
+    * write. Serves ([[graft.operators.Similarity.knnGraphFromIndex]])
+    * see the new nodes — and existing nodes' updated heaps — from the
+    * next read on. Replay: the append reads the index MINUS its own
+    * `batch_id` and OVERWRITES both its partitions — idempotent under
+    * foreachBatch's stable-batchId delivery; no probe-before-write
+    * gate here, so no self-match exclusion is needed beyond that. */
+  def knnGraphIndexBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      batchId: Long): DataFrame = {
+    // pin once: the index append and the caller's sink write must see
+    // the same rows (diamond DAGs recompute)
+    val pinned = batch.localCheckpoint(false)
+    graft.operators.Similarity
+      .appendToKnnGraphIndex(pinned, idCol, vecCol, indexDir, batchId)
     pinned
   }
 

@@ -41,10 +41,22 @@ object CatalogLockChild {
         }
       case "hold" =>
         val holdMs = args(2).toLong
-        withLock(lockDir) {
-          println("HOLDING")
-          Console.flush()
-          Thread.sleep(holdMs)
+        try {
+          withLock(lockDir) {
+            println("HOLDING")
+            Console.flush()
+            Thread.sleep(holdMs)
+          }
+        } catch {
+          // r13: an overstaying victim whose lock was stolen now fails
+          // LOUDLY (DirLock.LockStolenException, possibly reflection-
+          // wrapped) — the release path still ran first and must not
+          // have cascade-deleted the thief's lock, which is what the
+          // parent asserts after RELEASED
+          case e: Throwable
+              if Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+                .exists(_.isInstanceOf[graft.fs.DirLock.LockStolenException]) =>
+            println("STOLEN")
         }
         // the real release ran (and, having overstayed the TTL, must
         // NOT have deleted a thief's fresh lock)

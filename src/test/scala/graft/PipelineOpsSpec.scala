@@ -1122,6 +1122,55 @@ class PipelineOpsSpec extends SparkSpec {
       "stage dir must not survive")
   }
 
+  test("keyword index durable maxDf: a build-capped term stays absent " +
+      "across appends, a crossing term is tombstoned and compact " +
+      "sheds it, replay is idempotent (r13, VERDICT r12 #2)") {
+    import graft.operators.Retrieval
+    val dir = s"/tmp/graft_kwidx_maxdf_${java.util.UUID.randomUUID()}"
+    // "common" df=8 > cap=5 → build-pruned+tombstoned; "warm" df=4 ≤ 5
+    val build = (1 to 8).map(i =>
+        (i.toLong, s"common token$i" + (if (i <= 4) " warm" else "")))
+      .toDF("doc_id", "text")
+    Retrieval.buildKeywordIndex(build, "doc_id", "text", dir,
+      maxDf = Some(5L))
+    def hits(term: String) = Retrieval.bm25SearchFromIndex(spark, dir,
+      "doc_id", Seq(term), 20).select("doc_id").as[Long].collect().toSet
+    assert(hits("common").isEmpty, "build-capped term must be absent")
+    assert(hits("warm") == Set(1L, 2L, 3L, 4L), "under-cap term kept")
+    // append re-introduces "common" (tombstoned → must stay absent,
+    // NOT resurrect at batch-local df), adds "fresh", and pushes
+    // "warm" over the cap (4 + 2 = 6 > 5 → batch rows dropped,
+    // tombstoned; standing rows keep serving until compact)
+    val batch = Seq((11L, "common fresh warm"), (12L, "common fresh warm"))
+      .toDF("doc_id", "text")
+    Retrieval.appendToKeywordIndex(batch, "doc_id", "text", dir,
+      batchId = 0L)
+    assert(hits("common").isEmpty,
+      "append resurrected a build-capped term (the inverted-idf bug)")
+    assert(hits("fresh") == Set(11L, 12L), "novel under-cap term kept")
+    assert(hits("warm") == Set(1L, 2L, 3L, 4L),
+      "crossing term must freeze its standing postings, not grow")
+    // at-least-once replay: same batchId re-judges against the state
+    // the first attempt saw and overwrites its partitions — no change
+    Retrieval.appendToKeywordIndex(batch, "doc_id", "text", dir,
+      batchId = 0L)
+    assert(hits("common").isEmpty && hits("fresh") == Set(11L, 12L) &&
+      hits("warm") == Set(1L, 2L, 3L, 4L), "replay changed the index")
+    // compaction heals the crossing term: folded df honors tombstones
+    Retrieval.compactKeywordIndex(spark, dir, "doc_id")
+    assert(hits("warm").isEmpty,
+      "compact must shed a tombstoned term's standing postings")
+    assert(hits("common").isEmpty, "tombstone must survive compaction")
+    assert(hits("fresh") == Set(11L, 12L), "compact dropped a live term")
+    // a post-compact append still honors the folded tombstones
+    Retrieval.appendToKeywordIndex(
+      Seq((13L, "common warm again")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 1L)
+    assert(hits("common").isEmpty && hits("warm").isEmpty,
+      "tombstones must keep binding after compaction")
+    assert(hits("again") == Set(13L))
+  }
+
   test("ivf append replay: a redelivered batch replaces its partition — " +
       "no duplicate neighbors (r12)") {
     import graft.operators.Similarity
@@ -1235,6 +1284,36 @@ class PipelineOpsSpec extends SparkSpec {
     mustRaise("NULL sz")(Packing.packGreedy(
       Seq((Some("a"), 1L, None: Option[Long])).toDF("g", "o", "sz"),
       "g", "o", "sz", budget = 8).collect())
+    // splitDedupAware: a null UNPAIRED id coalesces to the split key →
+    // the same hash-membership guard fires (r13 sweep, VERDICT r12 #8
+    // — already safe transitively, pinned by spec)
+    mustRaise("NULL key")(Sampling.splitDedupAware(
+      Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("doc_id", "t"),
+      "doc_id",
+      Seq((10L, 11L)).toDF("id_a", "id_b"), "id_a", "id_b",
+      leftFraction = 0.5).collect())
+    // index probe/append id columns (r13): a NULL id would silently
+    // fall out of the pair joins — a never-flagged duplicate
+    import graft.operators.Similarity
+    val mkv = (id: java.lang.Long, x: Double, y: Double) =>
+      (Option(id).map(Long.unbox), Seq(x.toFloat, y.toFloat))
+    val vecs = Seq(mkv(1L, 1.0, 0.0), mkv(2L, 0.9, 0.1),
+      mkv(10L, 0.0, 1.0), mkv(11L, 0.1, 0.9)).toDF("id", "v")
+    val nullIdBatch = Seq(mkv(null, 0.95, 0.05)).toDF("id", "v")
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("nullid_ivf").toString
+    Similarity.buildIvfIndex(vecs, "id", "v", ivfDir, nCells = 2,
+      trainIters = 1)
+    mustRaise("NULL id")(Similarity.appendToIvfIndex(
+      nullIdBatch, "id", "v", ivfDir, batchId = 0L))
+    mustRaise("NULL id")(Similarity.semDedupAgainstIndex(
+      nullIdBatch, ivfDir, "id", "v", threshold = 0.5).collect())
+    val knnDir = java.nio.file.Files
+      .createTempDirectory("nullid_knn").toString
+    Similarity.buildKnnGraphIndex(vecs, "id", "v", knnDir, k = 2,
+      nCells = 2, trainIters = 1)
+    mustRaise("NULL id")(Similarity.appendToKnnGraphIndex(
+      nullIdBatch, "id", "v", knnDir, batchId = 0L))
   }
 
   test("dir lock heartbeat keeps a LIVE holder's lock fresh past the " +
@@ -1264,14 +1343,16 @@ class PipelineOpsSpec extends SparkSpec {
     Dedup.buildSpanIndex(
       Seq((100L, s"$shared epsilon zeta eta theta")).toDF("doc_id", "text"),
       "text", "doc_id", k = 4, dir)
-    // a second REAL JVM takes the index-dir lock (the same DirLock the
-    // catalog's forked specs prove) and halts inside the critical
-    // section — the crashed-ingest-writer state
+    // a second REAL JVM takes the index's SIBLING lock dir (r13: the
+    // lock can't live inside the index — a staged whole-index rebuild
+    // swap would destroy the holder's own lock) and halts inside the
+    // critical section — the crashed-ingest-writer state
+    val lockDir = graft.operators.IndexLayout.lockDir(dir)
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
     val child = new ProcessBuilder(javaBin, "-cp",
         System.getProperty("java.class.path"),
-        "graft.CatalogLockChild", "crash", dir)
+        "graft.CatalogLockChild", "crash", lockDir)
       .redirectErrorStream(true).start()
     val out = new java.io.BufferedReader(
       new java.io.InputStreamReader(child.getInputStream))
@@ -1282,7 +1363,7 @@ class PipelineOpsSpec extends SparkSpec {
       line = out.readLine()
     }
     assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
-    val lock = java.nio.file.Paths.get(dir, "_LOCK")
+    val lock = java.nio.file.Paths.get(lockDir, "_LOCK")
     assert(java.nio.file.Files.exists(lock), "crashed child left its lock")
     // present the crash as a minute old, then the locked append must
     // steal, run, and release
@@ -1298,6 +1379,128 @@ class PipelineOpsSpec extends SparkSpec {
       .groupBy("h").agg(sum("n_docs").as("n"))
       .agg(max("n")).as[Long].head()
     assert(maxDocs == 2L, s"appended deltas missing: max n_docs=$maxDocs")
+  }
+
+  test("maintainIvfIndex: healthy index untouched, drifted index " +
+      "staged-rebuilt with a rescaled quantizer (r13, VERDICT r12 #7)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_maintain").toString + "/idx"
+    val mk = (id: Long, x: Double, y: Double) =>
+      (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1),
+      mk(10, 0.0, 1.0), mk(11, 0.1, 0.9)).toDF("id", "v")
+    Similarity.buildIvfIndex(corpus, "id", "v", dir, nCells = 2,
+      trainIters = 2)
+    // healthy (2 per cell ≤ 4): the monitor must NOT rebuild
+    assert(!Similarity.maintainIvfIndex(spark, dir, maxCell = 4),
+      "healthy index was rebuilt")
+    assert(spark.read.parquet(s"$dir/centroids").count() == 2)
+    // drift: 12 spread vectors crowd the 2 FROZEN cells (appends never
+    // retrain) → at least one cell holds ≥ 8 > 4
+    val flood = (0 until 12).map { i =>
+      val a = i * (math.Pi / 2) / 12
+      mk(100L + i, math.cos(a), math.sin(a))
+    }.toDF("id", "v")
+    Similarity.appendToIvfIndex(flood, "id", "v", dir, batchId = 0L)
+    assert(Similarity.maintainIvfIndex(spark, dir, maxCell = 4,
+      minOccupancy = 2), "drifted index not rebuilt")
+    // the retrain re-derived nCells from the grown corpus (16 rows →
+    // balanced occupancy 4 → 4 cells) and swapped in whole
+    val nCellsAfter = spark.read.parquet(s"$dir/centroids").count()
+    assert(nCellsAfter > 2, s"quantizer not rescaled: $nCellsAfter cells")
+    assert(!new java.io.File(s"${dir}__staged").exists(),
+      "stage must be gone after the swap")
+    // probes over the rebuilt index serve old AND appended vectors
+    val served = Similarity.ivfTopKFromIndex(
+        Seq(mk(999, 0.7, 0.7)).toDF("id", "v"), dir, "id", "v",
+        k = 20, nProbe = nCellsAfter.toInt)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(served == (corpus.select("id").as[Long].collect().toSet ++
+        (0 until 12).map(100L + _)),
+      s"rebuilt index lost vectors: $served")
+  }
+
+  test("locked appends, every index family: a surviving writer steals " +
+      "a crashed writer's lock and completes (r13, VERDICT r12 #6)") {
+    // the shared parameterized contention spec: for each persisted
+    // index family, a REAL second JVM (CatalogLockChild — the same
+    // forked driver the catalog specs prove) takes the index-dir
+    // DirLock and halts inside the critical section; the family's
+    // Locked append must steal the aged orphan, land its batch, and
+    // release. One scenario per family over the same proven protocol.
+    import graft.operators.{Dedup, Retrieval, Similarity}
+    val mkv = (id: Long, x: Double, y: Double) =>
+      (id, Seq(x.toFloat, y.toFloat))
+    val vecs = Seq(mkv(1, 1.0, 0.0), mkv(2, 0.9, 0.1),
+      mkv(10, 0.0, 1.0), mkv(11, 0.1, 0.9)).toDF("id", "v")
+    val vbatch = Seq(mkv(100, 0.95, 0.05)).toDF("id", "v")
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val dbatch = Seq((3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val families: Seq[(String, String => Unit, String => Unit)] = Seq(
+      ("keyword",
+        dir => Retrieval.buildKeywordIndex(docs, "doc_id", "text", dir),
+        dir => Retrieval.appendToKeywordIndexLocked(dbatch, "doc_id",
+          "text", dir, batchId = 0L)),
+      ("minhash",
+        dir => Dedup.buildMinhashIndex(docs, "text", "doc_id", dir),
+        dir => Dedup.appendToMinhashIndexLocked(dbatch, "text",
+          "doc_id", dir, batchId = 0L)),
+      ("ivf",
+        dir => Similarity.buildIvfIndex(vecs, "id", "v", dir,
+          nCells = 2, trainIters = 1),
+        dir => Similarity.appendToIvfIndexLocked(vbatch, "id", "v",
+          dir, batchId = 0L)),
+      ("pq",
+        dir => Similarity.buildPqIndex(vecs, "id", "v", dir, m = 2,
+          nCents = 2, trainIters = 1),
+        dir => Similarity.appendToPqIndexLocked(vbatch, "id", "v",
+          dir, batchId = 0L)),
+      ("knngraph",
+        dir => Similarity.buildKnnGraphIndex(vecs, "id", "v", dir,
+          k = 2, nCells = 2, trainIters = 1),
+        dir => Similarity.appendToKnnGraphIndexLocked(vbatch, "id",
+          "v", dir, batchId = 0L)))
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    for ((family, build, lockedAppend) <- families) {
+      val dir = s"/tmp/graft_lockfam_${family}_${java.util.UUID.randomUUID()}"
+      build(dir)
+      // the index's SIBLING lock dir (r13: a lock inside the index
+      // would be destroyed by a staged whole-index rebuild swap)
+      val lockDir = graft.operators.IndexLayout.lockDir(dir)
+      val child = new ProcessBuilder(javaBin, "-cp",
+          System.getProperty("java.class.path"),
+          "graft.CatalogLockChild", "crash", lockDir)
+        .redirectErrorStream(true).start()
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      val deadline = System.currentTimeMillis() + 30000
+      var line = out.readLine()
+      while (line != null && !line.contains("HOLDING")) {
+        assert(System.currentTimeMillis() < deadline,
+          s"$family: child never held")
+        line = out.readLine()
+      }
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      val lock = java.nio.file.Paths.get(lockDir, "_LOCK")
+      assert(java.nio.file.Files.exists(lock),
+        s"$family: crashed child left no lock")
+      java.nio.file.Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - graft.fs.DirLock.StealAfterMs - 1000))
+      lockedAppend(dir)
+      assert(!java.nio.file.Files.exists(lock),
+        s"$family: lock not released after steal+append")
+      // the batch landed under its own partition
+      val sub = family match {
+        case "keyword" => "postings"; case "minhash" => "bands"
+        case "pq" => "codes"; case _ => "assigned"
+      }
+      assert(new java.io.File(s"$dir/$sub/batch_id=0").exists(),
+        s"$family: appended batch partition missing")
+    }
   }
 
   test("pq append: probes find appended vectors under the frozen " +

@@ -468,6 +468,48 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"no broadcast join over doclens found:\n${physical(df)}")
   }
 
+  test("in-plan bm25Search rides the measured candidate dial: " +
+      "broadcast below it, shuffle join above it, same scores (r13, " +
+      "ADVICE r12)") {
+    // the index probe got the measured candBound fallback in r12; the
+    // in-plan variant broadcast unconditionally — a stopword-grade
+    // query term makes tfq corpus-sized and kills the driver where a
+    // shuffle join completes. Both sides of the dial must score
+    // identically; the plans must differ in the dl-join's exchange.
+    import org.apache.spark.sql.execution.joins.{
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+    val terms = Seq("vector", "hash")
+    def runSearch(dial: Long) = graft.operators.Retrieval.bm25Search(
+      docs, "doc_id", "text", terms, 10, maxBroadcastCandidates = dial)
+    assert(runSearch(4000000L).collect().toSeq ==
+      runSearch(0L).collect().toSeq, "the dial changed scores")
+    // plan shape on FRESH un-executed instances: the DECLARED plan is
+    // the contract (AQE may rescue the small test shuffle into a
+    // broadcast after execution — at corpus scale it would not), and
+    // size-based auto-broadcast is disabled so only the operator's
+    // explicit hint decides (at corpus scale the size estimate would
+    // not qualify either)
+    def shuffleJoins(df: org.apache.spark.sql.DataFrame) =
+      collectWithSubqueries(df.queryExecution.executedPlan) {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val bcast = runSearch(4000000L)
+      val shuffled = runSearch(0L)
+      assert(shuffleJoins(bcast).isEmpty,
+        s"below the dial every join must broadcast:\n${physical(bcast)}")
+      assert(shuffleJoins(shuffled).nonEmpty,
+        s"above the dial the dl join must shuffle, not broadcast:\n" +
+          physical(shuffled))
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("q_semdedup_append prunes the assigned scan to touched cells " +
       "and broadcasts the batch side of the pair join (r12)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -506,40 +548,50 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         assignedScans.map(_.metadata).mkString)
   }
 
-  test("q_knn_append restricts the corpus join to touched cells via a " +
-      "broadcast semi-join, no cartesian (r12)") {
-    // the |graph|+|batch| contract: the corpus side may pay one
-    // map-side assignment scan, but it joins pair-candidates only for
-    // cells the batch touches — a LeftSemi broadcast join over the
-    // ≤ nCells touched-cell values. The declared query's
-    // localCheckpoint pins sever that stage from the final executed
-    // plan, so the gate asserts it on the operator's OWN membership
-    // frame (knnRefreshMembers — the exact code path the query runs),
-    // and keeps the no-cartesian check on the full declared plan.
-    import org.apache.spark.sql.execution.joins.{
-      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec,
-      CartesianProductExec}
+  test("q_knn_append's refresh: the ONLY file scan is the assigned " +
+      "table pruned to touched cells and minus the batch's own " +
+      "partition — no corpus retrain, no corpus re-assignment (r13)") {
+    // VERDICT r12 #1's done-criterion: the r12 in-memory refresh paid
+    // a kmeansFit corpus retrain + a full-corpus map-side assignment
+    // per refresh. The index path must pay NEITHER — its membership
+    // frame's only file input is the cell/batch_id-PRUNED assigned
+    // scan (centroids are a bounded driver collect, the batch is a
+    // pinned micro-batch). Asserted on the operator's OWN membership
+    // frame (knnGraphIndexMembers — the exact code path the append
+    // runs) because the localCheckpoint pins sever it from the
+    // declared query's final executed plan; the no-cartesian check
+    // stays on the full declared plan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     val df = run("q_knn_append")
     df.collect()
     val cartesians = collectWithSubqueries(df.queryExecution.executedPlan) {
       case c: CartesianProductExec => c
     }
     assert(cartesians.isEmpty, s"cartesian crept in:\n${physical(df)}")
-    val emb = graft.Tables.embeddings(spark, sf)
-    val members = graft.operators.Similarity.knnRefreshMembers(
-      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 50),
-      emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 50),
-      "vec_id", "embedding", nCells = 4, trainIters = 1,
-      trainFraction = 0.25, maxCell = 2048)
+    // the query above just rebuilt the index at this sf's dir
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val members = graft.operators.Similarity.knnGraphIndexMembers(
+      graft.Tables.embeddings(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 50),
+      s"/tmp/graft_knn_append/$tag", "vec_id", "embedding",
+      excludeBatchId = Some(0L))
     members.collect()
-    val semi = collectWithSubqueries(members.queryExecution.executedPlan) {
-      case j: BroadcastHashJoinExec
-          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
-      case j: BroadcastNestedLoopJoinExec
-          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    val scans = collectWithSubqueries(
+        members.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
     }
-    assert(semi.nonEmpty,
-      s"no touched-cells broadcast semi-join found:\n${physical(members)}")
+    assert(scans.nonEmpty, s"no file scan found:\n" +
+      members.queryExecution.executedPlan.toString)
+    assert(scans.forall(_.relation.location.rootPaths.exists(
+        _.toString.contains("assigned"))),
+      s"refresh read a non-index file (corpus-sized input crept in):\n" +
+        scans.map(_.relation.location.rootPaths.mkString).mkString("\n"))
+    assert(scans.forall(s =>
+        s.metadata.getOrElse("PartitionFilters", "").contains("cell") &&
+        s.metadata.getOrElse("PartitionFilters", "").contains("batch_id")),
+      s"cell/batch_id partition filters not applied:\n" +
+        scans.map(_.metadata).mkString)
   }
 
   test("weighted median pays exactly two windows, both off the raw stream") {

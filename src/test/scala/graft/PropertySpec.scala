@@ -228,52 +228,83 @@ class PropertySpec extends SparkSpec {
     assert(rows(replayed) == rows(full), "redelivered shard corrupted top-k")
   }
 
-  test("refreshKnnGraph: replay-idempotent, new nodes ranked, clone " +
-      "surfaces as nearest (r12)") {
+  test("knn graph index: replay-idempotent append, new nodes ranked, " +
+      "clone surfaces as nearest, build == in-memory knnGraph (r13)") {
     // the incremental == frozen-quantizer-full-recompute equivalence
-    // itself is hash-gated by q_knn_append's oracle; this spec covers
-    // the operator contracts the oracle can't see: batch nodes get
-    // full top-k rows, an appended near-copy surfaces as its
-    // original's nearest neighbor, and refolding the same batch is a
-    // no-op (at-least-once replay).
+    // itself is hash-gated by the q_knn_append / q_knn_index oracles;
+    // this spec covers the operator contracts the oracle can't see:
+    // the persisted build serves exactly what in-memory knnGraph
+    // computes, batch nodes get full top-k rows, an appended
+    // near-copy surfaces as its original's nearest neighbor, and
+    // re-appending the same batchId is a no-op (at-least-once
+    // replay through the overwrite-own-partition layout).
     import graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("knn_graph_idx").toString
     val emb = Tables.embeddings(spark, sf)
     val build = emb.filter($"vec_id" >= 50 && $"vec_id" < 200)
     val n = build.count()
     val occ = Similarity.balancedOccupancy(n, minOccupancy = 32)
     val nCells = Similarity.cellsForOccupancy(n, occ)
     val maxCell = (64L * occ).toInt
-    val prev = Similarity.knnGraph(build, "vec_id", "embedding", k = 5,
-      nCells = nCells, trainIters = 2, trainFraction = 0.25,
+    Similarity.buildKnnGraphIndex(build, "vec_id", "embedding", dir,
+      k = 5, nCells = nCells, trainIters = 2, trainFraction = 0.25,
       maxCell = maxCell)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // the persisted base must serve the in-memory graph verbatim
+    assert(rows(Similarity.knnGraphFromIndex(spark, dir)) ==
+      rows(Similarity.knnGraph(build, "vec_id", "embedding", k = 5,
+        nCells = nCells, trainIters = 2, trainFraction = 0.25,
+        maxCell = maxCell)),
+      "persisted build diverged from in-memory knnGraph")
     // batch = a clone of build vector 60 (same cell, sim 1.0) plus a
     // fresh real vector
     val batch = build.filter($"vec_id" === 60)
       .select(lit(9999L).as("vec_id"), $"embedding")
       .unionByName(emb.filter($"vec_id" === 3)
         .select($"vec_id".cast("long").as("vec_id"), $"embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select("query_id", "neighbor_id", "rank")
-        .as[(Long, Long, Int)].collect().toSet
-    val refreshed = Similarity.refreshKnnGraph(prev, batch, build,
-      "vec_id", "embedding", k = 5, nCells = nCells, trainIters = 2,
-      trainFraction = 0.25, maxCell = maxCell)
-    val got = rows(refreshed)
+    Similarity.appendToKnnGraphIndex(batch, "vec_id", "embedding",
+      dir, batchId = 0L)
+    val got = rows(Similarity.knnGraphFromIndex(spark, dir))
     // the clone lands in 60's cell at sim 1.0 → 60's new top-1
     assert(got.contains((60L, 9999L, 1)), "clone must top the original")
     assert(got.contains((9999L, 60L, 1)), "original must top the clone")
     // every batch node got a full heap (its cells hold ≥ k members)
     assert(got.count(_._1 == 3L) == 5, "new node must carry k rows")
     // untouched prev rows ride through: prev nodes stay present
-    val prevIds = prev.select("query_id").as[Long].collect().toSet
-    val gotIds = got.map(_._1)
-    assert(prevIds.subsetOf(gotIds), "an existing node vanished")
-    // at-least-once replay: refolding the same batch must be a no-op
-    // against the refreshed graph's rows
-    val replayed = Similarity.refreshKnnGraph(refreshed, batch, build,
-      "vec_id", "embedding", k = 5, nCells = nCells, trainIters = 2,
-      trainFraction = 0.25, maxCell = maxCell)
-    assert(rows(replayed) == got, "redelivered batch corrupted the graph")
+    val prevIds = build.select($"vec_id".cast("long")).as[Long]
+      .collect().toSet
+    assert(prevIds.subsetOf(got.map(_._1)), "an existing node vanished")
+    // at-least-once replay: re-appending the same batchId must leave
+    // the served graph unchanged (the replay reads the index minus
+    // its own partition and overwrites it)
+    Similarity.appendToKnnGraphIndex(batch, "vec_id", "embedding",
+      dir, batchId = 0L)
+    assert(rows(Similarity.knnGraphFromIndex(spark, dir)) == got,
+      "redelivered batch corrupted the graph")
+    // compaction folds the deltas serve-identically and collapses the
+    // per-append file growth
+    import graft.operators.IndexLayout
+    val filesBefore = IndexLayout.dataFileCount(spark, s"$dir/graph")
+    Similarity.compactKnnGraphIndex(spark, dir)
+    assert(rows(Similarity.knnGraphFromIndex(spark, dir)) == got,
+      "compaction changed the served graph")
+    assert(IndexLayout.dataFileCount(spark, s"$dir/graph") < filesBefore,
+      "graph files did not collapse")
+    // staged rebuild swaps in whole — probes then serve the new corpus
+    val union = build
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      .unionByName(batch)
+    Similarity.rebuildKnnGraphIndex(union, "vec_id", "embedding", dir,
+      k = 5, nCells = nCells, trainIters = 2, trainFraction = 0.25,
+      maxCell = maxCell)
+    val rebuilt = rows(Similarity.knnGraphFromIndex(spark, dir))
+    assert(rebuilt.map(_._1).contains(9999L),
+      "rebuilt index must cover the appended nodes")
+    assert(!new java.io.File(s"${dir}__staged").exists(),
+      "stage must be gone after the swap")
   }
 
   test("refreshLatest ≡ full recompute: incremental days fold to the same table") {
