@@ -133,19 +133,25 @@ object Retrieval {
       indexDir: String, maxDf: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    for (t <- Seq("postings", "doclens", "totals", "pruned"))
+    for (t <- Seq("postings", "doclens", "totals", "pruned", "meta"))
       IndexLayout.clear(spark, s"$indexDir/$t")
     // pin the cap: appends and compaction re-apply the INDEX's
-    // contract, never a caller-supplied (possibly different) one
-    Seq(maxDf).toDF("max_df")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    // contract, never a caller-supplied (possibly different) one. An
+    // UNCAPPED index writes no meta at all — absence IS the contract
+    // (df is derivable, nothing to re-apply), and the common uncapped
+    // build/append path stays free of the meta write/read jobs.
+    maxDf.foreach(cap =>
+      Seq(cap).toDF("max_df")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta"))
     writeKeywordIndex(docs, idCol, textCol, indexDir, batchId = -1L,
       maxDf, indexSide = None)
   }
 
   /** The pinned `maxDf` contract of a [[buildKeywordIndex]] index;
-    * None for uncapped indexes AND for pre-r13 indexes without a meta
-    * table (their build accepted no cap, so none can be owed). */
+    * None for uncapped indexes (which write no meta — absence is the
+    * contract) and for pre-r13 indexes (their build accepted no cap,
+    * so none can be owed). The existence probe is one driver-side FS
+    * call; only a CAPPED index pays the meta read job. */
   private[graft] def keywordIndexMaxDf(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[Long] = {

@@ -535,6 +535,7 @@ object Similarity {
     Seq((k, maxCell)).toDF("k", "max_cell")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     cent.toDF("cell_id", "cv0")
+      .coalesce(1) // bounded: nCells rows — one file beats 32 shards
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     IndexLayout.clear(spark, s"$indexDir/assigned")
     IndexLayout.clear(spark, s"$indexDir/graph")
@@ -609,8 +610,9 @@ object Similarity {
     Seq("assigned", "graph").foreach(t =>
       IndexLayout.recoverCompact(spark, s"$indexDir/$t"))
     val (k, _) = knnGraphIndexMeta(spark, indexDir)
-    val members = knnGraphIndexMembers(batch, indexDir, idCol, vecCol,
-        excludeBatchId = Some(batchId))
+    val (b, members0) = knnGraphIndexParts(batch, indexDir, idCol,
+      vecCol, excludeBatchId = Some(batchId))
+    val members = members0
       .localCheckpoint(false) // feeds both join sides of both legs
     def qSide(df: DataFrame) = df.select(col("cell"),
       col("id").as("query_id"), col("v").as("qv"))
@@ -629,8 +631,14 @@ object Similarity {
     val foldDelta = topKPerQuery(
       score(qSide(members.filter(!col("is_batch")))
         .join(nSide(bCap), Seq("cell"))), k)
-    members.filter(col("is_batch"))
-      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+    // persist the batch's vectors UNCAPPED (the pinned pre-cap
+    // assignment): the capBuckets guard bounds PAIR work only — an
+    // over-cap cell's graph rows are dropped fail-closed, but its
+    // vectors must still enter the index (they are the corpus; a
+    // rescaled-dial rebuild — maintainKnnGraphIndex — reconciles the
+    // missing pairs). Writing from the capped frame would silently
+    // LOSE data from the index.
+    b.select(col("id").as("neighbor_id"), col("v").as("cv"),
         col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -652,7 +660,15 @@ object Similarity {
     * plan. */
   private[graft] def knnGraphIndexMembers(batch: DataFrame,
       indexDir: String, idCol: String, vecCol: String,
-      excludeBatchId: Option[Long]): DataFrame = {
+      excludeBatchId: Option[Long]): DataFrame =
+    knnGraphIndexParts(batch, indexDir, idCol, vecCol,
+      excludeBatchId)._2
+
+  /** (pinned UNCAPPED batch assignment, capped union members) — the
+    * append persists the first and pairs over the second. */
+  private def knnGraphIndexParts(batch: DataFrame,
+      indexDir: String, idCol: String, vecCol: String,
+      excludeBatchId: Option[Long]): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val (_, maxCell) = knnGraphIndexMeta(spark, indexDir)
     val cent = spark.read.parquet(s"$indexDir/centroids")
@@ -673,11 +689,11 @@ object Similarity {
       .filter(col("cell").isin(touched: _*)) // partition pruning
     val idx = excludeBatchId.fold(idx0)(id =>
       idx0.filter(col("batch_id") =!= lit(id)))
-    Guards.capBuckets(
+    (b, Guards.capBuckets(
       idx.select(col("neighbor_id").as("id"), col("cv").as("v"),
           col("cell"), lit(false).as("is_batch"))
         .unionByName(b),
-      Seq("cell"), maxCell, Some("knn_idx_cells"))
+      Seq("cell"), maxCell, Some("knn_idx_cells")))
   }
 
   /** Serve the k-NN graph from a persisted [[buildKnnGraphIndex]]
@@ -733,6 +749,46 @@ object Similarity {
     IndexLayout.stagedRebuild(corpus.sparkSession, indexDir)(stage =>
       buildKnnGraphIndex(corpus, idCol, vecCol, stage, k, nCells,
         trainIters, trainFraction, maxCell))
+
+  /** Occupancy-driven k-NN graph index maintenance — the graph twin
+    * of [[maintainIvfIndex]] (family symmetry for the monitor→retrain
+    * composition): per-cell occupancy of the STORED assignment against
+    * the index's own PINNED maxCell; when more than
+    * `maxOversizedCells` cells exceed it, a [[rebuildKnnGraphIndex]]
+    * staged swap under the cross-process lock, over the index's own
+    * stored vectors: k re-pinned from meta, nCells re-derived from
+    * the CURRENT count via the balanced dial, and maxCell RE-PINNED
+    * at `skewFactor × balancedOccupancy` — the same tolerance the
+    * declared dials encode ([[balancedOccupancy]]'s scaling note: a
+    * cap frozen at the old corpus size would drop perfectly normal
+    * cells of the rescaled quantizer). Returns true iff a rebuild
+    * ran; quiesce appends (use the Locked append variants — same
+    * lock dir). */
+  def maintainKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxOversizedCells: Int = 0,
+      trainIters: Int = 2, trainFraction: Double = 1.0,
+      minOccupancy: Int = 32, skewFactor: Int = 64): Boolean = {
+    val (k, maxCell) = knnGraphIndexMeta(spark, indexDir)
+    val oversized = Guards.oversizedBuckets(
+        spark.read.parquet(s"$indexDir/assigned").select(col("cell")),
+        Seq("cell"), maxCell)
+      .limit(maxOversizedCells + 1).count() // bounded monitor job
+    if (oversized <= maxOversizedCells) false
+    else {
+      graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir)) {
+        val corpus = spark.read.parquet(s"$indexDir/assigned")
+          .select(col("neighbor_id"), col("cv"))
+        val n = corpus.count()
+        val occ = balancedOccupancy(n, minOccupancy)
+        rebuildKnnGraphIndex(corpus, "neighbor_id", "cv", indexDir,
+          k = k, nCells = cellsForOccupancy(n, occ), trainIters,
+          trainFraction,
+          maxCell = math.min(Int.MaxValue.toLong,
+            skewFactor.toLong * occ).toInt)
+      }
+      true
+    }
+  }
 
   // ---- cross-process Locked variants (r13, VERDICT r12 #6) ---------
   // Appends and maintenance are mutually destructive when interleaved
@@ -866,7 +922,9 @@ object Similarity {
     val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters,
       trainFraction = trainFraction)
     val centDf = cent.toDF("cell_id", "cv0")
-    centDf.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    centDf
+      .coalesce(1) // bounded: nCells rows — one file beats 32 shards
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
     IndexLayout.clear(spark, s"$indexDir/assigned")
     corpus.select(
         col(idCol).as("neighbor_id"),

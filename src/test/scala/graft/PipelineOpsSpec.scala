@@ -1421,6 +1421,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"rebuilt index lost vectors: $served")
   }
 
+  test("maintainKnnGraphIndex: drift under the pinned maxCell triggers " +
+      "a rescaled staged retrain; healthy index untouched (r13)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("knn_maintain").toString + "/idx"
+    val mk = (id: Long, x: Double, y: Double) =>
+      (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1),
+      mk(10, 0.0, 1.0), mk(11, 0.1, 0.9)).toDF("id", "v")
+    Similarity.buildKnnGraphIndex(corpus, "id", "v", dir, k = 2,
+      nCells = 2, trainIters = 2, maxCell = 4)
+    assert(!Similarity.maintainKnnGraphIndex(spark, dir),
+      "healthy index was rebuilt")
+    val flood = (0 until 12).map { i =>
+      val a = i * (math.Pi / 2) / 12
+      mk(100L + i, math.cos(a), math.sin(a))
+    }.toDF("id", "v")
+    Similarity.appendToKnnGraphIndex(flood, "id", "v", dir, batchId = 0L)
+    assert(Similarity.maintainKnnGraphIndex(spark, dir,
+      minOccupancy = 2), "drifted index not rebuilt")
+    assert(spark.read.parquet(s"$dir/centroids").count() > 2,
+      "quantizer not rescaled")
+    assert(!new java.io.File(s"${dir}__staged").exists())
+    // every node (old + appended) is served with k rows after the swap
+    val got = Similarity.knnGraphFromIndex(spark, dir)
+      .select("query_id").as[Long].collect().toSet
+    assert(got == (corpus.select("id").as[Long].collect().toSet ++
+      (0 until 12).map(100L + _)), s"rebuilt graph lost nodes: $got")
+  }
+
   test("locked appends, every index family: a surviving writer steals " +
       "a crashed writer's lock and completes (r13, VERDICT r12 #6)") {
     // the shared parameterized contention spec: for each persisted

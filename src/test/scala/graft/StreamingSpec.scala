@@ -462,6 +462,39 @@ class StreamingSpec extends SparkSpec {
     assert(probe() == first, "replayed micro-batch changed the probe")
   }
 
+  test("foreachBatch k-NN-graph-index maintenance: the served graph " +
+      "absorbs streamed nodes; replay is idempotent (r13)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val build = emb.filter($"vec_id" >= 50 && $"vec_id" < 200)
+    val dir = s"/tmp/graft_knn_stream_${java.util.UUID.randomUUID()}"
+    val n = build.count()
+    val occ = Similarity.balancedOccupancy(n, minOccupancy = 32)
+    Similarity.buildKnnGraphIndex(build, "vec_id", "embedding", dir,
+      k = 5, nCells = Similarity.cellsForOccupancy(n, occ),
+      trainIters = 2, trainFraction = 0.25,
+      maxCell = (64L * occ).toInt)
+    // micro-batch carries a clone of a build vector under a new id:
+    // same cell under the frozen quantizer, sim 1.0 — the original's
+    // served top-1 must become the clone (and vice versa)
+    val clone = build.filter($"vec_id" === 60)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    val kept = StreamingFeatures.knnGraphIndexBatch(clone, "vec_id",
+      "embedding", dir, batchId = 0L)
+    assert(kept.count() == 1, "gateless maintenance must keep the batch")
+    def served() = Similarity.knnGraphFromIndex(spark, dir)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val first = served()
+    assert(first.contains((60L, 9999L, 1)), "clone must top the original")
+    assert(first.contains((9999L, 60L, 1)), "original must top the clone")
+    // at-least-once replay: the overwrite-per-batchId append (reading
+    // the index minus its own partition) must not change the graph
+    StreamingFeatures.knnGraphIndexBatch(clone, "vec_id", "embedding",
+      dir, batchId = 0L)
+    assert(served() == first, "replayed micro-batch changed the graph")
+  }
+
   test("foreachBatch keyword-index maintenance: batch-2 probes find " +
       "batch-1 docs; replay is idempotent (r12, VERDICT r11 #6)") {
     implicit val sqlCtx = spark.sqlContext
