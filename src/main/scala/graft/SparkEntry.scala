@@ -5821,6 +5821,61 @@ ${pqPartsPivot(16)}
                CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e) AS oversized
       FROM assign GROUP BY cell ORDER BY cell"""))
 
+  /** Occupancy→retrain composition, ORACLED end to end (r13, VERDICT
+    * r12 #7 beyond its spec-level done-bar): a deliberately
+    * under-celled index (4 cells) is built on the vec_id ≥ 50 corpus,
+    * the vec_id < 50 batch appends under the frozen quantizer, and
+    * [[Similarity.maintainIvfIndex]] — driven to trigger with a
+    * maxCell=1 dial — retrains from the index's OWN stored vectors
+    * under the balanced dial via the locked staged swap. The probe
+    * after the swap must hash-match a direct Lloyd train over the
+    * UNION at balancedCells(n): proving monitor → locked staged
+    * retrain → rescaled-dial rebuild → probe is equivalent to
+    * building the right-sized index from scratch — the maintenance
+    * loop's whole point. */
+  private val ivfMaintainQ = Q("q_ivf_maintain",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + full rebuild each run; single-writer
+      // by harness contract, the q_ivf_append convention
+      val indexDir = s"/tmp/graft_ivf_maintain/$tag"
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 50),
+        "vec_id", "embedding", indexDir,
+        nCells = 4, trainIters = 2, trainFraction = 0.25)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", indexDir, batchId = 0L)
+      // maxCell=1: every real cell is "oversized" — the monitor MUST
+      // fire (deterministic at any sf), and the retrain re-derives
+      // nCells from the stored count via the balanced dial
+      val rebuilt = Similarity.maintainIvfIndex(s, indexDir,
+        maxCell = 1, trainIters = 2, trainFraction = 0.25)
+      require(rebuilt, "q_ivf_maintain: drifted index must retrain")
+      Similarity.ivfTopKFromIndex(
+          emb.filter(col("vec_id") < 5), indexDir, "vec_id", "embedding",
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, least(CAST(ceil(count(*) / greatest(32.0, ceil(sqrt(count(*))))) AS BIGINT), 1048576)) FROM e)") + """,
+      probes AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM e q CROSS JOIN cent2 c
+          WHERE q.vec_id < 5) WHERE rn <= 2)
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT p.query_id, a.neighbor_id,
+               round(list_cosine_similarity(p.qv, a.cv), 6) AS sim,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_cosine_similarity(p.qv, a.cv), 6) DESC,
+                 a.neighbor_id) AS rank
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE a.neighbor_id <> p.query_id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Embedding-table health audit: per DIMENSION mean/min/max plus a
     * dead-dimension flag (a dimension whose fixed-point values never
     * vary carries no information — the classic symptom of a broken
@@ -8336,7 +8391,7 @@ ${pqPartsPivot(16)}
     labelProp, scoreCalibration, bm25Q, bm25IndexQ, noveltyQ,
     splitDedupAwareQ,
     ivfAppend, pqAppendQ, knnAppendQ, knnIndexQ, semDedupAppendQ,
-    ivfOccupancy,
+    ivfOccupancy, ivfMaintainQ,
     embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,
     langPurity, qualityDrift, uniformNegatives, stalenessReport,
