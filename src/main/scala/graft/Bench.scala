@@ -321,6 +321,24 @@ object Bench {
     // total + verdict always, then slowest-first per-query entries while
     // they fit; the complete maps live in BENCH_EVIDENCE.json (committed)
     // and on stderr.
+    // HEADLINE vs ISOLATED sidecar (r14, VERDICT r13 #5): only the
+    // full-suite default-SF AQE-on run — the driver's per-round shape —
+    // may write the committed BENCH_EVIDENCE.json; an isolated run
+    // (SPARK_GRAFT_ONLY subset, alternate SF dir, AQE=off probe) lands
+    // at a deterministic side path instead, so a calibration run can
+    // never clobber the committed headline (two restore commits in two
+    // rounds say this kept happening).
+    val isHeadline = only.isEmpty && aqe &&
+      sfDir == "/root/testdata/sf0.1"
+    val evidencePath =
+      if (isHeadline) "BENCH_EVIDENCE.json"
+      else {
+        val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+          .replaceAll("^_+|_+$", "") +
+          (if (only.isDefined) "_subset" else "") +
+          (if (aqe) "" else "_noaqe")
+        s"BENCH_EVIDENCE_SIDE_$tag.json"
+      }
     val stdoutBudget = 1600
     val stdoutLine =
       if (line.length <= stdoutBudget) line
@@ -335,7 +353,7 @@ object Bench {
         val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","policy":"min-of-$pass",""" +
           s""""cpuTotal":${fmt(cpuTotal)},"cleanPass":$anyClean,""" +
           s""""worstCanaryRatio":${fmt(worstCanary)},"nQueries":${best.size},""" +
-          s""""fullIn":"BENCH_EVIDENCE.json","nErrors":${failures.size},""" +
+          s""""fullIn":"$evidencePath","nErrors":${failures.size},""" +
           s""""errors":$errsShort,"queries":{"""
         val tailPart = s"""},"aqe":"${if (aqe) "on" else "off"}","sf":"$sfDir"}"""
         val entries = best.toSeq.sortBy(-_._2)
@@ -353,12 +371,14 @@ object Bench {
     try {
       // temp + ATOMIC_MOVE: a reader (or a killed run) never sees a
       // half-written sidecar (same protocol as the catalog's _CURRENT).
-      val tmp = java.nio.file.Paths.get("BENCH_EVIDENCE.json.tmp")
+      val tmp = java.nio.file.Paths.get(evidencePath + ".tmp")
       java.nio.file.Files.write(tmp,
         evidence.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_EVIDENCE.json"),
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(evidencePath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      System.err.println(s"[bench] evidence sidecar: $evidencePath" +
+        (if (isHeadline) " (headline)" else " (isolated run — side path)"))
     } catch { case e: Throwable => System.err.println(s"[bench] evidence write failed: $e") }
     spark.stop()
     System.err.println(s"[bench] full summary: $line")

@@ -5798,20 +5798,28 @@ ${pqPartsPivot(16)}
     * declared semdedup/knn guards enforce — the report that tells an
     * operator the quantizer has fallen behind the corpus and
     * [[Similarity.rebuildIvfIndex]] is due. Zero-shuffle map-side
-    * assignment + one keyed count; the oracle replays the Lloyd train
-    * and the dial as scalar subqueries. */
+    * assignment + one keyed count over the persisted index, the
+    * oversized threshold read from the index's PINNED meta (r14,
+    * VERDICT r13 #2) rather than re-derived; the oracle replays the
+    * Lloyd train and the dial as scalar subqueries — the index
+    * roundtrip must be invisible to the report. */
   private val ivfOccupancy = Q("q_ivf_occupancy",
     (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // r14: the monitor reads a PERSISTED index's pinned max_cell
+      // (VERDICT r13 #2) instead of re-deriving the threshold — the
+      // roundtrip is invisible to the report, which is what the
+      // unchanged oracle checks. Stable per-dataset path, full
+      // rebuild per run, single-writer by harness contract.
+      val indexDir = s"/tmp/graft_ivf_occ/$tag"
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
       val occ = Similarity.balancedOccupancy(n, minOccupancy = 32)
-      val cent = Similarity.kmeansFit(emb, "vec_id", "embedding",
-        Similarity.cellsForOccupancy(n, occ), iters = 2,
-        trainFraction = 0.25)
-      Similarity.assignCells(emb, "vec_id", "embedding", cent)
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_vecs"))
-        .withColumn("oversized", col("n_vecs") > lit(64L * occ))
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", indexDir,
+        nCells = Similarity.cellsForOccupancy(n, occ),
+        trainIters = 2, trainFraction = 0.25,
+        maxCell = math.min(Int.MaxValue.toLong, 64L * occ).toInt)
+      Similarity.ivfOccupancyReport(s, indexDir)
         .orderBy(col("cell"))
     },
     Some(lloydAssignSqlExpr(
@@ -5840,16 +5848,18 @@ ${pqPartsPivot(16)}
       // by harness contract, the q_ivf_append convention
       val indexDir = s"/tmp/graft_ivf_maintain/$tag"
       val emb = Tables.embeddings(s, d)
+      // max_cell=1 PINNED at build (r14: the threshold is the index's
+      // meta contract, not a maintain arg): every real cell is
+      // "oversized" — the monitor MUST fire (deterministic at any
+      // sf), and the retrain re-derives nCells from the stored count
+      // via the balanced dial and RE-pins a healthy cap
       Similarity.buildIvfIndex(emb.filter(col("vec_id") >= 50),
         "vec_id", "embedding", indexDir,
-        nCells = 4, trainIters = 2, trainFraction = 0.25)
+        nCells = 4, trainIters = 2, trainFraction = 0.25, maxCell = 1)
       Similarity.appendToIvfIndex(emb.filter(col("vec_id") < 50),
         "vec_id", "embedding", indexDir, batchId = 0L)
-      // maxCell=1: every real cell is "oversized" — the monitor MUST
-      // fire (deterministic at any sf), and the retrain re-derives
-      // nCells from the stored count via the balanced dial
       val rebuilt = Similarity.maintainIvfIndex(s, indexDir,
-        maxCell = 1, trainIters = 2, trainFraction = 0.25)
+        trainIters = 2, trainFraction = 0.25)
       require(rebuilt, "q_ivf_maintain: drifted index must retrain")
       Similarity.ivfTopKFromIndex(
           emb.filter(col("vec_id") < 5), indexDir, "vec_id", "embedding",

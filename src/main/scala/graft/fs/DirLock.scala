@@ -108,6 +108,37 @@ object DirLock {
       try Some(new String(in.readAllBytes())) finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** One DECISIVE observation of `p`'s token (r14, ADVICE r13):
+    * Some(Some(t)) = read token t, Some(None) = the file is verifiably
+    * ABSENT, None = the fs call itself failed (transient — the caller
+    * retries). [[readToken]] collapses "absent" and "hiccup" into one
+    * None, which is exactly what let a single transient IOException at
+    * release time masquerade as a stolen lock. */
+  private def observeToken(fs: FileSystem, p: Path): Option[Option[String]] =
+    try {
+      val in = fs.open(p)
+      try Some(Some(new String(in.readAllBytes()))) finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => Some(None)
+      case _: java.io.IOException => None
+    }
+
+  /** [[observeToken]] with short-sleep retries; None only after every
+    * attempt failed (a persistently broken fs, not a blip). */
+  private def observeTokenRetried(fs: FileSystem, p: Path,
+      attempts: Int = 3): Option[Option[String]] = {
+    var i = 0
+    while (i < attempts) {
+      observeToken(fs, p) match {
+        case some @ Some(_) => return some
+        case None =>
+          i += 1
+          if (i < attempts) Thread.sleep(50)
+      }
+    }
+    None
+  }
+
   def withLock[A](dir: String)(body: => A): A = {
     val dirPath = new Path(dir)
     val fs = fsFor(dirPath)
@@ -152,10 +183,17 @@ object DirLock {
         while (mine && !Thread.currentThread().isInterrupted) {
           Thread.sleep(HeartbeatMs)
           try {
-            if (readToken(fs, lock).contains(token))
-              fs.setTimes(lock, System.currentTimeMillis(), -1)
-            // stolen (double fault): never touch the thief's lock
-            else mine = false
+            observeToken(fs, lock) match {
+              case Some(Some(t)) if t == token =>
+                fs.setTimes(lock, System.currentTimeMillis(), -1)
+              // VERIFIED foreign/absent — stolen (double fault): never
+              // touch the thief's lock
+              case Some(_) => mine = false
+              // fs hiccup: skip THIS beat, keep beating (r14 — the old
+              // readToken None here stopped the heartbeat on a single
+              // transient read failure, aging a live lock into a steal)
+              case None => ()
+            }
           } catch { case _: java.io.IOException => () } // transient: next beat retries
         }
       } catch { case _: InterruptedException => () } // released: stop
@@ -169,36 +207,86 @@ object DirLock {
       r
     } finally {
       beat.interrupt()
-      // Release only our own lock: if someone stole it mid-section (we
-      // held it past the steal TTL), the thief's lock must survive.
-      // read==token then delete is check-then-act — a thief stealing
-      // between the two would have its fresh lock deleted (ADVICE r4).
-      // Instead mirror the steal protocol: atomically move the lock
-      // aside, and only the holder of the moved file decides — delete
-      // if it carries our token, move it back if not. The residual
-      // window (thief's lock invisible while moved aside) exists only
-      // after a double fault — we overstayed the TTL AND lost the
-      // steal race between the pre-check and the move — and lasts two
-      // renames; accepted and documented rather than claimed closed.
-      val ours = readToken(fs, lock).contains(token)
-      if (ours) {
-        val moved = new Path(dirPath, s"_LOCK.release.${UUID.randomUUID()}")
-        try {
-          if (fs.rename(lock, moved)) {
-            if (readToken(fs, moved).contains(token)) fs.delete(moved, false)
-            else fs.rename(moved, lock)
-          }
-        } catch { case _: java.io.IOException => () } // already stolen+replaced: not ours to touch
-      } else if (bodyOk)
-        // the body finished but the lock is no longer ours: the
-        // guarded write may have raced the thief's — fail LOUDLY
-        // (ADVICE r12) instead of reporting a clean success. When the
-        // body itself threw, its exception propagates untouched (the
-        // stolen state is secondary to the primary failure).
-        throw new LockStolenException(
-          s"dir lock $lock was stolen mid-section (holder overstayed " +
-            s"${StealAfterMs}ms without a heartbeat); the guarded " +
-            "mutation may have raced the new holder's")
+      release(fs, dirPath, lock, token, bodyOk)
     }
+  }
+
+  /** Release only our own lock: if someone stole it mid-section (we
+    * held it past the steal TTL), the thief's lock must survive.
+    * read==token then delete is check-then-act — a thief stealing
+    * between the two would have its fresh lock deleted (ADVICE r4).
+    * Instead mirror the steal protocol: atomically move the lock
+    * aside, and only the holder of the moved file decides — delete
+    * if it carries our token, move it back if not. The residual
+    * window (thief's lock invisible while moved aside) exists only
+    * after a double fault — we overstayed the TTL AND lost the
+    * steal race between the pre-check and the move — and lasts two
+    * renames; accepted and SPEC-DRIVEN rather than claimed closed
+    * (r14, VERDICT r13 #6: DirLockReleaseSpec drives every
+    * interleaving of the double fault and asserts the worst case is
+    * exactly the documented two-rename blip, with every displaced
+    * holder failing loudly at its own release).
+    *
+    * The stolen verdict requires a SUCCESSFUL observation (r14,
+    * ADVICE r13): the pre-check retries transient read failures, and
+    * a persistently unobservable lock still runs the move-aside
+    * protocol — whose moved-file read is also retried, and which
+    * never deletes what it could not verify as ours — so a one-off
+    * fs hiccup can neither spuriously report a raced mutation nor
+    * abandon a still-owned lock to stall the next contender a full
+    * steal horizon. Package-private so the spec can drive each
+    * actor's release at exactly the adversarial point. */
+  private[fs] def release(fs: FileSystem, dirPath: Path, lock: Path,
+      token: String, bodyOk: Boolean): Unit = {
+    // Some(true)=verified ours, Some(false)=VERIFIED foreign/absent,
+    // None=fs unobservable after retries
+    val ours = observeTokenRetried(fs, lock).map(_.contains(token))
+    var verifiedStolen = ours.contains(false)
+    if (ours.getOrElse(true))
+      verifiedStolen = moveAsideAndDecide(fs, dirPath, lock, token)
+    if (verifiedStolen && bodyOk)
+      // the body finished but the lock is VERIFIABLY no longer ours:
+      // the guarded write may have raced the thief's — fail LOUDLY
+      // (ADVICE r12) instead of reporting a clean success. When the
+      // body itself threw, its exception propagates untouched (the
+      // stolen state is secondary to the primary failure).
+      throw new LockStolenException(
+        s"dir lock $lock was stolen mid-section (holder overstayed " +
+          s"${StealAfterMs}ms without a heartbeat); the guarded " +
+          "mutation may have raced the new holder's")
+  }
+
+  /** The decisive second half of [[release]], entered when the
+    * pre-check said "ours" (or could not decide): atomically move the
+    * lock aside; only the holder of the moved file decides — delete if
+    * it verifiably carries our token, restore it if not. Returns true
+    * iff a VERIFIED foreign token was found (the double-fault steal
+    * landed between the pre-check and the move — this holder was
+    * displaced and must report it). Package-private so
+    * DirLockReleaseSpec can enter at exactly the post-pre-check
+    * adversarial point. */
+  private[fs] def moveAsideAndDecide(fs: FileSystem, dirPath: Path,
+      lock: Path, token: String): Boolean = {
+    var verifiedStolen = false
+    val moved = new Path(dirPath, s"_LOCK.release.${UUID.randomUUID()}")
+    try {
+      if (fs.rename(lock, moved)) {
+        observeTokenRetried(fs, moved) match {
+          case Some(Some(t)) if t == token => fs.delete(moved, false)
+          // VERIFIED foreign (double-fault steal landed between the
+          // pre-check and the move): restore the thief's lock AND
+          // report the steal — this holder was displaced too
+          case Some(Some(_)) =>
+            fs.rename(moved, lock)
+            verifiedStolen = true
+          // vanished while exclusively ours — nothing to restore
+          case Some(None) => ()
+          // unobservable even though we exclusively hold the moved
+          // file: never delete what we could not verify — restore
+          case None => fs.rename(moved, lock)
+        }
+      }
+    } catch { case _: java.io.IOException => () } // already stolen+replaced: not ours to touch
+    verifiedStolen
   }
 }

@@ -305,9 +305,37 @@ object Retrieval {
     // fold the tombstone set first: the postings fold prunes against
     // it (a term that crossed the cap mid-life sheds its frozen
     // standing postings here — the healing half of the contract)
-    if (cap.isDefined)
+    cap.foreach { c =>
+      // DURABLE half of the healing re-prune (r14, ADVICE r13): a term
+      // whose folded TOTAL df exceeds the cap but was never tombstoned
+      // (two unlocked appends racing the same term each judge
+      // index+self ≤ cap while their union crosses it) would otherwise
+      // be dropped from postings below with NO pruned entry — df back
+      // to 0, and the next append re-admits it at batch-local df: the
+      // exact inverted-idf resurrection the tombstone table exists to
+      // prevent. Write the over-cap complement into a reserved
+      // `batch_id=-2` partition BEFORE any swap: the tombstone is
+      // correct the moment total df crosses the cap, so a crash
+      // between this write and the postings fold leaves a valid
+      // (early) tombstone that the next compact's fold honors.
+      val prunedPath = new org.apache.hadoop.fs.Path(s"$indexDir/pruned")
+      val fs = prunedPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val standing =
+        if (fs.exists(prunedPath))
+          spark.read.parquet(s"$indexDir/pruned").select(col("term"))
+        else spark.emptyDataFrame.select(lit("").as("term")).limit(0)
+      spark.read.parquet(s"$indexDir/postings")
+        .groupBy(col("term"))
+        .agg(countDistinct(col(idCol)).as("__df")) // folded TOTAL df
+        .filter(col("__df") > c)
+        .select(col("term"))
+        .join(standing, Seq("term"), "left_anti")
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/pruned/batch_id=-2")
       IndexLayout.compactTable(spark, s"$indexDir/pruned")(df =>
         df.select(col("term")).distinct())
+    }
     IndexLayout.compactTable(spark, s"$indexDir/postings") { df =>
       val folded0 = df.groupBy(col(idCol), col("term"))
         .agg(sum(col("tf")).as("tf"))

@@ -524,10 +524,15 @@ object Similarity {
     * The graph base rides the just-written assigned TABLE (not the
     * in-memory assignment) so stored rows and graph rows can never
     * diverge, and the argmax pass isn't paid twice. */
-  def buildKnnGraphIndex(corpus: DataFrame, idCol: String,
+  def buildKnnGraphIndex(corpus0: DataFrame, idCol: String,
       vecCol: String, indexDir: String, k: Int, nCells: Int,
       trainIters: Int = 2, trainFraction: Double = 1.0,
       maxCell: Int = 2000): Unit = {
+    // NULL-loud id contract at the source (r14, ADVICE r13): the
+    // quantizer seeding touches the id before the assigned select's
+    // guard could, so the named error must ride the corpus itself
+    val corpus = corpus0.withColumn(idCol,
+      idOrFail(col(idCol), "buildKnnGraphIndex"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters,
@@ -590,11 +595,14 @@ object Similarity {
     * fold merges into their standing heaps by [[refreshTopK]]
     * associativity. Untouched cells never leave storage.
     *
-    * WRITE CONTRACT (the family contract): the batch's vectors land
-    * under `assigned/batch_id=<id>/cell=<c>` and its delta under
-    * `graph/batch_id=<id>`; a replay reads the index MINUS its own
-    * batch_id and OVERWRITES both partitions — idempotent per
-    * batchId. Distinct batchIds remain the caller's exactly-once
+    * WRITE CONTRACT (the family contract): the batch's graph delta
+    * lands FIRST under `graph/batch_id=<id>` and its vectors second
+    * under `assigned/batch_id=<id>/cell=<c>` (r14, ADVICE r13 — see
+    * the write-order note in the body: a crash between the two must
+    * never leave served candidates whose query nodes are missing); a
+    * replay reads the index MINUS its own batch_id and OVERWRITES
+    * both partitions — idempotent per batchId, and a crashed append
+    * MUST be replayed before further appends fold its cells. Distinct batchIds remain the caller's exactly-once
     * sequencing; quiesce appends against compaction/rebuild (the
     * recover-before-write discards an in-flight stage — see
     * [[appendToKnnGraphIndexLocked]] for the cross-process guard).
@@ -631,6 +639,22 @@ object Similarity {
     val foldDelta = topKPerQuery(
       score(qSide(members.filter(!col("is_batch")))
         .join(nSide(bCap), Seq("cell"))), k)
+    // WRITE ORDER (r14, ADVICE r13): the GRAPH delta lands FIRST. A
+    // crash between the two writes then leaves graph rows whose
+    // vectors are not yet in `assigned` — the serve still covers
+    // every ingested query node, and the only drift (the crashed
+    // batch's vectors invisible to FUTURE appends' candidate sets
+    // until the replay heals both partitions) is the same
+    // not-yet-ingested state any crashed append has. The reverse
+    // order was worse: the batch's vectors served as pair candidates
+    // while its own query nodes had NO graph rows — a silently
+    // incomplete serve until someone happened to replay the batch.
+    // Either partition is computed from the pinned in-memory members
+    // (never from the other's write), so the order is free.
+    newNodes.unionByName(foldDelta)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/graph/batch_id=$batchId")
     // persist the batch's vectors UNCAPPED (the pinned pre-cap
     // assignment): the capBuckets guard bounds PAIR work only — an
     // over-cap cell's graph rows are dropped fail-closed, but its
@@ -643,10 +667,6 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/assigned/batch_id=$batchId")
-    newNodes.unionByName(foldDelta)
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/graph/batch_id=$batchId")
   }
 
   /** [[appendToKnnGraphIndex]]'s membership frame, pre-pin: batch
@@ -910,9 +930,18 @@ object Similarity {
     * PARTITIONED BY cell — so a probe's cell restriction becomes
     * partition PRUNING on the scan: nProbe/nCells of the corpus is
     * read, the rest never leaves storage. */
-  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+  def buildIvfIndex(corpus0: DataFrame, idCol: String, vecCol: String,
       indexDir: String, nCells: Int = 16, trainIters: Int = 2,
-      trainFraction: Double = 1.0): Unit = {
+      trainFraction: Double = 1.0, maxCell: Int = 2000,
+      minOccupancy: Int = 32): Unit = {
+    // build enforces the same NULL-loud id contract as the appends
+    // (r14, ADVICE r13): guarded AT THE SOURCE so the named error
+    // fires on the first job that touches the id (the quantizer
+    // seeding), not a generic task failure — an unguarded null id
+    // would enter the stored index silently and later silently fall
+    // out of every `id_a =!= id_b` pair join
+    val corpus = corpus0.withColumn(idCol,
+      idOrFail(col(idCol), "buildIvfIndex"))
     val spark = corpus.sparkSession
     import spark.implicits._
     // deterministic training: the probe side replaying kmeansFit with
@@ -922,6 +951,13 @@ object Similarity {
     val cent = kmeansFit(corpus, idCol, vecCol, nCells, trainIters,
       trainFraction = trainFraction)
     val centDf = cent.toDF("cell_id", "cv0")
+    // pin the MAINTENANCE contract (r14, VERDICT r13 #2 — the
+    // knnGraphIndexMeta pattern): (max_cell, min_occupancy) travel
+    // with the index, so two maintenance schedulers can never monitor
+    // one index against different thresholds or rebuild it under
+    // different dials
+    Seq((maxCell, minOccupancy)).toDF("max_cell", "min_occupancy")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     centDf
       .coalesce(1) // bounded: nCells rows — one file beats 32 shards
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -1011,17 +1047,19 @@ object Similarity {
     * quantizer. */
   def rebuildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, nCells: Int = 16, trainIters: Int = 2,
-      trainFraction: Double = 1.0): Unit =
+      trainFraction: Double = 1.0, maxCell: Int = 2000,
+      minOccupancy: Int = 32): Unit =
     IndexLayout.stagedRebuild(corpus.sparkSession, indexDir)(stage =>
       buildIvfIndex(corpus, idCol, vecCol, stage, nCells, trainIters,
-        trainFraction))
+        trainFraction, maxCell, minOccupancy))
 
   /** Occupancy-driven IVF index maintenance (r13, VERDICT r12 #7) —
     * the composition the monitor and the retrain each promised half
     * of: measure the persisted index's per-cell occupancy (the
     * q_ivf_occupancy report over the STORED assignment — one keyed
     * count, no quantizer work), and when more than
-    * `maxOversizedCells` cells exceed `maxCell`, retrain under the
+    * `maxOversizedCells` cells exceed the index's PINNED `max_cell`
+    * ([[ivfIndexMeta]] — r14, never a caller arg), retrain under the
     * cross-process lock — a [[rebuildIvfIndex]] staged swap over the
     * index's OWN stored vectors (the assigned table carries them, so
     * maintenance needs no external corpus handle), with nCells
@@ -1033,9 +1071,14 @@ object Similarity {
     * family contract — use the Locked append variants so the DirLock
     * serializes them against this). */
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, maxCell: Int, maxOversizedCells: Int = 0,
+      indexDir: String, maxOversizedCells: Int = 0,
       trainIters: Int = 2, trainFraction: Double = 1.0,
-      minOccupancy: Int = 32): Boolean = {
+      skewFactor: Int = 64): Boolean = {
+    // the thresholds are the INDEX's pinned contract (r14, VERDICT r13
+    // #2), never a caller arg: two maintenance jobs watching one index
+    // read the same meta row, so they cannot disagree on what
+    // "oversized" means or which dials a rebuild re-derives under
+    val (maxCell, minOccupancy) = ivfIndexMeta(spark, indexDir)
     val assigned = spark.read.parquet(s"$indexDir/assigned")
     val oversized = Guards.oversizedBuckets(
         assigned.select(col("cell")), Seq("cell"), maxCell)
@@ -1046,12 +1089,46 @@ object Similarity {
         val corpus = spark.read.parquet(s"$indexDir/assigned")
           .select(col("neighbor_id"), col("cv"))
         val n = corpus.count()
+        val occ = balancedOccupancy(n, minOccupancy)
+        // re-pin max_cell at skewFactor × the rescaled occupancy (the
+        // maintainKnnGraphIndex convention): a cap frozen at the old
+        // corpus size would flag perfectly normal cells of the
+        // rescaled quantizer and thrash the rebuild
         rebuildIvfIndex(corpus, "neighbor_id", "cv", indexDir,
-          nCells = balancedCells(n, minOccupancy), trainIters,
-          trainFraction)
+          nCells = cellsForOccupancy(n, occ), trainIters,
+          trainFraction,
+          maxCell = math.min(Int.MaxValue.toLong,
+            skewFactor.toLong * occ).toInt,
+          minOccupancy = minOccupancy)
       }
       true
     }
+  }
+
+  /** The pinned (max_cell, min_occupancy) maintenance contract of a
+    * [[buildIvfIndex]] index (r14 — the [[knnGraphIndexMeta]]
+    * pattern). */
+  private[graft] def ivfIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$indexDir/meta")
+      .select(col("max_cell").cast("int"), col("min_occupancy").cast("int"))
+      .limit(2).collect() // bounded: meta is one pinned-params row
+    require(m.length == 1, s"ivf index $indexDir: malformed meta")
+    (m(0).getInt(0), m(0).getInt(1))
+  }
+
+  /** Per-cell occupancy report over a persisted [[buildIvfIndex]]
+    * index against its OWN pinned `max_cell` (r14 — the monitor half
+    * of [[maintainIvfIndex]] as a first-class report): one keyed count
+    * over the stored assignment, no quantizer work, the oversized
+    * flag read from the index's meta rather than a caller arg. */
+  def ivfOccupancyReport(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val (maxCell, _) = ivfIndexMeta(spark, indexDir)
+    spark.read.parquet(s"$indexDir/assigned")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("oversized", col("n_vecs") > lit(maxCell.toLong))
   }
 
   /** Crash-safe offline retrain of a persisted PQ index — the PQ twin
@@ -1418,9 +1495,14 @@ object Similarity {
     * codes table is ~m small ints per vector (a 32× storage cut at
     * m=4 over 128-d floats) and re-encoding on every query batch is
     * the cost this lifecycle split removes. */
-  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+  def buildPqIndex(corpus0: DataFrame, idCol: String, vecCol: String,
       indexDir: String, m: Int = 4, nCents: Int = 16,
       trainIters: Int = 2, trainFraction: Double = 1.0): Unit = {
+    // same build-side NULL-loud id contract as buildIvfIndex (r14),
+    // guarded at the source so the subspace-quantizer seeding raises
+    // the NAMED error, not a generic task failure
+    val corpus = corpus0.withColumn(idCol,
+      idOrFail(col(idCol), "buildPqIndex"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val cb = kmeansFitSub(corpus, idCol, vecCol, m, nCents, trainIters,

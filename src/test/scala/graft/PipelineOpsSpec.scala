@@ -1171,6 +1171,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits("again") == Set(13L))
   }
 
+  test("keyword index compact TOMBSTONES the over-cap terms it sheds — " +
+      "no post-compact resurrection at batch-local df (r14, ADVICE " +
+      "r13)") {
+    import graft.operators.Retrieval
+    val dir = s"/tmp/graft_kwidx_healtomb_${java.util.UUID.randomUUID()}"
+    // build: "hot" df=2 ≤ cap=3 — legitimately kept, never tombstoned
+    Retrieval.buildKeywordIndex(
+      Seq((1L, "hot alpha"), (2L, "hot beta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, maxDf = Some(3L))
+    def hits(term: String) = Retrieval.bm25SearchFromIndex(spark, dir,
+      "doc_id", Seq(term), 20).select("doc_id").as[Long].collect().toSet
+    assert(hits("hot") == Set(1L, 2L))
+    // two UNLOCKED appends racing the same term each judge
+    // index(2)+self(1) = 3 ≤ cap while their union is 4 > cap — no
+    // append tombstones it. Simulate the race's outcome by landing the
+    // second batch's partition directly (its first-attempt judgment
+    // frame didn't see the first batch).
+    Retrieval.appendToKeywordIndex(
+      Seq((10L, "hot gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 0L)
+    Seq((11L, "hot", 1L)).toDF("doc_id", "term", "tf")
+      .write.mode("overwrite").parquet(s"$dir/postings/batch_id=1")
+    Seq((11L, 2L)).toDF("doc_id", "dl")
+      .write.mode("overwrite").parquet(s"$dir/doclens/batch_id=1")
+    Seq((1L, 2L)).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$dir/totals/batch_id=1")
+    // folded total df("hot") = 4 > 3: compact must shed the postings
+    // AND write the tombstone the racing appends never did
+    Retrieval.compactKeywordIndex(spark, dir, "doc_id")
+    assert(hits("hot").isEmpty, "compact kept an over-cap term")
+    val tombs = spark.read.parquet(s"$dir/pruned")
+      .select("term").as[String].collect().toSet
+    assert(tombs.contains("hot"),
+      s"compact shed 'hot' without tombstoning it: $tombs")
+    // the resurrection probe: a fresh append re-introducing the term
+    // at batch-local df must stay pruned — before the fix this came
+    // back with df=1 and an inverted idf
+    Retrieval.appendToKeywordIndex(
+      Seq((20L, "hot delta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 2L)
+    assert(hits("hot").isEmpty,
+      "over-cap term resurrected after compact (the inverted-idf bug)")
+    assert(hits("delta") == Set(20L), "live term lost")
+  }
+
   test("ivf append replay: a redelivered batch replaces its partition — " +
       "no duplicate neighbors (r12)") {
     import graft.operators.Similarity
@@ -1314,6 +1359,24 @@ class PipelineOpsSpec extends SparkSpec {
       nCells = 2, trainIters = 1)
     mustRaise("NULL id")(Similarity.appendToKnnGraphIndex(
       nullIdBatch, "id", "v", knnDir, batchId = 0L))
+    // BUILD paths enforce the same contract (r14, VERDICT r13 #3): a
+    // null id in the build corpus would otherwise enter the persisted
+    // index silently and fall out of every pair join downstream
+    val dirty = vecs.unionByName(nullIdBatch)
+    mustRaise("NULL id")(Similarity.buildIvfIndex(dirty, "id", "v",
+      java.nio.file.Files.createTempDirectory("nullid_bivf").toString,
+      nCells = 2, trainIters = 1))
+    mustRaise("NULL id")(Similarity.buildPqIndex(dirty, "id", "v",
+      java.nio.file.Files.createTempDirectory("nullid_bpq").toString,
+      m = 2, nCents = 2, trainIters = 1))
+    mustRaise("NULL id")(Similarity.buildKnnGraphIndex(dirty, "id", "v",
+      java.nio.file.Files.createTempDirectory("nullid_bknn").toString,
+      k = 2, nCells = 2, trainIters = 1))
+    // guards stay DORMANT on clean data: the build above succeeded for
+    // vecs, and the probes keep their rows (oracle-hash invariance is
+    // the declared queries' job; this pins the no-false-positive side)
+    assert(Similarity.ivfTopKFromIndex(vecs.limit(1), ivfDir, "id", "v",
+      k = 2, nProbe = 2).count() > 0)
   }
 
   test("dir lock on a NON-file FileSystem scheme: acquire through " +
@@ -1416,7 +1479,9 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("maintainIvfIndex: healthy index untouched, drifted index " +
-      "staged-rebuilt with a rescaled quantizer (r13, VERDICT r12 #7)") {
+      "staged-rebuilt with a rescaled quantizer under the PINNED meta " +
+      "contract — two maintain calls cannot disagree (r14, VERDICT " +
+      "r13 #2)") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files
       .createTempDirectory("ivf_maintain").toString + "/idx"
@@ -1424,12 +1489,16 @@ class PipelineOpsSpec extends SparkSpec {
       (id, Seq(x.toFloat, y.toFloat))
     val corpus = Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1),
       mk(10, 0.0, 1.0), mk(11, 0.1, 0.9)).toDF("id", "v")
+    // the thresholds are pinned AT BUILD — maintain takes none
     Similarity.buildIvfIndex(corpus, "id", "v", dir, nCells = 2,
-      trainIters = 2)
-    // healthy (2 per cell ≤ 4): the monitor must NOT rebuild
-    assert(!Similarity.maintainIvfIndex(spark, dir, maxCell = 4),
+      trainIters = 2, maxCell = 4, minOccupancy = 2)
+    // healthy (2 per cell ≤ pinned 4): the monitor must NOT rebuild
+    assert(!Similarity.maintainIvfIndex(spark, dir),
       "healthy index was rebuilt")
     assert(spark.read.parquet(s"$dir/centroids").count() == 2)
+    // the report reads the same pinned cap
+    assert(Similarity.ivfOccupancyReport(spark, dir)
+      .filter(col("oversized")).count() == 0)
     // drift: 12 spread vectors crowd the 2 FROZEN cells (appends never
     // retrain) → at least one cell holds ≥ 8 > 4
     val flood = (0 until 12).map { i =>
@@ -1437,14 +1506,24 @@ class PipelineOpsSpec extends SparkSpec {
       mk(100L + i, math.cos(a), math.sin(a))
     }.toDF("id", "v")
     Similarity.appendToIvfIndex(flood, "id", "v", dir, batchId = 0L)
-    assert(Similarity.maintainIvfIndex(spark, dir, maxCell = 4,
-      minOccupancy = 2), "drifted index not rebuilt")
+    assert(Similarity.ivfOccupancyReport(spark, dir)
+      .filter(col("oversized")).count() > 0, "monitor missed the drift")
+    assert(Similarity.maintainIvfIndex(spark, dir),
+      "drifted index not rebuilt")
     // the retrain re-derived nCells from the grown corpus (16 rows →
     // balanced occupancy 4 → 4 cells) and swapped in whole
     val nCellsAfter = spark.read.parquet(s"$dir/centroids").count()
     assert(nCellsAfter > 2, s"quantizer not rescaled: $nCellsAfter cells")
     assert(!new java.io.File(s"${dir}__staged").exists(),
       "stage must be gone after the swap")
+    // the rebuild RE-pinned a healthy cap (skewFactor × new occupancy),
+    // so a second maintenance job — same call, no caller dials to
+    // disagree over — reads the updated contract and is a no-op
+    // instead of re-firing against the stale build-time cap forever
+    assert(Similarity.ivfIndexMeta(spark, dir)._1 > 4,
+      "rebuild did not re-pin max_cell")
+    assert(!Similarity.maintainIvfIndex(spark, dir),
+      "second maintain re-fired against the re-pinned contract")
     // probes over the rebuilt index serve old AND appended vectors
     val served = Similarity.ivfTopKFromIndex(
         Seq(mk(999, 0.7, 0.7)).toDF("id", "v"), dir, "id", "v",
