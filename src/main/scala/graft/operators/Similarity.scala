@@ -445,6 +445,175 @@ object Similarity {
       math.ceil(math.sqrt(rows.toDouble)).toLong)).toInt
   }
 
+  /** CONSTANT-occupancy two-level sizing (r14, VERDICT r13 #1): the
+    * total fine-cell count that pins mean occupancy at
+    * `targetOccupancy` rows FOREVER (the [[cellsForOccupancy]] dial),
+    * split into a coarse layer of ⌈√nCells⌉ cells each owning
+    * ⌈nCells/nCoarse⌉ fine cells — so the per-row assignment cost is
+    * nCoarse + nFine ≈ 2√nCells centroid cosines instead of the flat
+    * argmax's nCells. With nCells ∝ N that makes assignment
+    * O(N·√N/√occ·dim)… no: assignment per row is 2√(N/occ) sims —
+    * total O(N^1.5) in the exponent the BALANCED flat dial already
+    * paid, but with occupancy (and per-task pair memory) CONSTANT
+    * instead of √N: pair work is linear, per-task memory flat, and
+    * the whole stage stops being the 100 TB wall the r13 sf100
+    * measurements hit (27×/decade cpu + a 32-thread OOM from
+    * √N-sized cells). Both derivations are IEEE-exact and replay in
+    * SQL: `ceil(sqrt(x))` + integer ceil-division. */
+  def hierCells(rows: Long, targetOccupancy: Int): (Int, Int) = {
+    val nCells = cellsForOccupancy(rows, targetOccupancy)
+    val nCoarse = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val nFine = ((nCells.toLong + nCoarse - 1) / nCoarse).toInt
+    (nCoarse, nFine)
+  }
+
+  /** Two-level coarse-then-fine Lloyd quantizer (r14, VERDICT r13 #1
+    * — the production answer the flat dial's scaladoc promised): fit
+    * the frozen COARSE layer with the plain [[kmeansFit]] (its
+    * centroids stay driver-side: nCoarse = √nCells rows, always
+    * bounded), then per coarse cell a FINE layer trained entirely
+    * DISTRIBUTED — seeds are each coarse cell's `nFinePerCoarse`
+    * smallest-(md5(id), id) FULL-corpus members (full corpus, not the
+    * train sample: every nonempty coarse cell must own ≥ 1 fine
+    * centroid or its members would silently drop out of the inner
+    * assignment join), iterations assign the train sample to its
+    * coarse cell's fine centroids through a broadcast join + the same
+    * native [[graft.plans.CentroidArgmax]] fold, and the fixed-point
+    * [[labelCentroids]] update folds per fine cell (fine cell ids are
+    * globally unique — they are seed corpus ids — so one flat keyed
+    * aggregate updates every coarse cell's layer at once). Cells that
+    * win no vectors keep their previous centroid, exactly like the
+    * flat path.
+    *
+    * Scale shape: the fine table is never driver-collected — it lives
+    * as an (nCells)-row DataFrame, reaches executors once per job as
+    * a broadcast of (ccell → cell_id-sorted struct array), and every
+    * assignment stays a zero-shuffle map-side fold of
+    * nCoarse + nFine ≈ 2√nCells cosines per row. With nCoarse = 1
+    * this degenerates to EXACTLY the flat [[kmeansFit]] (same seeds,
+    * same sample, same update arithmetic, same tie rules) — the
+    * equivalence spec's anchor. Deterministic and SQL-replayable end
+    * to end (q_semdedup_h unrolls both levels as Lloyd CTEs). */
+  def kmeansFitHier(corpus: DataFrame, idCol: String, vecCol: String,
+      nCoarse: Int, nFinePerCoarse: Int, iters: Int = 2,
+      shift: Int = 20, trainFraction: Double = 1.0)
+      : (Seq[(Long, Seq[Double])], DataFrame) = {
+    val coarse = kmeansFit(corpus, idCol, vecCol, nCoarse, iters, shift,
+      trainFraction)
+    val cassign = corpus.select(
+      col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"),
+      cellOf(coarse, col(vecCol)).as("ccell"))
+    val seeds = cassign
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("ccell"))
+          .orderBy(md5(col("_id").cast("string")), col("_id"))))
+      .filter(col("_rn") <= nFinePerCoarse)
+      .select(col("ccell"), col("_id").as("cell_id"), col("_v").as("cv"))
+    // pin per round: the fine frame feeds the broadcast agg AND the
+    // next round's left join (diamond DAGs recompute), and an
+    // unbroken 2-iteration lineage would re-run the window each pass
+    var fine = seeds.localCheckpoint(false)
+    val ftr = trainSide(cassign, "_id", trainFraction)
+      .localCheckpoint(false) // scanned once per iteration
+    var it = 0
+    while (it < iters) {
+      val assignedF = ftr.join(broadcast(fineArrOf(fine)), Seq("ccell"))
+        .select(col("_v").as("v"),
+          graft.plans.CentroidArgmax.column(col("fines"), col("_v"))
+            .as("label"))
+      val upd = labelCentroids(assignedF, "label", "v", shift)
+        .select(col("label"), col("pos"), col("centroid"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+          .as("_pc"))
+        .select(col("label").as("cell_id"),
+          expr("transform(_pc, x -> x.centroid)").as("_cv_new"))
+      fine = fine.join(upd, Seq("cell_id"), "left")
+        .select(col("ccell"), col("cell_id"),
+          coalesce(col("_cv_new"), col("cv")).as("cv"))
+        .localCheckpoint(false)
+      it += 1
+    }
+    (coarse, fine)
+  }
+
+  /** (ccell → cell_id-sorted fine struct array) — the broadcast side
+    * of every hierarchical assignment. Sorting by cell_id keeps the
+    * argmax's strictly-greater tie rule aligned with the SQL replay's
+    * ORDER BY sim DESC, cell_id. */
+  private def fineArrOf(fine: DataFrame): DataFrame =
+    fine.groupBy(col("ccell"))
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("cv"))))
+        .as("fines"))
+
+  /** Full-corpus assignment under a [[kmeansFitHier]] quantizer:
+    * (id, v, cell) with cell = the fine cell id — coarse argmax over
+    * the driver-side literal, fine argmax over the broadcast-joined
+    * coarse cell's layer. Zero shuffle: both folds are map-side. */
+  def assignCellsHier(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Long, Seq[Double])], fine: DataFrame): DataFrame =
+    corpus.select(
+        idOrFail(col(idCol).cast("long"), "assignCellsHier").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        cellOf(coarse, col(vecCol)).as("ccell"))
+      .join(broadcast(fineArrOf(fine)), Seq("ccell"))
+      .select(col("id"), col("v"),
+        graft.plans.CentroidArgmax.column(col("fines"), col("v"))
+          .as("cell"))
+
+  /** [[semDedupPairs]] at CONSTANT occupancy through the two-level
+    * quantizer (r14, VERDICT r13 #1 — the scale mode): same pair
+    * semantics (within-cell, id_a < id_b, round-6 cosine ≥ threshold,
+    * capBuckets skew guard), but the cell population no longer grows
+    * with the corpus — callers pass `hierCells(n, occ)` with a FIXED
+    * occ, so per-cell pair work and per-task memory are constants
+    * while assignment pays 2√nCells sims/row. The r13 flat-dial wall
+    * (√N occupancy → N^1.5 cpu + per-task memory that OOMed 32
+    * threads at sf100) does not exist on this path; recall narrows
+    * accordingly (smaller cells see fewer candidates) — that is
+    * SemDeDup's documented dial, now decoupled from memory. */
+  def semDedupPairsHier(corpus: DataFrame, idCol: String, vecCol: String,
+      nCoarse: Int, nFinePerCoarse: Int, trainIters: Int = 2,
+      trainFraction: Double = 1.0, threshold: Double,
+      maxCell: Int = 2048): DataFrame = {
+    val (coarse, fine) = kmeansFitHier(corpus, idCol, vecCol, nCoarse,
+      nFinePerCoarse, trainIters, trainFraction = trainFraction)
+    val capped = Guards.capBuckets(
+      assignCellsHier(corpus, idCol, vecCol, coarse, fine),
+      Seq("cell"), maxCell, Some("semdedup_h_cells"))
+      .localCheckpoint(false) // feeds both self-join sides
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** [[knnGraph]] at CONSTANT occupancy through the two-level
+    * quantizer — the graph twin of [[semDedupPairsHier]], same output
+    * shape and ranking semantics as the flat path. */
+  def knnGraphHier(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCoarse: Int, nFinePerCoarse: Int, trainIters: Int = 2,
+      trainFraction: Double = 1.0, maxCell: Int = 2048): DataFrame = {
+    val (coarse, fine) = kmeansFitHier(corpus, idCol, vecCol, nCoarse,
+      nFinePerCoarse, trainIters, trainFraction = trainFraction)
+    val capped = Guards.capBuckets(
+      assignCellsHier(corpus, idCol, vecCol, coarse, fine),
+      Seq("cell"), maxCell, Some("knn_graph_h_cells"))
+      .localCheckpoint(false) // feeds both self-join sides
+    val a = capped.select(col("cell"), col("id").as("query_id"),
+      col("v").as("qv"))
+    val b = capped.select(col("cell"), col("id").as("neighbor_id"),
+      col("v").as("cv"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** All-pairs k-NN GRAPH over the corpus (r11) — every vector's
     * top-k neighbors among its OWN quantizer cell, the primitive under
     * semantic-dedup clustering, diversity-aware sampling, and

@@ -1534,6 +1534,66 @@ class PipelineOpsSpec extends SparkSpec {
       s"rebuilt index lost vectors: $served")
   }
 
+  test("hierarchical quantizer: one coarse cell degenerates to EXACTLY " +
+      "the flat path — semDedupPairs and knnGraph hash-identical (r14, " +
+      "VERDICT r13 #1)") {
+    import graft.operators.Similarity
+    // deterministic 60-vector 4-d corpus with real cluster structure
+    val bases = Vector(
+      Vector(1.0, 0.1, 0.0, 0.0), Vector(0.0, 1.0, 0.1, 0.0),
+      Vector(0.0, 0.0, 1.0, 0.1))
+    val corpus = (0 until 60).map { i =>
+      val c = i % 3
+      val jit = (i * 37 % 11) / 100.0
+      val vec: Seq[Float] = bases(c).zipWithIndex.map { case (x, j) =>
+        (x + (if (j == c) jit else jit / 3)).toFloat }
+      (i.toLong, vec)
+    }.toDF("id", "v")
+    val flatPairs = Similarity.semDedupPairs(corpus, "id", "v",
+        nCells = 6, trainIters = 2, trainFraction = 0.5,
+        threshold = 0.8, maxCell = 100)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val hierPairs = Similarity.semDedupPairsHier(corpus, "id", "v",
+        nCoarse = 1, nFinePerCoarse = 6, trainIters = 2,
+        trainFraction = 0.5, threshold = 0.8, maxCell = 100)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(flatPairs.nonEmpty, "degenerate fixture: no pairs at all")
+    assert(hierPairs == flatPairs,
+      s"hier(nCoarse=1) != flat:\n$hierPairs\n$flatPairs")
+    val flatGraph = Similarity.knnGraph(corpus, "id", "v", k = 3,
+        nCells = 6, trainIters = 2, trainFraction = 0.5, maxCell = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val hierGraph = Similarity.knnGraphHier(corpus, "id", "v", k = 3,
+        nCoarse = 1, nFinePerCoarse = 6, trainIters = 2,
+        trainFraction = 0.5, maxCell = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(hierGraph == flatGraph,
+      s"hier knnGraph(nCoarse=1) != flat")
+    // multi-coarse smoke: CONSTANT-occupancy sizing covers every row
+    // (no silent drop through the assignment join) and respects the
+    // pair contract
+    val (nc, nf) = Similarity.hierCells(60L, targetOccupancy = 8)
+    assert(nc == 3 && nf == 3, s"hierCells(60, 8) = ($nc, $nf)") // 8 cells
+    val (coarse, fine) = Similarity.kmeansFitHier(corpus, "id", "v",
+      nCoarse = nc, nFinePerCoarse = nf, iters = 2, trainFraction = 0.5)
+    val assigned = Similarity.assignCellsHier(corpus, "id", "v",
+      coarse, fine)
+    assert(assigned.count() == 60, "hier assignment dropped rows")
+    assert(assigned.filter(col("cell").isNull || col("cell") < 0)
+      .count() == 0, "unassigned rows")
+    // fine cells nest inside coarse cells: distinct fine cells ≤ nCells
+    assert(assigned.select("cell").distinct().count() <= nc.toLong * nf)
+    val pairsH = Similarity.semDedupPairsHier(corpus, "id", "v",
+      nCoarse = nc, nFinePerCoarse = nf, trainIters = 2,
+      trainFraction = 0.5, threshold = 0.8, maxCell = 100)
+    assert(pairsH.filter(col("sim") < 0.8).count() == 0)
+    assert(pairsH.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
   test("maintainKnnGraphIndex: drift under the pinned maxCell triggers " +
       "a rescaled staged retrain; healthy index untouched (r13)") {
     import graft.operators.Similarity
