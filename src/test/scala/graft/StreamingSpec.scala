@@ -432,6 +432,58 @@ class StreamingSpec extends SparkSpec {
     assert(gate(Seq(3L), 1L).isEmpty, "batch-1 survivor's copy leaked")
   }
 
+  test("semantic gate maintenance cadence: a drifting streamed index " +
+      "staged-retrains at the boundary under its pinned contract; gate " +
+      "decisions and probes stay correct across the swap (r14, VERDICT " +
+      "r13 #7)") {
+    import graft.operators.Similarity
+    val dir = s"/tmp/graft_ivf_cadence_${java.util.UUID.randomUUID()}"
+    val mk = (id: Long, x: Double, y: Double) =>
+      (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(100, 1.0, 0.0), mk(101, 0.9, 0.1),
+      mk(110, 0.0, 1.0), mk(111, 0.1, 0.9)).toDF("vec_id", "embedding")
+    // the maintenance thresholds are PINNED at build (r14 meta):
+    // max_cell=4, min_occupancy=2 — the cadence hook takes none
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 2, trainIters = 2, maxCell = 4, minOccupancy = 2)
+    def flood(base: Long, offsetDeg: Double) = (0 until 6).map { i =>
+      val a = (offsetDeg + i * 15.0).toRadians
+      mk(base + i, math.cos(a), math.sin(a))
+    }.toDF("vec_id", "embedding")
+    def gate(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingFeatures.semanticGateBatch(df, "vec_id", "embedding",
+          dir, id, threshold = 0.9999, maintainEvery = 2L)
+        .select("vec_id").as[Long].collect().toSet
+    // batch 0 floods the 2 FROZEN cells past the pinned cap=4 — but
+    // (0+1) % 2 != 0: NOT a cadence boundary, no retrain yet
+    assert(gate(flood(200, 5.0), 0L).size == 6)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 2,
+      "maintain fired off-boundary")
+    // batch 1 IS the boundary: the monitor reads the pinned cap, sees
+    // the drift, and staged-retrains from the index's own vectors
+    assert(gate(flood(300, 10.0), 1L).size == 6)
+    assert(spark.read.parquet(s"$dir/centroids").count() > 2,
+      "cadence boundary did not retrain the drifted index")
+    assert(!new java.io.File(s"${dir}__staged").exists,
+      "stage must be gone after the swap")
+    // probes stay correct across the swap: everything ingested serves
+    val nCellsAfter = spark.read.parquet(s"$dir/centroids").count().toInt
+    val served = Similarity.ivfTopKFromIndex(
+        Seq(mk(999, 0.7, 0.7)).toDF("vec_id", "embedding"), dir,
+        "vec_id", "embedding", k = 50, nProbe = nCellsAfter)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(served == (Set(100L, 101L, 110L, 111L) ++
+        (0 until 6).map(200L + _) ++ (0 until 6).map(300L + _)),
+      s"rebuilt index lost vectors: $served")
+    // gate decisions survive the swap: an exact clone of a streamed
+    // survivor is caught by the REBUILT index, a novel vector passes
+    val b2 = Seq(mk(400, math.cos(10.0.toRadians), math.sin(10.0.toRadians)),
+      mk(401, math.cos(12.0.toRadians), math.sin(12.0.toRadians)))
+      .toDF("vec_id", "embedding")
+    assert(gate(b2, 2L) == Set(401L),
+      "post-swap gate must drop the clone and keep the novel vector")
+  }
+
   test("foreachBatch PQ-index maintenance: probes find streamed codes; " +
       "replay is idempotent (r12)") {
     import graft.operators.Similarity
