@@ -4851,7 +4851,8 @@ $roundCtes"""
     * that restriction is the whole hierarchy). Fine cell ids are
     * seed corpus ids, globally unique, so the update folds per
     * cell_id alone. Ends in `assign`(neighbor_id, cv, cell). */
-  private def hierLloydAssignSqlExpr(occ: Int): String = {
+  private def hierLloydAssignSqlExpr(occ: Int,
+      corpusWhere: String = ""): String = {
     def upd(src: String, out: String): String = s"""
       $out AS (
         SELECT cell AS cell_id, list(comp ORDER BY i) AS cv FROM (
@@ -4862,7 +4863,8 @@ $roundCtes"""
           GROUP BY cell, i) GROUP BY cell)"""
     s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                        md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+                        md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+                 $corpusWhere),
       dial AS (SELECT greatest(1, least((count(*) + ${occ - 1}) // $occ,
                  1048576)) AS ncells FROM e),
       dial2 AS (SELECT ncells,
@@ -4982,6 +4984,67 @@ $roundCtes"""
           SELECT cell, neighbor_id, cv,
                  count(*) OVER (PARTITION BY cell) AS cn
           FROM assign) WHERE cn <= ${64 * 32})
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+               row_number() OVER (PARTITION BY a.id ORDER BY
+                 round(list_cosine_similarity(a.v, b.v), 6) DESC, b.id)
+                 AS rank
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Persisted HIERARCHICAL k-NN graph index lifecycle
+    * ([[Similarity.buildKnnGraphIndexHier]] →
+    * [[Similarity.appendToKnnGraphIndex]] →
+    * [[Similarity.knnGraphFromIndex]], r14): the index family's
+    * constant-occupancy scale mode under the hash gate — the
+    * two-level quantizer trains and FREEZES on the vec_id ≥ 50
+    * corpus (coarse literal + persisted fine table), the vec_id < 50
+    * batch appends through the SAME family append path (which
+    * detects `centroids_fine` and assigns coarse-then-fine), and the
+    * serve fold must equal the full within-cell top-k over the union
+    * under the frozen quantizer. Oracle: the hierarchical Lloyd CTEs
+    * on the build corpus only, the batch assigned against the frozen
+    * cent2/fcent2, union capped at the pinned constant 64·occ. */
+  private val knnIndexHierQ = Q("q_knn_index_h",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + full rebuild each run; single-writer
+      // by harness contract — the q_knn_index convention
+      val indexDir = s"/tmp/graft_knn_hier/$tag"
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildKnnGraphIndexHier(emb.filter(col("vec_id") >= 50),
+        "vec_id", "embedding", indexDir, k = 5, targetOccupancy = 32,
+        trainIters = 2, trainFraction = 0.25)
+      Similarity.appendToKnnGraphIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", indexDir, batchId = 0L)
+      Similarity.knnGraphFromIndex(s, indexDir)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(hierLloydAssignSqlExpr(32, "WHERE vec_id >= 50") + s""",
+      newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 50),
+      nb_c AS (
+        SELECT vec_id, v, cell AS ccell FROM (
+          SELECT n.vec_id, n.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM newb n CROSS JOIN cent2 c) WHERE rn = 1),
+      assign_new AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT t.vec_id, t.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   round(list_cosine_similarity(t.v, f.cv), 6) DESC,
+                   f.cell_id) AS rn
+          FROM nb_c t JOIN fcent2 f ON t.ccell = f.ccell) WHERE rn = 1),
+      allm AS (
+        SELECT * FROM assign UNION ALL SELECT * FROM assign_new),
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM allm) WHERE cn <= ${64 * 32})
       SELECT query_id, neighbor_id, sim, rank FROM (
         SELECT a.id AS query_id, b.id AS neighbor_id,
                round(list_cosine_similarity(a.v, b.v), 6) AS sim,
@@ -8555,7 +8618,8 @@ ${pqPartsPivot(16)}
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
     labelProp, scoreCalibration, bm25Q, bm25IndexQ, noveltyQ,
     splitDedupAwareQ,
-    ivfAppend, pqAppendQ, knnAppendQ, knnIndexQ, semDedupAppendQ,
+    ivfAppend, pqAppendQ, knnAppendQ, knnIndexQ, knnIndexHierQ,
+    semDedupAppendQ,
     ivfOccupancy, ivfMaintainQ,
     embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,

@@ -721,6 +721,15 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/assigned/batch_id=-1")
+    writeKnnGraphBase(spark, indexDir, k, maxCell)
+  }
+
+  /** The base-graph write both index builds share: within-cell top-k
+    * over the JUST-WRITTEN assigned table (stored rows and graph rows
+    * can never diverge, and the assignment pass isn't paid twice) into
+    * `graph/batch_id=-1`. */
+  private def writeKnnGraphBase(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, k: Int, maxCell: Int): Unit = {
     val members = Guards.capBuckets(
       spark.read.parquet(s"$indexDir/assigned")
         .select(col("neighbor_id").as("id"), col("cv").as("v"),
@@ -737,6 +746,121 @@ object Similarity {
     topKPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
       .write.mode("overwrite").parquet(s"$indexDir/graph/batch_id=-1")
+  }
+
+  /** Build and persist the k-NN graph index under the CONSTANT-
+    * occupancy two-level quantizer (r14, VERDICT r13 #1 — the scale
+    * mode of [[buildKnnGraphIndex]]): the coarse layer persists at
+    * `centroids` (nCoarse = ⌈√nCells⌉ rows — same bounded driver
+    * collect the flat index pays) and the FINE layer at
+    * `centroids_fine` (nCells rows, broadcast-joined at assignment
+    * time, never collected); `meta` pins (k, max_cell, occupancy) —
+    * the occupancy column marks the index hierarchical and keeps
+    * maintenance rebuilds at the SAME constant dial forever. The
+    * assigned/graph layout, append path ([[appendToKnnGraphIndex]] —
+    * it detects `centroids_fine` and assigns coarse-then-fine),
+    * serve, compact, and streaming member are all shared with the
+    * flat family: only the quantizer differs. Per-cell pair work and
+    * per-task memory stop growing with the corpus — the flat balanced
+    * dial's measured sf100 wall (27×/decade cpu, 32-thread OOM). */
+  def buildKnnGraphIndexHier(corpus0: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int,
+      targetOccupancy: Int = 32, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit = {
+    val corpus = corpus0.withColumn(idCol,
+      idOrFail(col(idCol), "buildKnnGraphIndexHier"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val (nCoarse, nFine) = hierCells(n, targetOccupancy)
+    val maxCell = math.min(Int.MaxValue.toLong,
+      skewFactor.toLong * targetOccupancy).toInt
+    val (coarse, fine) = kmeansFitHier(corpus, idCol, vecCol, nCoarse,
+      nFine, trainIters, trainFraction = trainFraction)
+    Seq((k, maxCell, targetOccupancy))
+      .toDF("k", "max_cell", "occupancy")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    coarse.toDF("cell_id", "cv0")
+      .coalesce(1) // bounded: nCoarse = √nCells rows
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    fine.select(col("ccell"), col("cell_id"), col("cv"))
+      .coalesce(1) // bounded: nCells rows — the broadcast-side table
+      .write.mode("overwrite").parquet(s"$indexDir/centroids_fine")
+    IndexLayout.clear(spark, s"$indexDir/assigned")
+    IndexLayout.clear(spark, s"$indexDir/graph")
+    assignCellsHier(corpus, idCol, vecCol, coarse, fine)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assigned/batch_id=-1")
+    writeKnnGraphBase(spark, indexDir, k, maxCell)
+  }
+
+  /** Crash-safe staged retrain of a HIERARCHICAL k-NN graph index —
+    * [[rebuildKnnGraphIndex]]'s constant-occupancy twin. */
+  def rebuildKnnGraphIndexHier(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int,
+      targetOccupancy: Int = 32, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit =
+    IndexLayout.stagedRebuild(corpus.sparkSession, indexDir)(stage =>
+      buildKnnGraphIndexHier(corpus, idCol, vecCol, stage, k,
+        targetOccupancy, trainIters, trainFraction, skewFactor))
+
+  /** [[rebuildKnnGraphIndexHier]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def rebuildKnnGraphIndexHierLocked(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int,
+      targetOccupancy: Int = 32, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      rebuildKnnGraphIndexHier(corpus, idCol, vecCol, indexDir, k,
+        targetOccupancy, trainIters, trainFraction, skewFactor))
+
+  /** The pinned constant-occupancy dial of a hierarchical index; None
+    * for flat indexes (whose meta has no occupancy column — absence
+    * marks the flat family, the keyword-index maxDf convention). */
+  private def knnGraphIndexOccupancy(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Int] = {
+    val df = spark.read.parquet(s"$indexDir/meta")
+    if (!df.columns.contains("occupancy")) None
+    else {
+      val m = df.select(col("occupancy").cast("int"))
+        .limit(2).collect() // bounded: meta is one pinned-params row
+      require(m.length == 1, s"knn graph index $indexDir: malformed meta")
+      if (m(0).isNullAt(0)) None else Some(m(0).getInt(0))
+    }
+  }
+
+  /** Assign a frame under a persisted k-NN graph index's FROZEN
+    * quantizer — (id, v, cell), dispatching on the index's family:
+    * flat = one literal argmax over the bounded `centroids` collect;
+    * hierarchical (a `centroids_fine` table exists) = coarse literal
+    * argmax + broadcast fine join + fine argmax, the
+    * [[assignCellsHier]] shape. Both are zero-shuffle map-side folds
+    * (the broadcast ships the fine table once per executor). */
+  private def assignUnderIndex(batch: DataFrame, indexDir: String,
+      idCol: String, vecCol: String, op: String): DataFrame = {
+    val spark = batch.sparkSession
+    val coarse = spark.read.parquet(s"$indexDir/centroids")
+      .collect() // bounded: nCoarse (hier) or nCells (flat) rows
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val base = batch.select(
+      idOrFail(col(idCol).cast("long"), op).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val finePath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids_fine")
+    val fs = finePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(finePath))
+      base.withColumn("cell", cellOf(coarse, col("v")))
+    else
+      base.withColumn("ccell", cellOf(coarse, col("v")))
+        .join(broadcast(fineArrOf(
+          spark.read.parquet(s"$indexDir/centroids_fine"))), Seq("ccell"))
+        .select(col("id"), col("v"),
+          graft.plans.CentroidArgmax.column(col("fines"), col("v"))
+            .as("cell"))
   }
 
   /** (k, maxCell) pinned at [[buildKnnGraphIndex]] time — appends and
@@ -860,17 +984,14 @@ object Similarity {
       excludeBatchId: Option[Long]): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val (_, maxCell) = knnGraphIndexMeta(spark, indexDir)
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-      .collect() // bounded: the persisted centroid table is nCells rows
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
     // one materialization: the batch assignment feeds the touched-cell
-    // collect AND both pair legs (diamond DAGs recompute)
-    val b = batch.select(
-        idOrFail(col(idCol).cast("long"), "knnGraphIndexMembers").as("id"),
-        col(vecCol).cast("array<double>").as("v"),
-        cellOf(cent, col(vecCol)).as("cell"),
-        lit(true).as("is_batch"))
+    // collect AND both pair legs (diamond DAGs recompute). The
+    // assignment dispatches on the index family (r14): flat = literal
+    // argmax, hierarchical = coarse literal + broadcast fine join —
+    // the append/serve/compact machinery downstream is family-blind.
+    val b = assignUnderIndex(batch, indexDir, idCol, vecCol,
+        "knnGraphIndexMembers")
+      .withColumn("is_batch", lit(true))
       .localCheckpoint(false)
     val touched = b.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted // bounded: ≤ nCells cells
@@ -967,13 +1088,23 @@ object Similarity {
       graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir)) {
         val corpus = spark.read.parquet(s"$indexDir/assigned")
           .select(col("neighbor_id"), col("cv"))
-        val n = corpus.count()
-        val occ = balancedOccupancy(n, minOccupancy)
-        rebuildKnnGraphIndex(corpus, "neighbor_id", "cv", indexDir,
-          k = k, nCells = cellsForOccupancy(n, occ), trainIters,
-          trainFraction,
-          maxCell = math.min(Int.MaxValue.toLong,
-            skewFactor.toLong * occ).toInt)
+        knnGraphIndexOccupancy(spark, indexDir) match {
+          // hierarchical index (r14): the retrain stays at the PINNED
+          // constant occupancy — nCoarse/nFine re-derive from the
+          // grown count, the dial itself never moves
+          case Some(occ) =>
+            rebuildKnnGraphIndexHier(corpus, "neighbor_id", "cv",
+              indexDir, k = k, targetOccupancy = occ, trainIters,
+              trainFraction, skewFactor = skewFactor)
+          case None =>
+            val n = corpus.count()
+            val occ = balancedOccupancy(n, minOccupancy)
+            rebuildKnnGraphIndex(corpus, "neighbor_id", "cv", indexDir,
+              k = k, nCells = cellsForOccupancy(n, occ), trainIters,
+              trainFraction,
+              maxCell = math.min(Int.MaxValue.toLong,
+                skewFactor.toLong * occ).toInt)
+        }
       }
       true
     }

@@ -1624,6 +1624,111 @@ class PipelineOpsSpec extends SparkSpec {
       (0 until 12).map(100L + _)), s"rebuilt graph lost nodes: $got")
   }
 
+  test("hierarchical knn-graph index: append+serve equals the frozen-" +
+      "two-level-quantizer full recompute, replay and compact are " +
+      "invisible, maintain retrains at the PINNED constant occupancy " +
+      "(r14, VERDICT r13 #1 — the index-family scale mode)") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFns
+    val dir = java.nio.file.Files
+      .createTempDirectory("knn_hier").toString + "/idx"
+    val bases = Vector(
+      Vector(1.0, 0.1, 0.0, 0.0), Vector(0.0, 1.0, 0.1, 0.0),
+      Vector(0.0, 0.0, 1.0, 0.1))
+    val all = (0 until 60).map { i =>
+      val c = i % 3
+      val jit = (i * 37 % 11) / 100.0
+      val vec: Seq[Float] = bases(c).zipWithIndex.map { case (x, j) =>
+        (x + (if (j == c) jit else jit / 3)).toFloat }
+      (i.toLong, vec)
+    }.toDF("id", "v")
+    val corpusA = all.filter(col("id") < 40)
+    val batchB = all.filter(col("id") >= 40)
+    Similarity.buildKnnGraphIndexHier(corpusA, "id", "v", dir, k = 3,
+      targetOccupancy = 8, trainIters = 2, trainFraction = 0.5)
+    // the constant dial is pinned in meta; the fine table persists
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(meta.getAs[Int]("occupancy") == 8 && meta.getAs[Int]("k") == 3)
+    assert(spark.read.parquet(s"$dir/centroids_fine").count() > 0)
+    // the shared append path detects the hier quantizer
+    Similarity.appendToKnnGraphIndex(batchB, "id", "v", dir, batchId = 0L)
+    def served() = Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val s1 = served()
+    // reference: assign the UNION under the PERSISTED frozen quantizer
+    // (read back from the index), within-cell top-k via window rank —
+    // build + append must equal the full recompute exactly
+    val coarse = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val fine = spark.read.parquet(s"$dir/centroids_fine")
+    val assigned = Similarity.assignCellsHier(all, "id", "v", coarse, fine)
+      .localCheckpoint(false)
+    val ref = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        round(VectorFns.cosineFast(col("a.v"), col("b.v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(s1 == ref, "hier index serve != frozen-quantizer recompute")
+    // replay: same batchId overwrites both partitions — serve unchanged
+    Similarity.appendToKnnGraphIndex(batchB, "id", "v", dir, batchId = 0L)
+    assert(served() == s1, "replay changed the served graph")
+    // compaction is serve-invisible and family-blind
+    Similarity.compactKnnGraphIndex(spark, dir)
+    assert(served() == s1, "compact changed the served graph")
+    // maintain keeps the PINNED occupancy: a tight-cap hier index
+    // drifts, retrains hierarchically, stays at its constant dial
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("knn_hier_m").toString + "/idx"
+    val mk = (id: Long, x: Double, y: Double) =>
+      (id, Seq(x.toFloat, y.toFloat))
+    Similarity.buildKnnGraphIndexHier(
+      Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1), mk(10, 0.0, 1.0),
+        mk(11, 0.1, 0.9)).toDF("id", "v"),
+      "id", "v", dir2, k = 2, targetOccupancy = 4, trainIters = 2,
+      skewFactor = 2) // pinned max_cell = 8; 4-row corpus → 1 cell
+    assert(!Similarity.maintainKnnGraphIndex(spark, dir2),
+      "healthy hier index was rebuilt")
+    val flood = (0 until 12).map { i =>
+      val a = i * (math.Pi / 2) / 12
+      mk(100L + i, math.cos(a), math.sin(a))
+    }.toDF("id", "v")
+    // 16 rows crowd the single frozen cell past the pinned cap=8
+    Similarity.appendToKnnGraphIndex(flood, "id", "v", dir2, batchId = 0L)
+    assert(Similarity.maintainKnnGraphIndex(spark, dir2),
+      "drifted hier index not rebuilt")
+    val meta2 = spark.read.parquet(s"$dir2/meta").collect()(0)
+    assert(meta2.getAs[Int]("occupancy") == 4,
+      "maintain moved the pinned constant-occupancy dial")
+    assert(spark.read.parquet(s"$dir2/centroids_fine").count() > 1,
+      "retrain did not rescale the fine layer")
+    // every node in a cell with >= 2 members is served (a singleton
+    // cell has no within-cell neighbors — the documented recall
+    // contract); the rescaled quantizer must keep most cells social
+    val social = spark.read.parquet(s"$dir2/assigned")
+      .groupBy("cell").agg(collect_list("neighbor_id").as("ids"))
+      .collect().flatMap { r =>
+        val ids = r.getSeq[Long](1); if (ids.size >= 2) ids else Nil
+      }.toSet
+    val got = Similarity.knnGraphFromIndex(spark, dir2)
+      .select("query_id").as[Long].collect().toSet
+    assert(got == social,
+      s"served nodes != social-cell members: $got vs $social")
+    assert(social.size >= 12,
+      s"rescaled quantizer fragmented the corpus: ${social.size}/16")
+    // the retrain did NOT re-fire on the healthy rebuilt index
+    assert(!Similarity.maintainKnnGraphIndex(spark, dir2),
+      "maintain re-fired against the rescaled hier index")
+  }
+
   test("locked appends, every index family: a surviving writer steals " +
       "a crashed writer's lock and completes (r13, VERDICT r12 #6)") {
     // the shared parameterized contention spec: for each persisted
