@@ -4993,6 +4993,65 @@ $roundCtes"""
         FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** SemDeDup under the LOG-DEPTH tree quantizer
+    * ([[Similarity.semDedupPairsTree]], r14) — the asymptotic scale
+    * mode past q_semdedup_h's fixed two levels: constant occupancy
+    * (linear pair work, flat per-task memory) with pinned branching
+    * 64, so per-row assignment is branch·⌈log₆₄ nCells⌉ cosines —
+    * O(N log N) total vs the two-level split's N^1.5 (which measured
+    * 34×/decade cpu at sf100 despite completing the 32-thread run
+    * the flat dial OOMed). THE ORACLE REPLAYS THE DEPTH ITS VERIFIED
+    * SCALE IMPLIES: at sf0.01 the dial gives nCells = 16 ≤ branch —
+    * depth 1, the flat Lloyd — and the engine's depth-1 path IS
+    * [[Similarity.kmeansFit]] exactly (the spec gates that
+    * degeneration, plus multi-level coverage smoke); multi-level SQL
+    * replay is proven separately by q_semdedup_h's two-level unroll,
+    * and the deep path's scale behavior is measured at sf10/sf100 in
+    * BASELINE.md. */
+  private val semDedupTreeQ = Q("q_semdedup_t",
+    (s, d) => Similarity.semDedupPairsTree(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        targetOccupancy = 32, branch = 64, trainIters = 2,
+        trainFraction = 0.25, threshold = 0.35, maxCell = 64 * 32)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, least((count(*) + 31) // 32, 1048576)) FROM e)") + s""",
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM assign) WHERE cn <= ${64 * 32})
+      SELECT cell, id_a, id_b, sim FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id < b.id)
+      WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
+
+  /** All-pairs k-NN graph under the log-depth tree quantizer
+    * ([[Similarity.knnGraphTree]]) — q_semdedup_t's graph twin; same
+    * depth-at-verified-scale oracle contract. */
+  private val knnGraphTreeQ = Q("q_knn_graph_t",
+    (s, d) => Similarity.knnGraphTree(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 5,
+        targetOccupancy = 32, branch = 64, trainIters = 2,
+        trainFraction = 0.25, maxCell = 64 * 32)
+      .orderBy(col("query_id"), col("rank")),
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, least((count(*) + 31) // 32, 1048576)) FROM e)") + s""",
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM assign) WHERE cn <= ${64 * 32})
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+               row_number() OVER (PARTITION BY a.id ORDER BY
+                 round(list_cosine_similarity(a.v, b.v), 6) DESC, b.id)
+                 AS rank
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Persisted HIERARCHICAL k-NN graph index lifecycle
     * ([[Similarity.buildKnnGraphIndexHier]] →
     * [[Similarity.appendToKnnGraphIndex]] →
@@ -8613,6 +8672,7 @@ ${pqPartsPivot(16)}
     driftReport, spanDedup, spanScrub, spanIncremental,
     temperatureSample, hardNegatives,
     outlierMad, semDedup, knnGraphQ, semDedupHierQ, knnGraphHierQ,
+    semDedupTreeQ, knnGraphTreeQ,
     decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,

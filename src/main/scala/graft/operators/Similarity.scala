@@ -504,6 +504,21 @@ object Similarity {
       col(idCol).cast("long").as("_id"),
       col(vecCol).cast("array<double>").as("_v"),
       cellOf(coarse, col(vecCol)).as("ccell"))
+    (coarse, trainFineLevel(cassign, nFinePerCoarse, iters, shift,
+      trainFraction))
+  }
+
+  /** Train ONE distributed fine level under a frozen parent
+    * assignment `cassign` (_id, _v, ccell) — the shared inner loop of
+    * [[kmeansFitHier]] (one call) and [[kmeansFitTree]] (one call per
+    * level): seeds = each parent cell's `nFinePerCoarse`
+    * smallest-(md5, id) members of the FULL parent assignment,
+    * `iters` rounds of broadcast-join argmax assignment over the
+    * train sample + the fixed-point [[labelCentroids]] update keyed
+    * by the globally-unique fine cell id. Returns (ccell, cell_id,
+    * cv) — never driver-collected. */
+  private def trainFineLevel(cassign: DataFrame, nFinePerCoarse: Int,
+      iters: Int, shift: Int, trainFraction: Double): DataFrame = {
     val seeds = cassign
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("ccell"))
@@ -535,7 +550,142 @@ object Similarity {
         .localCheckpoint(false)
       it += 1
     }
-    (coarse, fine)
+    fine
+  }
+
+  /** LOG-DEPTH level sizing (r14 — the asymptote the two-level
+    * [[hierCells]] split cannot reach): nCells = ⌈rows/occ⌉ fine
+    * cells split into levels of PINNED branching `branch` (last level
+    * partial), so depth grows as ⌈log_branch nCells⌉ and per-row
+    * assignment work is Σ level sizes ≈ branch·depth = O(log N)
+    * cosines — N·branch·log N total, vs the two-level split's
+    * N·2√nCells = N^1.5 (measured 34×/decade at sf100 despite its
+    * small constant). The decade ratio at pinned branch 64 is
+    * ~10·(64d+r)/(64d+r′) ≈ 10–13× while depth holds, stepping once
+    * per ~1.8 decades — the true constant-occupancy scale mode.
+    * nCells ≤ branch degenerates to ONE level = the flat
+    * [[kmeansFit]] exactly (spec-gated). */
+  def treeLevelSizes(rows: Long, targetOccupancy: Int,
+      branch: Int = 64): Seq[Int] = {
+    require(branch >= 2, s"treeLevelSizes: branch=$branch")
+    val nCells = cellsForOccupancy(rows, targetOccupancy)
+    var remaining = nCells.toLong
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (remaining > branch) {
+      sizes += branch
+      remaining = (remaining + branch - 1) / branch
+    }
+    sizes += remaining.toInt
+    // coarse-to-fine order: the driver-side literal level first
+    sizes.reverse.toSeq
+  }
+
+  /** Depth-d coarse-to-fine Lloyd quantizer (r14): level 1 is the
+    * plain driver-side [[kmeansFit]] (levelSizes.head cells — always
+    * ≤ branch, bounded), every deeper level trains fully DISTRIBUTED
+    * under the frozen levels above it via [[trainFineLevel]], each
+    * keyed by its parent level's cell id. Returns the coarse
+    * centroids plus one (ccell, cell_id, cv) frame per deeper level.
+    * [[kmeansFitHier]] is exactly the levelSizes = Seq(nCoarse,
+    * nFine) instance of this recursion (shared code path). */
+  def kmeansFitTree(corpus: DataFrame, idCol: String, vecCol: String,
+      levelSizes: Seq[Int], iters: Int = 2, shift: Int = 20,
+      trainFraction: Double = 1.0)
+      : (Seq[(Long, Seq[Double])], Seq[DataFrame]) = {
+    require(levelSizes.nonEmpty, "kmeansFitTree: no levels")
+    val coarse = kmeansFit(corpus, idCol, vecCol, levelSizes.head,
+      iters, shift, trainFraction)
+    var parentAssign = corpus.select(
+        col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"),
+        cellOf(coarse, col(vecCol)).as("ccell"))
+      .localCheckpoint(false) // reused by seeds, training, next level
+    val levels = levelSizes.tail.map { n =>
+      val fine = trainFineLevel(parentAssign, n, iters, shift,
+        trainFraction)
+      parentAssign = parentAssign
+        .join(broadcast(fineArrOf(fine)), Seq("ccell"))
+        .select(col("_id"),
+          col("_v"),
+          graft.plans.CentroidArgmax.column(col("fines"), col("_v"))
+            .as("ccell"))
+        .localCheckpoint(false)
+      fine
+    }
+    (coarse, levels)
+  }
+
+  /** Full-corpus assignment under a [[kmeansFitTree]] quantizer:
+    * coarse literal argmax, then one broadcast join + argmax per
+    * deeper level — every fold map-side, the final label the deepest
+    * level's cell id. */
+  def assignCellsTree(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Long, Seq[Double])], levels: Seq[DataFrame])
+      : DataFrame = {
+    var df = corpus.select(
+      idOrFail(col(idCol).cast("long"), "assignCellsTree").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      cellOf(coarse, col(vecCol)).as("cell"))
+    levels.foreach { fine =>
+      df = df
+        .withColumnRenamed("cell", "ccell")
+        .join(broadcast(fineArrOf(fine)), Seq("ccell"))
+        .select(col("id"), col("v"),
+          graft.plans.CentroidArgmax.column(col("fines"), col("v"))
+            .as("cell"))
+    }
+    df
+  }
+
+  /** [[semDedupPairsHier]] under the LOG-DEPTH tree quantizer — the
+    * asymptotic scale mode: constant occupancy (linear pair work,
+    * flat per-task memory) AND O(branch·log N) assignment sims per
+    * row. Sized by [[treeLevelSizes]]; nCells ≤ branch degenerates
+    * to exactly [[semDedupPairs]]' flat quantizer (spec-gated), so
+    * the declared oracle replays the depth its verified scale
+    * implies. */
+  def semDedupPairsTree(corpus: DataFrame, idCol: String, vecCol: String,
+      targetOccupancy: Int, branch: Int = 64, trainIters: Int = 2,
+      trainFraction: Double = 1.0, threshold: Double,
+      maxCell: Int = 2048): DataFrame = {
+    val n = corpus.count()
+    val sizes = treeLevelSizes(n, targetOccupancy, branch)
+    val (coarse, levels) = kmeansFitTree(corpus, idCol, vecCol, sizes,
+      trainIters, trainFraction = trainFraction)
+    val capped = Guards.capBuckets(
+      assignCellsTree(corpus, idCol, vecCol, coarse, levels),
+      Seq("cell"), maxCell, Some("semdedup_t_cells"))
+      .localCheckpoint(false) // feeds both self-join sides
+    val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = capped.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** [[knnGraphHier]] under the log-depth tree quantizer. */
+  def knnGraphTree(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, targetOccupancy: Int, branch: Int = 64,
+      trainIters: Int = 2, trainFraction: Double = 1.0,
+      maxCell: Int = 2048): DataFrame = {
+    val n = corpus.count()
+    val sizes = treeLevelSizes(n, targetOccupancy, branch)
+    val (coarse, levels) = kmeansFitTree(corpus, idCol, vecCol, sizes,
+      trainIters, trainFraction = trainFraction)
+    val capped = Guards.capBuckets(
+      assignCellsTree(corpus, idCol, vecCol, coarse, levels),
+      Seq("cell"), maxCell, Some("knn_graph_t_cells"))
+      .localCheckpoint(false) // feeds both self-join sides
+    val a = capped.select(col("cell"), col("id").as("query_id"),
+      col("v").as("qv"))
+    val b = capped.select(col("cell"), col("id").as("neighbor_id"),
+      col("v").as("cv"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, k)
   }
 
   /** (ccell → cell_id-sorted fine struct array) — the broadcast side

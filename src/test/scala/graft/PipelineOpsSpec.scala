@@ -1624,6 +1624,71 @@ class PipelineOpsSpec extends SparkSpec {
       (0 until 12).map(100L + _)), s"rebuilt graph lost nodes: $got")
   }
 
+  test("log-depth tree quantizer: nCells <= branch degenerates to " +
+      "EXACTLY the flat path; deeper trees cover every row at the " +
+      "pinned occupancy (r14)") {
+    import graft.operators.Similarity
+    val bases = Vector(
+      Vector(1.0, 0.1, 0.0, 0.0), Vector(0.0, 1.0, 0.1, 0.0),
+      Vector(0.0, 0.0, 1.0, 0.1))
+    val corpus = (0 until 60).map { i =>
+      val c = i % 3
+      val jit = (i * 37 % 11) / 100.0
+      val vec: Seq[Float] = bases(c).zipWithIndex.map { case (x, j) =>
+        (x + (if (j == c) jit else jit / 3)).toFloat }
+      (i.toLong, vec)
+    }.toDF("id", "v")
+    // sizing: within one branch = one level; past it, pinned-branch
+    // levels with a partial top
+    assert(Similarity.treeLevelSizes(60, 32, branch = 64) == Seq(2))
+    assert(Similarity.treeLevelSizes(500, 32, branch = 64) == Seq(16))
+    assert(Similarity.treeLevelSizes(500000, 32, branch = 64)
+      == Seq(4, 64, 64)) // 15625 cells -> depth 3
+    assert(Similarity.treeLevelSizes(5000000, 32, branch = 64)
+      == Seq(39, 64, 64)) // 156250 cells -> depth 3, sims/row 167
+    // depth-1 tree == flat, hash-identical (branch >= nCells): the
+    // declared q_semdedup_t oracle replays exactly this instance
+    val flat = Similarity.semDedupPairs(corpus, "id", "v",
+        nCells = 8, trainIters = 2, trainFraction = 0.5,
+        threshold = 0.8, maxCell = 100)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val tree1 = Similarity.semDedupPairsTree(corpus, "id", "v",
+        targetOccupancy = 8, branch = 64, trainIters = 2,
+        trainFraction = 0.5, threshold = 0.8, maxCell = 100)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(flat.nonEmpty && tree1 == flat,
+      s"depth-1 tree != flat quantizer")
+    val flatG = Similarity.knnGraph(corpus, "id", "v", k = 3,
+        nCells = 8, trainIters = 2, trainFraction = 0.5, maxCell = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val tree1G = Similarity.knnGraphTree(corpus, "id", "v", k = 3,
+        targetOccupancy = 8, branch = 64, trainIters = 2,
+        trainFraction = 0.5, maxCell = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(tree1G == flatG, "depth-1 tree knnGraph != flat")
+    // depth-3 coverage smoke (branch 2 forces real depth on 60 rows:
+    // 30 cells -> levels [8, 2, 2]): every row assigned, pair
+    // contract held
+    val sizes = Similarity.treeLevelSizes(60, 2, branch = 2)
+    assert(sizes.length >= 3 && sizes.product >= 30, s"sizes=$sizes")
+    val (coarse, levels) = Similarity.kmeansFitTree(corpus, "id", "v",
+      sizes, iters = 2, trainFraction = 0.5)
+    assert(levels.length == sizes.length - 1)
+    val assigned = Similarity.assignCellsTree(corpus, "id", "v",
+      coarse, levels)
+    assert(assigned.count() == 60, "tree assignment dropped rows")
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+    val pairsT = Similarity.semDedupPairsTree(corpus, "id", "v",
+      targetOccupancy = 2, branch = 2, trainIters = 2,
+      trainFraction = 0.5, threshold = 0.8, maxCell = 100)
+    assert(pairsT.filter(col("sim") < 0.8 ||
+      col("id_a") >= col("id_b")).count() == 0)
+  }
+
   test("hierarchical knn-graph index: append+serve equals the frozen-" +
       "two-level-quantizer full recompute, replay and compact are " +
       "invisible, maintain retrains at the PINNED constant occupancy " +
