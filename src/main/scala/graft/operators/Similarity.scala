@@ -533,7 +533,14 @@ object Similarity {
       .localCheckpoint(false) // scanned once per iteration
     var it = 0
     while (it < iters) {
-      val assignedF = ftr.join(broadcast(fineArrOf(fine)), Seq("ccell"))
+      // local sort by parent BEFORE the broadcast probe (r14 perf):
+      // consecutive same-parent rows keep that parent's fine array
+      // hot in cache — unsorted probes pull a random ~branch·dim·8 B
+      // array per ROW once the broadcast outgrows L3 (the measured
+      // sf10→sf100 cache cliff). No shuffle, values unchanged (every
+      // downstream fold is order-insensitive).
+      val assignedF = ftr.sortWithinPartitions(col("ccell"))
+        .join(broadcast(fineArrOf(fine)), Seq("ccell"))
         .select(col("_v").as("v"),
           graft.plans.CentroidArgmax.column(col("fines"), col("_v"))
             .as("label"))
@@ -592,11 +599,26 @@ object Similarity {
       levelSizes: Seq[Int], iters: Int = 2, shift: Int = 20,
       trainFraction: Double = 1.0)
       : (Seq[(Long, Seq[Double])], Seq[DataFrame]) = {
+    val (coarse, levels, _) = kmeansFitTreeAssigned(corpus, idCol,
+      vecCol, levelSizes, iters, shift, trainFraction)
+    (coarse, levels)
+  }
+
+  /** [[kmeansFitTree]] + the full-corpus assignment it necessarily
+    * computed while descending (the deepest `parentAssign` IS the
+    * final (id, v, cell) frame): [[semDedupPairsTree]]/[[knnGraphTree]]
+    * consume this instead of re-folding [[assignCellsTree]] over the
+    * corpus — the final Σ level sims per row was the single largest
+    * super-linearly-scaling term, and it was being paid twice. */
+  private def kmeansFitTreeAssigned(corpus: DataFrame, idCol: String,
+      vecCol: String, levelSizes: Seq[Int], iters: Int, shift: Int,
+      trainFraction: Double)
+      : (Seq[(Long, Seq[Double])], Seq[DataFrame], DataFrame) = {
     require(levelSizes.nonEmpty, "kmeansFitTree: no levels")
     val coarse = kmeansFit(corpus, idCol, vecCol, levelSizes.head,
       iters, shift, trainFraction)
     var parentAssign = corpus.select(
-        col(idCol).cast("long").as("_id"),
+        idOrFail(col(idCol).cast("long"), "kmeansFitTree").as("_id"),
         col(vecCol).cast("array<double>").as("_v"),
         cellOf(coarse, col(vecCol)).as("ccell"))
       .localCheckpoint(false) // reused by seeds, training, next level
@@ -604,6 +626,7 @@ object Similarity {
       val fine = trainFineLevel(parentAssign, n, iters, shift,
         trainFraction)
       parentAssign = parentAssign
+        .sortWithinPartitions(col("ccell")) // cache locality, see trainFineLevel
         .join(broadcast(fineArrOf(fine)), Seq("ccell"))
         .select(col("_id"),
           col("_v"),
@@ -612,7 +635,8 @@ object Similarity {
         .localCheckpoint(false)
       fine
     }
-    (coarse, levels)
+    (coarse, levels, parentAssign.select(col("_id").as("id"),
+      col("_v").as("v"), col("ccell").as("cell")))
   }
 
   /** Full-corpus assignment under a [[kmeansFitTree]] quantizer:
@@ -629,6 +653,7 @@ object Similarity {
     levels.foreach { fine =>
       df = df
         .withColumnRenamed("cell", "ccell")
+        .sortWithinPartitions(col("ccell")) // cache locality, see trainFineLevel
         .join(broadcast(fineArrOf(fine)), Seq("ccell"))
         .select(col("id"), col("v"),
           graft.plans.CentroidArgmax.column(col("fines"), col("v"))
@@ -650,10 +675,9 @@ object Similarity {
       maxCell: Int = 2048): DataFrame = {
     val n = corpus.count()
     val sizes = treeLevelSizes(n, targetOccupancy, branch)
-    val (coarse, levels) = kmeansFitTree(corpus, idCol, vecCol, sizes,
-      trainIters, trainFraction = trainFraction)
-    val capped = Guards.capBuckets(
-      assignCellsTree(corpus, idCol, vecCol, coarse, levels),
+    val (_, _, assigned) = kmeansFitTreeAssigned(corpus, idCol, vecCol,
+      sizes, trainIters, 20, trainFraction)
+    val capped = Guards.capBuckets(assigned,
       Seq("cell"), maxCell, Some("semdedup_t_cells"))
       .localCheckpoint(false) // feeds both self-join sides
     val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
@@ -672,10 +696,9 @@ object Similarity {
       maxCell: Int = 2048): DataFrame = {
     val n = corpus.count()
     val sizes = treeLevelSizes(n, targetOccupancy, branch)
-    val (coarse, levels) = kmeansFitTree(corpus, idCol, vecCol, sizes,
-      trainIters, trainFraction = trainFraction)
-    val capped = Guards.capBuckets(
-      assignCellsTree(corpus, idCol, vecCol, coarse, levels),
+    val (_, _, assigned) = kmeansFitTreeAssigned(corpus, idCol, vecCol,
+      sizes, trainIters, 20, trainFraction)
+    val capped = Guards.capBuckets(assigned,
       Seq("cell"), maxCell, Some("knn_graph_t_cells"))
       .localCheckpoint(false) // feeds both self-join sides
     val a = capped.select(col("cell"), col("id").as("query_id"),
@@ -707,6 +730,7 @@ object Similarity {
         idOrFail(col(idCol).cast("long"), "assignCellsHier").as("id"),
         col(vecCol).cast("array<double>").as("v"),
         cellOf(coarse, col(vecCol)).as("ccell"))
+      .sortWithinPartitions(col("ccell")) // cache locality, see trainFineLevel
       .join(broadcast(fineArrOf(fine)), Seq("ccell"))
       .select(col("id"), col("v"),
         graft.plans.CentroidArgmax.column(col("fines"), col("v"))
@@ -1006,6 +1030,7 @@ object Similarity {
       base.withColumn("cell", cellOf(coarse, col("v")))
     else
       base.withColumn("ccell", cellOf(coarse, col("v")))
+        .sortWithinPartitions(col("ccell")) // cache locality, see trainFineLevel
         .join(broadcast(fineArrOf(
           spark.read.parquet(s"$indexDir/centroids_fine"))), Seq("ccell"))
         .select(col("id"), col("v"),
