@@ -63,6 +63,12 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
 
+  /** The driver's per-round SF dir — shared by the env fallback AND
+    * the headline-vs-isolated sidecar check (r15, ADVICE r14: two
+    * hardcoded copies meant a moved default would silently classify
+    * every run as isolated and let BENCH_EVIDENCE.json go stale). */
+  private val DefaultSfDir = "/root/testdata/sf0.1"
+
   private final case class Snap(
       compileMs: Long, gcMs: Long, loadedClasses: Long,
       codeCacheUsedMb: Long, metaspaceUsedMb: Long, heapUsedMb: Long,
@@ -124,7 +130,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_AQE=off benches with adaptive execution disabled —
     // the plan-shape sensitivity probe (VERDICT r9 #8): a suite whose
@@ -328,8 +334,7 @@ object Bench {
     // at a deterministic side path instead, so a calibration run can
     // never clobber the committed headline (two restore commits in two
     // rounds say this kept happening).
-    val isHeadline = only.isEmpty && aqe &&
-      sfDir == "/root/testdata/sf0.1"
+    val isHeadline = only.isEmpty && aqe && sfDir == DefaultSfDir
     val evidencePath =
       if (isHeadline) "BENCH_EVIDENCE.json"
       else {

@@ -321,16 +321,37 @@ object Retrieval {
       val prunedPath = new org.apache.hadoop.fs.Path(s"$indexDir/pruned")
       val fs = prunedPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val standing =
+      val emptyTerms =
+        spark.emptyDataFrame.select(lit("").as("term")).limit(0)
+      val prunedAll =
         if (fs.exists(prunedPath))
-          spark.read.parquet(s"$indexDir/pruned").select(col("term"))
-        else spark.emptyDataFrame.select(lit("").as("term")).limit(0)
+          Some(spark.read.parquet(s"$indexDir/pruned"))
+        else None
+      val standing = prunedAll.fold(emptyTerms)(_.select(col("term")))
+      // carry any EXISTING batch_id=-2 terms into the new write: the
+      // overwrite below replaces the whole -2 partition, and a prior
+      // crash's early tombstones (the exact recovery case this write
+      // exists for) live only there until a compact folds them — the
+      // old left_anti-only plan silently un-tombstoned them (df back
+      // to 0 → the idf resurrection this table prevents) (r15, ADVICE
+      // r14)
+      val early = prunedAll
+        .filter(_.columns.contains("batch_id"))
+        .fold(emptyTerms)(_.filter(col("batch_id") === lit(-2L))
+          .select(col("term")))
       spark.read.parquet(s"$indexDir/postings")
         .groupBy(col("term"))
         .agg(countDistinct(col(idCol)).as("__df")) // folded TOTAL df
         .filter(col("__df") > c)
         .select(col("term"))
         .join(standing, Seq("term"), "left_anti")
+        .unionByName(early).distinct()
+        // materialize BEFORE the overwrite (r15, ADVICE r14): the
+        // left_anti/union just READ the very batch_id=-2 files the
+        // write replaces — an unpinned plan re-lists them mid-write
+        // and the job dies with FileNotFoundException instead of
+        // honoring the early tombstone
+        .localCheckpoint(false)
         .write.mode("overwrite")
         .parquet(s"$indexDir/pruned/batch_id=-2")
       IndexLayout.compactTable(spark, s"$indexDir/pruned")(df =>

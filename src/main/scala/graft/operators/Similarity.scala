@@ -406,10 +406,25 @@ object Similarity {
     * count — this constant-occupancy entry point remains for
     * pair-stage-dominant callers below the assign crossover. */
   def cellsForOccupancy(rows: Long, targetOccupancy: Int): Int = {
+    val cells = cellsForOccupancyUncapped(rows, targetOccupancy)
+    math.min(cells, 1L << 20).toInt
+  }
+
+  /** The UNCAPPED occupancy dial (r15, VERDICT r14 #2) — the sizing
+    * the hierarchical/tree modes use: those paths never
+    * driver-collect a fine level (deeper layers live as DataFrames
+    * and reach assignments through the [[joinFineSide]]
+    * broadcast-vs-shuffle dial), so the 2²⁰ cap that protects the
+    * FLAT family's centroid collect would only re-introduce the
+    * growing-occupancy wall it exists to avoid: at occ 32 the capped
+    * dial saturated at ~33.5M vectors, after which per-cell pair work
+    * and per-task memory resumed climbing — the exact failure mode
+    * the hierarchy kills. */
+  private[graft] def cellsForOccupancyUncapped(rows: Long,
+      targetOccupancy: Int): Long = {
     require(rows >= 0 && targetOccupancy >= 1,
       s"cellsForOccupancy(rows=$rows, targetOccupancy=$targetOccupancy)")
-    val cells = (rows + targetOccupancy - 1) / targetOccupancy
-    math.max(1L, math.min(cells, 1L << 20)).toInt
+    math.max(1L, (rows + targetOccupancy - 1) / targetOccupancy)
   }
 
   /** BALANCED quantizer sizing (r11) — answer (a) of the
@@ -461,10 +476,19 @@ object Similarity {
     * √N-sized cells). Both derivations are IEEE-exact and replay in
     * SQL: `ceil(sqrt(x))` + integer ceil-division. */
   def hierCells(rows: Long, targetOccupancy: Int): (Int, Int) = {
-    val nCells = cellsForOccupancy(rows, targetOccupancy)
-    val nCoarse = math.ceil(math.sqrt(nCells.toDouble)).toInt
-    val nFine = ((nCells.toLong + nCoarse - 1) / nCoarse).toInt
-    (nCoarse, nFine)
+    // UNCAPPED (r15, VERDICT r14 #2): the two-level mode never
+    // driver-collects the fine layer, so constant occupancy holds at
+    // any corpus the coarse literal can carry — bounded below, loudly
+    val nCells = cellsForOccupancyUncapped(rows, targetOccupancy)
+    val nCoarse = math.ceil(math.sqrt(nCells.toDouble)).toLong
+    require(nCoarse <= (1L << 16),
+      s"hierCells: nCoarse=$nCoarse exceeds 2^16 — the coarse layer " +
+        "rides a driver-side literal argmax and stops being a " +
+        "sensible plan here; use the log-depth TREE mode " +
+        "(treeLevelSizes/kmeansFitTree), whose per-level literals " +
+        "are branch-bounded at any corpus size")
+    val nFine = ((nCells + nCoarse - 1) / nCoarse).toInt
+    (nCoarse.toInt, nFine)
   }
 
   /** Two-level coarse-then-fine Lloyd quantizer (r14, VERDICT r13 #1
@@ -498,39 +522,70 @@ object Similarity {
       nCoarse: Int, nFinePerCoarse: Int, iters: Int = 2,
       shift: Int = 20, trainFraction: Double = 1.0)
       : (Seq[(Long, Seq[Double])], DataFrame) = {
-    val coarse = kmeansFit(corpus, idCol, vecCol, nCoarse, iters, shift,
+    val vecs = vecsOf(corpus, idCol, vecCol)
+    val coarse = kmeansFit(vecs, "_id", "_v", nCoarse, iters, shift,
       trainFraction)
-    val cassign = corpus.select(
-      col(idCol).cast("long").as("_id"),
-      col(vecCol).cast("array<double>").as("_v"),
-      cellOf(coarse, col(vecCol)).as("ccell"))
-    (coarse, trainFineLevel(cassign, nFinePerCoarse, iters, shift,
+    val slim = vecs
+      .select(col("_id"), cellOf(coarse, col("_v")).as("ccell"))
+      .localCheckpoint(false) // 16 B/row — see vecsOf
+    (coarse, trainFineLevel(vecs, slim, nFinePerCoarse, iters, shift,
       trainFraction))
   }
 
+  /** The descent's ONE full-width materialization (r15, VERDICT r14
+    * #6): (_id, _v), hash-partitioned AND sorted by _id, pinned once.
+    * Every later stage that needs vectors equi-joins its slim
+    * (_id, cell) frame back against this — and because slim frames
+    * DERIVE from vecs through map-side ops (or re-exchange only their
+    * own 16 B rows), those joins reuse vecs' partitioning with ZERO
+    * exchange of the wide side. The r14 shape instead re-materialized
+    * (_id, _v, ccell) per level (3 × 2.6 GB localCheckpoints at sf100,
+    * the measured gap between the tree's 27.6×/decade cpu and its
+    * ~12.7× sims model) and shuffled full vectors through the per-cell
+    * seed window. */
+  private def vecsOf(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(
+        idOrFail(col(idCol).cast("long"), "quantizer descent").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .repartition(col("_id"))
+      .sortWithinPartitions(col("_id"))
+      .localCheckpoint(false)
+
   /** Train ONE distributed fine level under a frozen parent
-    * assignment `cassign` (_id, _v, ccell) — the shared inner loop of
-    * [[kmeansFitHier]] (one call) and [[kmeansFitTree]] (one call per
-    * level): seeds = each parent cell's `nFinePerCoarse`
-    * smallest-(md5, id) members of the FULL parent assignment,
-    * `iters` rounds of broadcast-join argmax assignment over the
-    * train sample + the fixed-point [[labelCentroids]] update keyed
-    * by the globally-unique fine cell id. Returns (ccell, cell_id,
-    * cv) — never driver-collected. */
-  private def trainFineLevel(cassign: DataFrame, nFinePerCoarse: Int,
-      iters: Int, shift: Int, trainFraction: Double): DataFrame = {
-    val seeds = cassign
+    * assignment — the shared inner loop of [[kmeansFitHier]] (one
+    * call) and [[kmeansFitTree]] (one call per level). `vecs` is the
+    * pinned (_id, _v) table ([[vecsOf]]), `slim` the pinned
+    * (_id, ccell) parent assignment: seeds = each parent cell's
+    * `nFinePerCoarse` smallest-(md5, id) members of the FULL parent
+    * assignment (winner ids picked over the 16 B slim rows — the r14
+    * shape shuffled full vectors through this window — then their
+    * vectors fetched back from `vecs` with one bounded join), `iters`
+    * rounds of broadcast-join argmax assignment over the train sample
+    * + the fixed-point [[labelCentroids]] update keyed by the
+    * globally-unique fine cell id. Returns (ccell, cell_id, cv) —
+    * never driver-collected. */
+  private def trainFineLevel(vecs: DataFrame, slim: DataFrame,
+      nFinePerCoarse: Int, iters: Int, shift: Int,
+      trainFraction: Double): DataFrame = {
+    val seedIds = slim
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("ccell"))
           .orderBy(md5(col("_id").cast("string")), col("_id"))))
       .filter(col("_rn") <= nFinePerCoarse)
+      .select(col("ccell"), col("_id"))
+    // winner vectors fetched from the pinned vecs table: the seed set
+    // is one row per fine cell — the bounded side of the join
+    val seeds = seedIds.join(vecs, Seq("_id"))
       .select(col("ccell"), col("_id").as("cell_id"), col("_v").as("cv"))
     // pin per round: the fine frame feeds the broadcast agg AND the
     // next round's left join (diamond DAGs recompute), and an
     // unbroken 2-iteration lineage would re-run the window each pass
     var fine = seeds.localCheckpoint(false)
-    val ftr = trainSide(cassign, "_id", trainFraction)
-      .localCheckpoint(false) // scanned once per iteration
+    // the train sample re-derives per scan from the two pinned inputs:
+    // hashKeep over slim's 16 B rows + the co-partitioned vecs join —
+    // no per-level full-width materialization (r15, VERDICT r14 #6)
+    val ftr = trainSide(slim, "_id", trainFraction).join(vecs, Seq("_id"))
     var it = 0
     while (it < iters) {
       // local sort by parent BEFORE the broadcast probe (r14 perf):
@@ -539,8 +594,7 @@ object Similarity {
       // array per ROW once the broadcast outgrows L3 (the measured
       // sf10→sf100 cache cliff). No shuffle, values unchanged (every
       // downstream fold is order-insensitive).
-      val assignedF = ftr.sortWithinPartitions(col("ccell"))
-        .join(broadcast(fineArrOf(fine)), Seq("ccell"))
+      val assignedF = joinFineSide(ftr, fine, "ccell")
         .select(col("_v").as("v"),
           graft.plans.CentroidArgmax.column(col("fines"), col("_v"))
             .as("label"))
@@ -560,6 +614,41 @@ object Similarity {
     fine
   }
 
+  /** Broadcast ceiling (in fine-table ROWS) for a hierarchical level's
+    * (parent → struct array) join side — overridable through the
+    * `graft.fineBroadcastMaxRows` system property so specs and
+    * measured runs can force the shuffle regime. Default 2²⁰ rows
+    * ≈ 0.5 GB at 64 d: the bound the old nCells cap encoded, now a
+    * JOIN-STRATEGY dial instead of a sizing cap. */
+  private[graft] def fineBroadcastMaxRows: Long =
+    sys.props.get("graft.fineBroadcastMaxRows").map(_.toLong)
+      .getOrElse(1L << 20)
+
+  /** One hierarchical-level assignment join (r15, VERDICT r14 #2):
+    * the probe side equi-joins the level's (parent → cell_id-sorted
+    * struct array) side on the parent cell. While the level's fine
+    * table fits [[fineBroadcastMaxRows]] rows it broadcasts (and the
+    * probe side locally sorts by parent for the r14 cache-locality
+    * win); past the ceiling it falls back to a plain shuffle
+    * equi-join — both sides exchange on the parent key, values
+    * identical, so constant occupancy survives arbitrarily deep fine
+    * layers instead of dying at the old 2²⁰ cap. The dial probe is
+    * one bounded count over the level's own (pinned or parquet) fine
+    * table — never the corpus. `fine` is the UNGROUPED
+    * (ccell, cell_id, cv) level. */
+  private def joinFineSide(probe: DataFrame, fine: DataFrame,
+      parentCol: String): DataFrame = {
+    val dial = fineBroadcastMaxRows
+    val capProbe = math.max(1L,
+      math.min(dial, Int.MaxValue.toLong - 1)).toInt
+    val nFine = fine.limit(capProbe + 1).count() // bounded: ≤ dial+1 rows
+    val arr = fineArrOf(fine).withColumnRenamed("ccell", parentCol)
+    if (nFine <= dial && nFine <= capProbe)
+      probe.sortWithinPartitions(col(parentCol))
+        .join(broadcast(arr), Seq(parentCol))
+    else probe.join(arr, Seq(parentCol))
+  }
+
   /** LOG-DEPTH level sizing (r14 — the asymptote the two-level
     * [[hierCells]] split cannot reach): nCells = ⌈rows/occ⌉ fine
     * cells split into levels of PINNED branching `branch` (last level
@@ -575,8 +664,11 @@ object Similarity {
   def treeLevelSizes(rows: Long, targetOccupancy: Int,
       branch: Int = 64): Seq[Int] = {
     require(branch >= 2, s"treeLevelSizes: branch=$branch")
-    val nCells = cellsForOccupancy(rows, targetOccupancy)
-    var remaining = nCells.toLong
+    // UNCAPPED (r15, VERDICT r14 #2): every level's per-parent size is
+    // branch-bounded and deeper levels are never driver-collected, so
+    // the tree's constant occupancy holds at ANY corpus size — the old
+    // 2^20 cap silently resumed occupancy growth past ~33.5M vectors
+    var remaining = cellsForOccupancyUncapped(rows, targetOccupancy)
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (remaining > branch) {
       sizes += branch
@@ -615,28 +707,29 @@ object Similarity {
       trainFraction: Double)
       : (Seq[(Long, Seq[Double])], Seq[DataFrame], DataFrame) = {
     require(levelSizes.nonEmpty, "kmeansFitTree: no levels")
-    val coarse = kmeansFit(corpus, idCol, vecCol, levelSizes.head,
+    val vecs = vecsOf(corpus, idCol, vecCol)
+    val coarse = kmeansFit(vecs, "_id", "_v", levelSizes.head,
       iters, shift, trainFraction)
-    var parentAssign = corpus.select(
-        idOrFail(col(idCol).cast("long"), "kmeansFitTree").as("_id"),
-        col(vecCol).cast("array<double>").as("_v"),
-        cellOf(coarse, col(vecCol)).as("ccell"))
-      .localCheckpoint(false) // reused by seeds, training, next level
+    // per-level pin is the 16 B (_id, ccell) frame ONLY (r15, VERDICT
+    // r14 #6) — vectors stay in the one pinned vecs table and re-join
+    // co-partitioned (zero exchange of the wide side) wherever a level
+    // needs them
+    var slim = vecs
+      .select(col("_id"), cellOf(coarse, col("_v")).as("ccell"))
+      .localCheckpoint(false)
     val levels = levelSizes.tail.map { n =>
-      val fine = trainFineLevel(parentAssign, n, iters, shift,
+      val fine = trainFineLevel(vecs, slim, n, iters, shift,
         trainFraction)
-      parentAssign = parentAssign
-        .sortWithinPartitions(col("ccell")) // cache locality, see trainFineLevel
-        .join(broadcast(fineArrOf(fine)), Seq("ccell"))
+      slim = joinFineSide(slim.join(vecs, Seq("_id")), fine, "ccell")
         .select(col("_id"),
-          col("_v"),
           graft.plans.CentroidArgmax.column(col("fines"), col("_v"))
             .as("ccell"))
         .localCheckpoint(false)
       fine
     }
-    (coarse, levels, parentAssign.select(col("_id").as("id"),
-      col("_v").as("v"), col("ccell").as("cell")))
+    (coarse, levels, slim.join(vecs, Seq("_id"))
+      .select(col("_id").as("id"), col("_v").as("v"),
+        col("ccell").as("cell")))
   }
 
   /** Full-corpus assignment under a [[kmeansFitTree]] quantizer:
@@ -651,10 +744,8 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"),
       cellOf(coarse, col(vecCol)).as("cell"))
     levels.foreach { fine =>
-      df = df
-        .withColumnRenamed("cell", "ccell")
-        .sortWithinPartitions(col("ccell")) // cache locality, see trainFineLevel
-        .join(broadcast(fineArrOf(fine)), Seq("ccell"))
+      df = joinFineSide(df.withColumnRenamed("cell", "ccell"), fine,
+          "ccell")
         .select(col("id"), col("v"),
           graft.plans.CentroidArgmax.column(col("fines"), col("v"))
             .as("cell"))
@@ -726,12 +817,12 @@ object Similarity {
     * coarse cell's layer. Zero shuffle: both folds are map-side. */
   def assignCellsHier(corpus: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[(Long, Seq[Double])], fine: DataFrame): DataFrame =
-    corpus.select(
-        idOrFail(col(idCol).cast("long"), "assignCellsHier").as("id"),
-        col(vecCol).cast("array<double>").as("v"),
-        cellOf(coarse, col(vecCol)).as("ccell"))
-      .sortWithinPartitions(col("ccell")) // cache locality, see trainFineLevel
-      .join(broadcast(fineArrOf(fine)), Seq("ccell"))
+    joinFineSide(
+        corpus.select(
+          idOrFail(col(idCol).cast("long"), "assignCellsHier").as("id"),
+          col(vecCol).cast("array<double>").as("v"),
+          cellOf(coarse, col(vecCol)).as("ccell")),
+        fine, "ccell")
       .select(col("id"), col("v"),
         graft.plans.CentroidArgmax.column(col("fines"), col("v"))
           .as("cell"))
@@ -991,6 +1082,107 @@ object Similarity {
       rebuildKnnGraphIndexHier(corpus, idCol, vecCol, indexDir, k,
         targetOccupancy, trainIters, trainFraction, skewFactor))
 
+  /** Build and persist the k-NN graph index under the LOG-DEPTH TREE
+    * quantizer (r15, VERDICT r14 #3 — the measured-best scale mode,
+    * persisted): the coarse level (≤ branch rows) lands at
+    * `centroids`, every deeper level at `centroids_level_<i>`
+    * (coarse-to-fine, each joined through the [[joinFineSide]] dial
+    * at assignment time, never collected); `meta` pins (k, max_cell,
+    * occupancy, branch) — occupancy+branch mark the tree family, so
+    * maintenance retrains re-derive the level sizes from the grown
+    * count while the dials never move. The assigned/graph layout,
+    * append, serve, compact and streaming member are all shared with
+    * the flat/hier family through the [[fineLevelPaths]] dispatch:
+    * only the quantizer differs. This is the asymptotic mode —
+    * constant occupancy (linear pairs, flat per-task memory) AND
+    * O(branch·log N) assignment sims per row, vs the two-level
+    * index's 2√nCells (N^1.5 total). nCells ≤ branch degenerates to
+    * exactly the flat [[buildKnnGraphIndex]] layout (no persisted
+    * fine level — spec-gated). The assigned table reuses the
+    * descent's OWN assignment (the r14 perf rule: the final Σ-level
+    * argmax is the dominant term and must not be paid twice). */
+  def buildKnnGraphIndexTree(corpus0: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int,
+      targetOccupancy: Int = 32, branch: Int = 64, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit = {
+    val corpus = corpus0.withColumn(idCol,
+      idOrFail(col(idCol), "buildKnnGraphIndexTree"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val sizes = treeLevelSizes(n, targetOccupancy, branch)
+    val maxCell = math.min(Int.MaxValue.toLong,
+      skewFactor.toLong * targetOccupancy).toInt
+    val (coarse, levels, assigned) = kmeansFitTreeAssigned(corpus,
+      idCol, vecCol, sizes, trainIters, 20, trainFraction)
+    Seq((k, maxCell, targetOccupancy, branch))
+      .toDF("k", "max_cell", "occupancy", "branch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    coarse.toDF("cell_id", "cv0")
+      .coalesce(1) // bounded: coarse level ≤ branch rows
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // clear any deeper levels a previous (deeper) build left behind:
+    // fineLevelPaths walks while-exists, so a stale level_2 under a
+    // now-depth-2 tree would silently mis-assign every probe
+    Iterator.from(1).map(i => s"$indexDir/centroids_level_$i")
+      .takeWhile { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(hp)
+      }
+      .foreach(p => IndexLayout.clear(spark, p))
+    levels.zipWithIndex.foreach { case (fine, i) =>
+      fine.select(col("ccell"), col("cell_id"), col("cv"))
+        .coalesce(1) // bounded by the level's cell count (≤ nCells)
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/centroids_level_${i + 1}")
+    }
+    IndexLayout.clear(spark, s"$indexDir/assigned")
+    IndexLayout.clear(spark, s"$indexDir/graph")
+    assigned
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assigned/batch_id=-1")
+    writeKnnGraphBase(spark, indexDir, k, maxCell)
+  }
+
+  /** Crash-safe staged retrain of a TREE k-NN graph index —
+    * [[rebuildKnnGraphIndex]]'s log-depth twin. */
+  def rebuildKnnGraphIndexTree(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int,
+      targetOccupancy: Int = 32, branch: Int = 64, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit =
+    IndexLayout.stagedRebuild(corpus.sparkSession, indexDir)(stage =>
+      buildKnnGraphIndexTree(corpus, idCol, vecCol, stage, k,
+        targetOccupancy, branch, trainIters, trainFraction, skewFactor))
+
+  /** [[rebuildKnnGraphIndexTree]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def rebuildKnnGraphIndexTreeLocked(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int,
+      targetOccupancy: Int = 32, branch: Int = 64, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      rebuildKnnGraphIndexTree(corpus, idCol, vecCol, indexDir, k,
+        targetOccupancy, branch, trainIters, trainFraction, skewFactor))
+
+  /** The pinned branching factor of a TREE index; None for the
+    * flat/two-level families (no branch column). */
+  private def knnGraphIndexBranch(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Int] = {
+    val df = spark.read.parquet(s"$indexDir/meta")
+    if (!df.columns.contains("branch")) None
+    else {
+      val m = df.select(col("branch").cast("int"))
+        .limit(2).collect() // bounded: meta is one pinned-params row
+      require(m.length == 1, s"knn graph index $indexDir: malformed meta")
+      if (m(0).isNullAt(0)) None else Some(m(0).getInt(0))
+    }
+  }
+
   /** The pinned constant-occupancy dial of a hierarchical index; None
     * for flat indexes (whose meta has no occupancy column — absence
     * marks the flat family, the keyword-index maxDf convention). */
@@ -1007,35 +1199,73 @@ object Similarity {
     }
   }
 
-  /** Assign a frame under a persisted k-NN graph index's FROZEN
-    * quantizer — (id, v, cell), dispatching on the index's family:
-    * flat = one literal argmax over the bounded `centroids` collect;
-    * hierarchical (a `centroids_fine` table exists) = coarse literal
-    * argmax + broadcast fine join + fine argmax, the
-    * [[assignCellsHier]] shape. Both are zero-shuffle map-side folds
-    * (the broadcast ships the fine table once per executor). */
+  /** Assign a frame under a persisted index's FROZEN quantizer —
+    * (id, v, cell) — through the family-blind [[withCellUnderIndex]]
+    * dispatch. */
   private def assignUnderIndex(batch: DataFrame, indexDir: String,
-      idCol: String, vecCol: String, op: String): DataFrame = {
-    val spark = batch.sparkSession
+      idCol: String, vecCol: String, op: String): DataFrame =
+    withCellUnderIndex(
+      batch.select(
+        idOrFail(col(idCol).cast("long"), op).as("id"),
+        col(vecCol).cast("array<double>").as("v")),
+      indexDir, col("v"))
+
+  /** The fine-level layouts a persisted index may carry, coarse-to-
+    * fine: the log-depth TREE family persists `centroids_level_1..d`
+    * (r15), the two-level family `centroids_fine` (r14), the flat
+    * family neither. Layout presence IS the family marker — every
+    * append/probe/serve path stays quantizer-blind. */
+  private def fineLevelPaths(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    val tree = Iterator.from(1)
+      .map(i => s"$indexDir/centroids_level_$i")
+      .takeWhile(exists).toSeq
+    if (tree.nonEmpty) tree
+    else if (exists(s"$indexDir/centroids_fine"))
+      Seq(s"$indexDir/centroids_fine")
+    else Seq.empty
+  }
+
+  /** Add a `cell` column to `df` — the `vec` column's fine-most cell
+    * under a persisted index's FROZEN quantizer, dispatching on the
+    * index's family by layout ([[fineLevelPaths]]): flat = one literal
+    * argmax over the bounded `centroids` collect; two-level / tree =
+    * coarse literal argmax + one [[joinFineSide]] join + argmax per
+    * persisted level. Every fold is map-side (deeper levels ship as a
+    * broadcast of (parent → cell_id-sorted struct array) below the
+    * [[fineBroadcastMaxRows]] dial, a parent-keyed shuffle join
+    * above). All other columns of `df` pass through untouched —
+    * callers pass PROJECTED frames, so the `__pcell`/`fines` working
+    * names cannot collide. */
+  private def withCellUnderIndex(df: DataFrame, indexDir: String,
+      vec: Column): DataFrame = {
+    val spark = df.sparkSession
     val coarse = spark.read.parquet(s"$indexDir/centroids")
-      .collect() // bounded: nCoarse (hier) or nCells (flat) rows
+      .collect() // bounded: √nCells (hier) / branch (tree) / nCells (flat) rows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
-    val base = batch.select(
-      idOrFail(col(idCol).cast("long"), op).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val finePath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids_fine")
-    val fs = finePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(finePath))
-      base.withColumn("cell", cellOf(coarse, col("v")))
-    else
-      base.withColumn("ccell", cellOf(coarse, col("v")))
-        .sortWithinPartitions(col("ccell")) // cache locality, see trainFineLevel
-        .join(broadcast(fineArrOf(
-          spark.read.parquet(s"$indexDir/centroids_fine"))), Seq("ccell"))
-        .select(col("id"), col("v"),
-          graft.plans.CentroidArgmax.column(col("fines"), col("v"))
-            .as("cell"))
+    val levels = fineLevelPaths(spark, indexDir)
+    if (levels.isEmpty) df.withColumn("cell", cellOf(coarse, vec))
+    else {
+      var acc = df.withColumn("__pcell", cellOf(coarse, vec))
+      levels.foreach { p =>
+        acc = joinFineSide(acc,
+            spark.read.parquet(p)
+              .select(col("ccell"), col("cell_id"), col("cv")),
+            "__pcell")
+          .withColumn("__next",
+            graft.plans.CentroidArgmax.column(col("fines"), vec))
+          .drop("__pcell", "fines")
+          .withColumnRenamed("__next", "__pcell")
+      }
+      acc.withColumnRenamed("__pcell", "cell")
+    }
   }
 
   /** (k, maxCell) pinned at [[buildKnnGraphIndex]] time — appends and
@@ -1252,26 +1482,42 @@ object Similarity {
   def maintainKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, maxOversizedCells: Int = 0,
       trainIters: Int = 2, trainFraction: Double = 1.0,
-      minOccupancy: Int = 32, skewFactor: Int = 64): Boolean = {
+      minOccupancy: Int = 32, skewFactor: Int = 64,
+      excludeBatchId: Option[Long] = None): Boolean = {
     val (k, maxCell) = knnGraphIndexMeta(spark, indexDir)
+    // excludeBatchId: the streaming cadence hook's replay contract —
+    // see maintainIvfIndex (r15, ADVICE r14): a rebuild folding the
+    // in-flight batch's prior attempt into the base would duplicate
+    // its members after the replay's own append
+    def stored(): DataFrame = {
+      val a = spark.read.parquet(s"$indexDir/assigned")
+      excludeBatchId.fold(a)(id => a.filter(col("batch_id") =!= lit(id)))
+    }
     val oversized = Guards.oversizedBuckets(
-        spark.read.parquet(s"$indexDir/assigned").select(col("cell")),
-        Seq("cell"), maxCell)
+        stored().select(col("cell")), Seq("cell"), maxCell)
       .limit(maxOversizedCells + 1).count() // bounded monitor job
     if (oversized <= maxOversizedCells) false
     else {
       graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir)) {
-        val corpus = spark.read.parquet(s"$indexDir/assigned")
-          .select(col("neighbor_id"), col("cv"))
-        knnGraphIndexOccupancy(spark, indexDir) match {
+        val corpus = stored().select(col("neighbor_id"), col("cv"))
+        (knnGraphIndexOccupancy(spark, indexDir),
+            knnGraphIndexBranch(spark, indexDir)) match {
+          // tree index (r15): retrain at the PINNED (occupancy,
+          // branch) — level sizes re-derive from the grown count,
+          // the dials themselves never move
+          case (Some(occ), Some(br)) =>
+            rebuildKnnGraphIndexTree(corpus, "neighbor_id", "cv",
+              indexDir, k = k, targetOccupancy = occ, branch = br,
+              trainIters = trainIters, trainFraction = trainFraction,
+              skewFactor = skewFactor)
           // hierarchical index (r14): the retrain stays at the PINNED
           // constant occupancy — nCoarse/nFine re-derive from the
           // grown count, the dial itself never moves
-          case Some(occ) =>
+          case (Some(occ), None) =>
             rebuildKnnGraphIndexHier(corpus, "neighbor_id", "cv",
               indexDir, k = k, targetOccupancy = occ, trainIters,
               trainFraction, skewFactor = skewFactor)
-          case None =>
+          case _ =>
             val n = corpus.count()
             val occ = balancedOccupancy(n, minOccupancy)
             rebuildKnnGraphIndex(corpus, "neighbor_id", "cv", indexDir,
@@ -1479,14 +1725,17 @@ object Similarity {
     // recover-before-write: see Dedup.appendToSpanIndex
     IndexLayout.recoverCompact(spark, indexDir)
     IndexLayout.recoverCompact(spark, s"$indexDir/assigned")
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-      .collect() // bounded: the persisted centroid table is nCells rows
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
-    batch.select(
-        idOrFail(col(idCol), "appendToIvfIndex").as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"),
-        cellOf(cent, col(vecCol)).as("cell"))
+    // family-blind assignment (r15, VERDICT r14 #1): the batch's cell
+    // comes from the index's OWN frozen quantizer — flat literal
+    // argmax, or the persisted coarse+fine walk for a
+    // buildIvfIndexHier index — via the shared dispatch, so the
+    // constant-occupancy mode rides the SAME append the flat family
+    // uses
+    withCellUnderIndex(
+        batch.select(
+          idOrFail(col(idCol), "appendToIvfIndex").as("neighbor_id"),
+          col(vecCol).cast("array<double>").as("cv")),
+        indexDir, col("cv"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/assigned/batch_id=$batchId")
@@ -1528,6 +1777,98 @@ object Similarity {
       buildIvfIndex(corpus, idCol, vecCol, stage, nCells, trainIters,
         trainFraction, maxCell, minOccupancy))
 
+  /** Build and PERSIST the IVF index under the CONSTANT-occupancy
+    * two-level quantizer (r15, VERDICT r14 #1 — the
+    * [[buildKnnGraphIndexHier]] layout for the family the streaming
+    * semantic gate rides): the coarse layer persists at `centroids`
+    * (⌈√nCells⌉ rows — the same bounded collect the flat index pays),
+    * the FINE layer at `centroids_fine` (nCells rows, joined at
+    * assignment time through the [[joinFineSide]] dial, never
+    * collected); `meta` pins (max_cell, min_occupancy, occupancy) —
+    * the occupancy column marks the index hierarchical and keeps
+    * maintenance retrains at the SAME constant dial forever. The
+    * assigned layout, append ([[appendToIvfIndex]]), probe
+    * ([[ivfTopKFromIndex]] — coarse-then-fine), incremental dedup
+    * ([[semDedupAgainstIndex]]) and compaction are all shared with
+    * the flat family: only the quantizer differs, so
+    * [[graft.streaming.StreamingFeatures.semanticGateBatch]] rides
+    * constant occupancy with no caller change. Per-cell pair work and
+    * per-task memory stop growing with the corpus — the flat balanced
+    * dial's measured sf100 wall (N^1.5 cpu + a 32-thread OOM from
+    * √N-sized cells). */
+  def buildIvfIndexHier(corpus0: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, targetOccupancy: Int = 32,
+      trainIters: Int = 2, trainFraction: Double = 1.0,
+      skewFactor: Int = 64): Unit = {
+    // same build-side NULL-loud id contract as buildIvfIndex
+    val corpus = corpus0.withColumn(idCol,
+      idOrFail(col(idCol), "buildIvfIndexHier"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val (nCoarse, nFine) = hierCells(n, targetOccupancy)
+    val maxCell = math.min(Int.MaxValue.toLong,
+      skewFactor.toLong * targetOccupancy).toInt
+    val (coarse, fine) = kmeansFitHier(corpus, idCol, vecCol, nCoarse,
+      nFine, trainIters, trainFraction = trainFraction)
+    // min_occupancy = the pinned constant dial itself: a maintenance
+    // rebuild re-derives nCoarse/nFine from the grown count, the
+    // occupancy never moves (the buildKnnGraphIndexHier contract)
+    Seq((maxCell, targetOccupancy, targetOccupancy))
+      .toDF("max_cell", "min_occupancy", "occupancy")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    coarse.toDF("cell_id", "cv0")
+      .coalesce(1) // bounded: nCoarse = √nCells rows
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    fine.select(col("ccell"), col("cell_id"), col("cv"))
+      .coalesce(1) // bounded: nCells rows — the joinFineSide table
+      .write.mode("overwrite").parquet(s"$indexDir/centroids_fine")
+    IndexLayout.clear(spark, s"$indexDir/assigned")
+    assignCellsHier(corpus, idCol, vecCol, coarse, fine)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assigned/batch_id=-1")
+  }
+
+  /** Crash-safe staged retrain of a HIERARCHICAL IVF index —
+    * [[rebuildIvfIndex]]'s constant-occupancy twin. */
+  def rebuildIvfIndexHier(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, targetOccupancy: Int = 32,
+      trainIters: Int = 2, trainFraction: Double = 1.0,
+      skewFactor: Int = 64): Unit =
+    IndexLayout.stagedRebuild(corpus.sparkSession, indexDir)(stage =>
+      buildIvfIndexHier(corpus, idCol, vecCol, stage, targetOccupancy,
+        trainIters, trainFraction, skewFactor))
+
+  /** [[rebuildIvfIndexHier]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def rebuildIvfIndexHierLocked(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, targetOccupancy: Int = 32,
+      trainIters: Int = 2, trainFraction: Double = 1.0,
+      skewFactor: Int = 64): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      rebuildIvfIndexHier(corpus, idCol, vecCol, indexDir,
+        targetOccupancy, trainIters, trainFraction, skewFactor))
+
+  /** The pinned constant-occupancy dial of a hierarchical IVF index;
+    * None for flat indexes (whose meta has no occupancy column —
+    * absence marks the family, the [[knnGraphIndexOccupancy]]
+    * convention). */
+  private def ivfIndexOccupancy(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Int] = {
+    val df = spark.read.parquet(s"$indexDir/meta")
+    if (!df.columns.contains("occupancy")) None
+    else {
+      val m = df.select(col("occupancy").cast("int"))
+        .limit(2).collect() // bounded: meta is one pinned-params row
+      require(m.length == 1, s"ivf index $indexDir: malformed meta")
+      if (m(0).isNullAt(0)) None else Some(m(0).getInt(0))
+    }
+  }
+
   /** Occupancy-driven IVF index maintenance (r13, VERDICT r12 #7) —
     * the composition the monitor and the retrain each promised half
     * of: measure the persisted index's per-cell occupancy (the
@@ -1548,33 +1889,52 @@ object Similarity {
   def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, maxOversizedCells: Int = 0,
       trainIters: Int = 2, trainFraction: Double = 1.0,
-      skewFactor: Int = 64): Boolean = {
+      skewFactor: Int = 64, excludeBatchId: Option[Long] = None)
+      : Boolean = {
     // the thresholds are the INDEX's pinned contract (r14, VERDICT r13
     // #2), never a caller arg: two maintenance jobs watching one index
     // read the same meta row, so they cannot disagree on what
     // "oversized" means or which dials a rebuild re-derives under
     val (maxCell, minOccupancy) = ivfIndexMeta(spark, indexDir)
-    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    // excludeBatchId (r15, ADVICE r14): a streaming gate runs the
+    // maintenance hook BEFORE its own batch's probe/append — a
+    // replayed boundary batch's prior-attempt partition must neither
+    // trip the monitor nor be folded into the batch_id=-1 base, where
+    // the probe's own excludeBatchId could no longer hide it (the
+    // batch would dedup against itself and silently vanish)
+    def stored(): DataFrame = {
+      val a = spark.read.parquet(s"$indexDir/assigned")
+      excludeBatchId.fold(a)(id => a.filter(col("batch_id") =!= lit(id)))
+    }
     val oversized = Guards.oversizedBuckets(
-        assigned.select(col("cell")), Seq("cell"), maxCell)
+        stored().select(col("cell")), Seq("cell"), maxCell)
       .limit(maxOversizedCells + 1).count() // bounded monitor job
     if (oversized <= maxOversizedCells) false
     else {
       graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir)) {
-        val corpus = spark.read.parquet(s"$indexDir/assigned")
-          .select(col("neighbor_id"), col("cv"))
-        val n = corpus.count()
-        val occ = balancedOccupancy(n, minOccupancy)
-        // re-pin max_cell at skewFactor × the rescaled occupancy (the
-        // maintainKnnGraphIndex convention): a cap frozen at the old
-        // corpus size would flag perfectly normal cells of the
-        // rescaled quantizer and thrash the rebuild
-        rebuildIvfIndex(corpus, "neighbor_id", "cv", indexDir,
-          nCells = cellsForOccupancy(n, occ), trainIters,
-          trainFraction,
-          maxCell = math.min(Int.MaxValue.toLong,
-            skewFactor.toLong * occ).toInt,
-          minOccupancy = minOccupancy)
+        val corpus = stored().select(col("neighbor_id"), col("cv"))
+        ivfIndexOccupancy(spark, indexDir) match {
+          // hierarchical index (r15): the retrain stays at the PINNED
+          // constant occupancy — nCoarse/nFine re-derive from the
+          // grown count, the dial itself never moves
+          case Some(occ) =>
+            rebuildIvfIndexHier(corpus, "neighbor_id", "cv", indexDir,
+              targetOccupancy = occ, trainIters, trainFraction,
+              skewFactor = skewFactor)
+          case None =>
+            val n = corpus.count()
+            val occ = balancedOccupancy(n, minOccupancy)
+            // re-pin max_cell at skewFactor × the rescaled occupancy
+            // (the maintainKnnGraphIndex convention): a cap frozen at
+            // the old corpus size would flag perfectly normal cells
+            // of the rescaled quantizer and thrash the rebuild
+            rebuildIvfIndex(corpus, "neighbor_id", "cv", indexDir,
+              nCells = cellsForOccupancy(n, occ), trainIters,
+              trainFraction,
+              maxCell = math.min(Int.MaxValue.toLong,
+                skewFactor.toLong * occ).toInt,
+              minOccupancy = minOccupancy)
+        }
       }
       true
     }
@@ -1585,6 +1945,16 @@ object Similarity {
     * pattern). */
   private[graft] def ivfIndexMeta(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (Int, Int) = {
+    // NAMED error for a pre-r14 index (r15, ADVICE r14): an index
+    // persisted before meta existed would otherwise die in a raw
+    // path-not-found from the parquet reader — name the cause and the
+    // remedy instead (the knnGraphIndexOccupancy tolerant-read spirit)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"ivf index $indexDir: no meta table — a pre-r14 index pins no " +
+        "maintenance contract; rebuild it (rebuildIvfIndex) to pin " +
+        "(max_cell, min_occupancy)")
     val m = spark.read.parquet(s"$indexDir/meta")
       .select(col("max_cell").cast("int"), col("min_occupancy").cast("int"))
       .limit(2).collect() // bounded: meta is one pinned-params row
@@ -1628,19 +1998,67 @@ object Similarity {
         .repartitionByRange(col("neighbor_id"), col("j"))
         .sortWithinPartitions(col("neighbor_id"), col("j")))
 
+  /** Two-stage probe of a HIERARCHICAL IVF index (r15, VERDICT r14
+    * #1): rank the bounded coarse layer, keep each query's top
+    * `nProbeCoarse` coarse cells, then rank ONLY those cells' fine
+    * centroids and keep the top `nProbe` — the standard coarse-then-
+    * fine probe approximation (nCoarse + nProbeCoarse·nFinePerCoarse
+    * sims per query instead of the flat layer's nCells). Recall
+    * contract: a fine cell whose parent was not probed is invisible —
+    * raise `nProbeCoarse` when boundary recall matters; determinism
+    * matches the family (round-6 sims, cell_id ties). */
+  private def ivfProbesHier(queries: DataFrame, indexDir: String,
+      idCol: String, vecCol: String, nProbe: Int,
+      nProbeCoarse: Int): DataFrame = {
+    val spark = queries.sparkSession
+    def rankKeep(df: DataFrame, simOf: Column, cellCol: Column,
+        keep: Int, outCell: String): DataFrame = df
+      .withColumn("__s", simOf)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__s").desc, cellCol)))
+      .filter(col("__rn") <= keep)
+      .select(col("query_id"), col("qv"), cellCol.as(outCell))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cprobes = rankKeep(
+      q.crossJoin(broadcast(spark.read.parquet(s"$indexDir/centroids"))),
+      round(VectorFns.cosineFast(col("qv"), col("cv0")), 6),
+      col("cell_id"), nProbeCoarse, "ccell")
+    // the fine side joins on the probed parent only — broadcast-sized
+    // below the dial, parent-keyed shuffle above (the joinFineSide
+    // regime, but the probe needs the per-centroid rows, not the
+    // struct-array fold)
+    val fine = spark.read.parquet(s"$indexDir/centroids_fine")
+      .select(col("ccell"), col("cell_id"), col("cv"))
+    rankKeep(
+      cprobes.join(broadcast(fine), Seq("ccell")),
+      round(VectorFns.cosineFast(col("qv"), col("cv")), 6),
+      col("cell_id"), nProbe, "cell")
+  }
+
   /** Probe a persisted [[buildIvfIndex]] index. Identical ranking
     * semantics to [[ivfTopK]]; the difference is the plan — the
     * assigned scan carries a partition filter over the probed cells
     * (≤ queries·nProbe distinct values, bounded by nCells, so the
-    * driver-side cell list is broadcast-sized by definition). */
+    * driver-side cell list is broadcast-sized by definition). A
+    * [[buildIvfIndexHier]] index probes coarse-then-fine
+    * ([[ivfProbesHier]]); `nProbeCoarse` (default = nProbe) is that
+    * family's recall dial and is ignored for flat indexes. */
   def ivfTopKFromIndex(queries: DataFrame, indexDir: String,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+      nProbeCoarse: Int = 0): DataFrame = {
     val spark = queries.sparkSession
-    val centDf = spark.read.parquet(s"$indexDir/centroids")
+    val hier = fineLevelPaths(spark, indexDir).nonEmpty
     // one materialization: the probe subplan (cross + window) would
     // otherwise execute twice — once for the cell collect, once in the
     // join (review r6)
-    val probes = ivfProbes(queries, centDf, idCol, vecCol, nProbe)
+    val probes = (if (hier)
+        ivfProbesHier(queries, indexDir, idCol, vecCol, nProbe,
+          if (nProbeCoarse > 0) nProbeCoarse else nProbe)
+      else ivfProbes(queries,
+        spark.read.parquet(s"$indexDir/centroids"), idCol, vecCol,
+        nProbe))
       .localCheckpoint(false)
     val probeCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted // bounded: ≤ nCells distinct cells
@@ -1713,17 +2131,15 @@ object Similarity {
       indexDir: String, idCol: String, vecCol: String, maxCell: Int,
       excludeBatchId: Option[Long]): DataFrame = {
     val spark = batch.sparkSession
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-      .collect() // bounded: the persisted centroid table is nCells rows
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
     // one materialization: the batch assignment feeds the touched-cell
-    // collect AND the pair join (diamond DAGs recompute)
-    val b = batch.select(
-        idOrFail(col(idCol).cast("long"), "semDedupIndexMembers").as("id"),
-        col(vecCol).cast("array<double>").as("v"),
-        cellOf(cent, col(vecCol)).as("cell"),
-        lit(true).as("is_batch"))
+    // collect AND the pair join (diamond DAGs recompute). The
+    // assignment dispatches on the index family (r15, VERDICT r14 #1):
+    // flat literal argmax, or the persisted coarse+fine walk — the
+    // probe machinery downstream is quantizer-blind, so the streaming
+    // semantic gate rides constant occupancy unchanged.
+    val b = assignUnderIndex(batch, indexDir, idCol, vecCol,
+        "semDedupIndexMembers")
+      .withColumn("is_batch", lit(true))
       .localCheckpoint(false)
     val touched = b.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted // bounded: ≤ nCells cells

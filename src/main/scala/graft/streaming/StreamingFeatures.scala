@@ -464,6 +464,27 @@ object StreamingFeatures {
       maxCell: Int = 2000,
       updateIndex: Boolean = true,
       maintainEvery: Long = 0L): DataFrame = {
+    // MAINTENANCE CADENCE (r14, VERDICT r13 #7; ORDER fixed r15,
+    // ADVICE r14): every `maintainEvery` micro-batches the gate runs
+    // the occupancy monitor against the index's own PINNED contract —
+    // a bounded keyed count when healthy, a locked staged retrain
+    // when the streamed distribution has drifted the frozen quantizer
+    // past its cap. The hook runs BEFORE the batch's probe/append,
+    // and the monitor AND rebuild EXCLUDE the batch's own batch_id:
+    // the r14 after-append placement folded the boundary batch into
+    // the batch_id=-1 base, where a crash before the checkpoint
+    // commit left the REPLAY dedup'ing the batch against its own rows
+    // (sim = 1 ≥ threshold → kept = ∅, the batch silently lost from
+    // the sink). Run first-and-excluding, a replayed boundary batch's
+    // retrain sees exactly what its first attempt saw, the prior
+    // attempt's partition stays hidden from the probe, and the append
+    // overwrite stays idempotent. 0 = off (the caller owns
+    // maintenance).
+    if (updateIndex && maintainEvery > 0L && batchId >= 0L &&
+        (batchId + 1L) % maintainEvery == 0L)
+      graft.operators.Similarity
+        .maintainIvfIndex(batch.sparkSession, indexDir,
+          excludeBatchId = Some(batchId))
     val dups = graft.operators.Similarity
       .semDedupAgainstIndex(batch, indexDir, idCol, vecCol, threshold,
         maxCell = maxCell, excludeBatchId = Some(batchId))
@@ -477,19 +498,6 @@ object StreamingFeatures {
       val pinned = kept.localCheckpoint(false)
       graft.operators.Similarity
         .appendToIvfIndex(pinned, idCol, vecCol, indexDir, batchId)
-      // MAINTENANCE CADENCE (r14, VERDICT r13 #7): every
-      // `maintainEvery` micro-batches the gate runs the occupancy
-      // monitor against the index's own PINNED contract — a bounded
-      // keyed count when healthy, a locked staged retrain when the
-      // streamed distribution has drifted the frozen quantizer past
-      // its cap. The hook runs AFTER the append (the batch's rows
-      // count toward occupancy) and is replay-safe: a redelivered
-      // boundary batch re-runs the monitor, which no-ops on the
-      // already-rebuilt index. 0 = off (the caller owns maintenance).
-      if (maintainEvery > 0L && batchId >= 0L &&
-          (batchId + 1L) % maintainEvery == 0L)
-        graft.operators.Similarity
-          .maintainIvfIndex(batch.sparkSession, indexDir)
       pinned
     }
   }
@@ -580,20 +588,26 @@ object StreamingFeatures {
       indexDir: String,
       batchId: Long,
       maintainEvery: Long = 0L): DataFrame = {
+    // maintenance cadence (r14, VERDICT r13 #7) — the semanticGateBatch
+    // hook for the graph family: every `maintainEvery` micro-batches,
+    // monitor occupancy against the index's pinned (k, maxCell) and
+    // staged-retrain under the lock when drifted; monitor-only when
+    // healthy, 0 = off. Runs BEFORE the batch's append and EXCLUDES
+    // the batch's own batch_id (r15, ADVICE r14): the r14 after-append
+    // placement folded the boundary batch into the batch_id=-1 base,
+    // so a replay's own append DUPLICATED its members (the append
+    // reads the index minus its batch_id — a base-folded copy is
+    // invisible to that exclusion).
+    if (maintainEvery > 0L && batchId >= 0L &&
+        (batchId + 1L) % maintainEvery == 0L)
+      graft.operators.Similarity
+        .maintainKnnGraphIndex(batch.sparkSession, indexDir,
+          excludeBatchId = Some(batchId))
     // pin once: the index append and the caller's sink write must see
     // the same rows (diamond DAGs recompute)
     val pinned = batch.localCheckpoint(false)
     graft.operators.Similarity
       .appendToKnnGraphIndex(pinned, idCol, vecCol, indexDir, batchId)
-    // maintenance cadence (r14, VERDICT r13 #7) — the semanticGateBatch
-    // hook for the graph family: every `maintainEvery` micro-batches,
-    // monitor occupancy against the index's pinned (k, maxCell) and
-    // staged-retrain under the lock when drifted; monitor-only when
-    // healthy, replay-safe, 0 = off.
-    if (maintainEvery > 0L && batchId >= 0L &&
-        (batchId + 1L) % maintainEvery == 0L)
-      graft.operators.Similarity
-        .maintainKnnGraphIndex(batch.sparkSession, indexDir)
     pinned
   }
 
