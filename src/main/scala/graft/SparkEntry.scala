@@ -4839,7 +4839,8 @@ $roundCtes"""
 
   /** Hierarchical (coarse-then-fine) Lloyd replay (r14, VERDICT r13
     * #1) — the CONSTANT-occupancy dial's full DuckDB unroll, shared
-    * by q_semdedup_h / q_knn_graph_h: nCells = ⌈n/occ⌉ (2²⁰ cap),
+    * by q_semdedup_h / q_knn_graph_h: nCells = ⌈n/occ⌉ (UNCAPPED —
+    * r15, VERDICT r14 #2, matching the engine's hierCells),
     * nCoarse = ⌈√nCells⌉, nFine = ⌈nCells/nCoarse⌉, all scalar
     * subqueries over the corpus CTE; the coarse layer trains exactly
     * like [[lloydAssignSqlExpr]] (2 iterations on the hashKeep(0.25)
@@ -4865,8 +4866,8 @@ $roundCtes"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                         md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
                  $corpusWhere),
-      dial AS (SELECT greatest(1, least((count(*) + ${occ - 1}) // $occ,
-                 1048576)) AS ncells FROM e),
+      dial AS (SELECT greatest(1, (count(*) + ${occ - 1}) // $occ)
+                 AS ncells FROM e),
       dial2 AS (SELECT ncells,
                   CAST(ceil(sqrt(CAST(ncells AS DOUBLE))) AS BIGINT)
                     AS ncoarse FROM dial),
@@ -5009,13 +5010,18 @@ $roundCtes"""
     * and the deep path's scale behavior is measured at sf10/sf100 in
     * BASELINE.md. */
   private val semDedupTreeQ = Q("q_semdedup_t",
-    (s, d) => Similarity.semDedupPairsTree(
-        Tables.embeddings(s, d), "vec_id", "embedding",
-        targetOccupancy = 32, branch = 64, trainIters = 2,
-        trainFraction = 0.25, threshold = 0.35, maxCell = 64 * 32)
-      .orderBy(col("id_a"), col("id_b")),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireOracleDepth("q_semdedup_t",
+        Similarity.treeLevelSizes(emb.count(), 32, branch = 64), 1)
+      Similarity.semDedupPairsTree(
+          emb, "vec_id", "embedding",
+          targetOccupancy = 32, branch = 64, trainIters = 2,
+          trainFraction = 0.25, threshold = 0.35, maxCell = 64 * 32)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     Some(lloydAssignSqlExpr(
-      "(SELECT greatest(1, least((count(*) + 31) // 32, 1048576)) FROM e)") + s""",
+      "(SELECT greatest(1, (count(*) + 31) // 32) FROM e)") + s""",
       capped AS (
         SELECT cell, neighbor_id AS id, cv AS v FROM (
           SELECT cell, neighbor_id, cv,
@@ -5031,13 +5037,18 @@ $roundCtes"""
     * ([[Similarity.knnGraphTree]]) — q_semdedup_t's graph twin; same
     * depth-at-verified-scale oracle contract. */
   private val knnGraphTreeQ = Q("q_knn_graph_t",
-    (s, d) => Similarity.knnGraphTree(
-        Tables.embeddings(s, d), "vec_id", "embedding", k = 5,
-        targetOccupancy = 32, branch = 64, trainIters = 2,
-        trainFraction = 0.25, maxCell = 64 * 32)
-      .orderBy(col("query_id"), col("rank")),
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireOracleDepth("q_knn_graph_t",
+        Similarity.treeLevelSizes(emb.count(), 32, branch = 64), 1)
+      Similarity.knnGraphTree(
+          emb, "vec_id", "embedding", k = 5,
+          targetOccupancy = 32, branch = 64, trainIters = 2,
+          trainFraction = 0.25, maxCell = 64 * 32)
+        .orderBy(col("query_id"), col("rank"))
+    },
     Some(lloydAssignSqlExpr(
-      "(SELECT greatest(1, least((count(*) + 31) // 32, 1048576)) FROM e)") + s""",
+      "(SELECT greatest(1, (count(*) + 31) // 32) FROM e)") + s""",
       capped AS (
         SELECT cell, neighbor_id AS id, cv AS v FROM (
           SELECT cell, neighbor_id, cv,
@@ -5051,6 +5062,167 @@ $roundCtes"""
                  AS rank
         FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Fail fast with a NAMED error when the correctness harness would
+    * compare a tree-quantizer query against an oracle whose STATIC
+    * unroll depth the current corpus does not imply (r15, ADVICE r14):
+    * the tree oracles replay a fixed depth, and running Verify at an
+    * sf whose dial yields another depth would otherwise report a bare
+    * hash mismatch with no cause named. Only the Verify main arms the
+    * check (`graft.verifyContext`) — Bench and production runs handle
+    * any depth and must not be gated. */
+  private def requireOracleDepth(name: String, sizes: Seq[Int],
+      expectedDepth: Int): Unit =
+    require(!sys.props.contains("graft.verifyContext") ||
+        sizes.length == expectedDepth,
+      s"$name: treeLevelSizes yields depth ${sizes.length} at this " +
+        s"sf but the declared oracle unrolls depth $expectedDepth — " +
+        "the hash compare would mismatch by construction; verify at " +
+        "the declared sf or re-declare the oracle depth")
+
+  /** Multi-level (log-depth tree) Lloyd replay (r15, VERDICT r14 #4)
+    * — [[hierLloydAssignSqlExpr]] generalized to ARBITRARY depth at a
+    * PINNED branch, mirroring [[Similarity.kmeansFitTree]] exactly:
+    * nCells = ⌈n/occ⌉ (uncapped), the coarse size = nCells
+    * ceil-divided by `branch` (depth−1) times, every deeper level
+    * seeds `branch` smallest-(md5, id) FULL-parent-assignment members
+    * per parent cell and trains 2 iterations on the hashKeep(0.25)
+    * sample with assignment RESTRICTED to the parent cell (JOIN ON
+    * ccell); each level's full-corpus descent feeds the next level's
+    * seeds/training/descent. Ends in `assign`(neighbor_id, cv, cell)
+    * with cell = the deepest level's winner. depth 2 with
+    * branch-sizing replaces nothing — [[hierLloydAssignSqlExpr]]'s
+    * √-split stays the two-level family's oracle; this generator
+    * proves the ≥ 2-fine-level DESCENT arithmetic the r14 oracles
+    * left spec-gated. */
+  private def treeLloydAssignSqlExpr(occ: Int, branch: Int, depth: Int,
+      corpusWhere: String = ""): String = {
+    require(depth >= 2 && branch >= 2,
+      s"treeLloydAssignSqlExpr(depth=$depth, branch=$branch)")
+    def upd(src: String, out: String): String = s"""
+      $out AS (
+        SELECT cell AS cell_id, list(comp ORDER BY i) AS cv FROM (
+          SELECT cell, i,
+                 round(CAST(sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1048576, 6) AS comp
+          FROM $src CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY cell, i) GROUP BY cell)"""
+    // coarse size = ncells ceil-divided by branch (depth-1) times —
+    // exactly Similarity.treeLevelSizes' loop, folded into arithmetic
+    val ncoarseExpr = (1 until depth).foldLeft("ncells") { (acc, _) =>
+      s"(($acc + ${branch - 1}) // $branch)"
+    }
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+                 $corpusWhere),
+      dial AS (SELECT greatest(1, (count(*) + ${occ - 1}) // $occ)
+                 AS ncells FROM e),
+      cent0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
+                ORDER BY h, vec_id LIMIT (SELECT $ncoarseExpr FROM dial)),
+      tr AS (SELECT vec_id, v FROM e WHERE substr(h, 1, 12) < '400000000000'),
+      a1 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM tr e CROSS JOIN cent0 c) WHERE rn = 1),${upd("a1", "u1")},
+      cent1 AS (
+        SELECT c0.cell_id, coalesce(u1.cv, c0.cv) AS cv
+        FROM cent0 c0 LEFT JOIN u1 USING (cell_id)),
+      a2 AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM tr e CROSS JOIN cent1 c) WHERE rn = 1),${upd("a2", "u2")},
+      cent2 AS (
+        SELECT c1.cell_id, coalesce(u2.cv, c1.cv) AS cv
+        FROM cent1 c1 LEFT JOIN u2 USING (cell_id)),
+      cas0 AS (
+        SELECT vec_id, v, h, cell AS ccell FROM (
+          SELECT e.vec_id, e.v, e.h, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cell_id) AS rn
+          FROM e CROSS JOIN cent2 c) WHERE rn = 1)"""
+    for (lvl <- 1 until depth) {
+      val p = s"cas${lvl - 1}"
+      sb ++= s""",
+      fseed$lvl AS (
+        SELECT ccell, vec_id AS cell_id, v AS cv FROM (
+          SELECT ccell, vec_id, v,
+                 row_number() OVER (PARTITION BY ccell
+                   ORDER BY h, vec_id) AS rn
+          FROM $p) WHERE rn <= $branch),
+      ctr$lvl AS (SELECT vec_id, v, ccell FROM $p
+              WHERE substr(h, 1, 12) < '400000000000'),
+      fa${lvl}a AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT t.vec_id, t.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   round(list_cosine_similarity(t.v, f.cv), 6) DESC, f.cell_id) AS rn
+          FROM ctr$lvl t JOIN fseed$lvl f ON t.ccell = f.ccell) WHERE rn = 1),${upd(s"fa${lvl}a", s"fu${lvl}a")},
+      fcent${lvl}a AS (
+        SELECT f.ccell, f.cell_id, coalesce(u.cv, f.cv) AS cv
+        FROM fseed$lvl f LEFT JOIN fu${lvl}a u USING (cell_id)),
+      fa${lvl}b AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT t.vec_id, t.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   round(list_cosine_similarity(t.v, f.cv), 6) DESC, f.cell_id) AS rn
+          FROM ctr$lvl t JOIN fcent${lvl}a f ON t.ccell = f.ccell) WHERE rn = 1),${upd(s"fa${lvl}b", s"fu${lvl}b")},
+      fcent${lvl}b AS (
+        SELECT f.ccell, f.cell_id, coalesce(u.cv, f.cv) AS cv
+        FROM fcent${lvl}a f LEFT JOIN fu${lvl}b u USING (cell_id)),
+      cas$lvl AS (
+        SELECT vec_id, v, h, cell AS ccell FROM (
+          SELECT c.vec_id, c.v, c.h, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   round(list_cosine_similarity(c.v, f.cv), 6) DESC, f.cell_id) AS rn
+          FROM $p c JOIN fcent${lvl}b f ON c.ccell = f.ccell) WHERE rn = 1)"""
+    }
+    sb ++= s""",
+      assign AS (
+        SELECT vec_id AS neighbor_id, v AS cv, ccell AS cell
+        FROM cas${depth - 1})"""
+    sb.toString
+  }
+
+  /** SemDeDup under a branch-FORCED depth-3 tree quantizer (r15,
+    * VERDICT r14 #4 — the multi-level descent HASH-ORACLED, closing
+    * r14's "spec-smoked, never hash-oracled at depth ≥ 2"): the
+    * corpus pins to the 500 vec_id < 500 rows (identical at every
+    * sf ≥ 0.01, so the depth never moves under the harness), occ 8 ×
+    * branch 4 gives nCells = 63 → levels [4, 4, 4] — a coarse Lloyd
+    * plus TWO distributed fine levels, every seed/train/descend step
+    * unrolled in DuckDB by [[treeLloydAssignSqlExpr]]. q_semdedup_t
+    * keeps proving the production branch-64 dial at the depth its
+    * scale implies; this instance proves the deep-descent arithmetic
+    * itself. */
+  private val semDedupTree2Q = Q("q_semdedup_t2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val sizes = Similarity.treeLevelSizes(emb.count(), 8, branch = 4)
+      require(sizes.length == 3,
+        s"q_semdedup_t2: corpus pin broken — depth ${sizes.length} " +
+          "!= 3 (the declared oracle unrolls exactly 2 fine levels)")
+      Similarity.semDedupPairsTree(emb, "vec_id", "embedding",
+          targetOccupancy = 8, branch = 4, trainIters = 2,
+          trainFraction = 0.25, threshold = 0.35, maxCell = 64 * 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(treeLloydAssignSqlExpr(8, 4, 3, "WHERE vec_id < 500") + s""",
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM assign) WHERE cn <= ${64 * 8})
+      SELECT cell, id_a, id_b, sim FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id < b.id)
+      WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
 
   /** Persisted HIERARCHICAL k-NN graph index lifecycle
     * ([[Similarity.buildKnnGraphIndexHier]] →
@@ -5097,6 +5269,68 @@ $roundCtes"""
                    round(list_cosine_similarity(t.v, f.cv), 6) DESC,
                    f.cell_id) AS rn
           FROM nb_c t JOIN fcent2 f ON t.ccell = f.ccell) WHERE rn = 1),
+      allm AS (
+        SELECT * FROM assign UNION ALL SELECT * FROM assign_new),
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM allm) WHERE cn <= ${64 * 32})
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+               row_number() OVER (PARTITION BY a.id ORDER BY
+                 round(list_cosine_similarity(a.v, b.v), 6) DESC, b.id)
+                 AS rank
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Persisted TREE k-NN graph index lifecycle
+    * ([[Similarity.buildKnnGraphIndexTree]] →
+    * [[Similarity.appendToKnnGraphIndex]] →
+    * [[Similarity.knnGraphFromIndex]], r15 — VERDICT r14 #3: the
+    * measured-best log-depth quantizer persisted as an index mode):
+    * the tree trains and FREEZES on the vec_id ≥ 50 corpus (coarse
+    * literal + `centroids_level_<i>` tables), the vec_id < 50 batch
+    * appends through the SAME family append path (the fineLevelPaths
+    * dispatch walks the levels), and the serve fold must equal the
+    * full within-cell top-k over the union under the frozen
+    * quantizer. THE ORACLE REPLAYS THE DEPTH ITS VERIFIED SCALE
+    * IMPLIES (the q_semdedup_t convention): at sf0.01 the build
+    * corpus is 450 rows → nCells = 15 ≤ branch — depth 1, whose tree
+    * build IS the flat Lloyd exactly; the deep-descent arithmetic is
+    * hash-oracled by q_semdedup_t2 and the multi-level index
+    * lifecycle by the branch-2 spec suite. */
+  private val knnIndexTreeQ = Q("q_knn_index_t",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + full rebuild each run; single-writer
+      // by harness contract — the q_knn_index convention
+      val indexDir = s"/tmp/graft_knn_tree/$tag"
+      val emb = Tables.embeddings(s, d)
+      val build = emb.filter(col("vec_id") >= 50)
+      requireOracleDepth("q_knn_index_t",
+        Similarity.treeLevelSizes(build.count(), 32, branch = 64), 1)
+      Similarity.buildKnnGraphIndexTree(build, "vec_id", "embedding",
+        indexDir, k = 5, targetOccupancy = 32, branch = 64,
+        trainIters = 2, trainFraction = 0.25)
+      Similarity.appendToKnnGraphIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", indexDir, batchId = 0L)
+      Similarity.knnGraphFromIndex(s, indexDir)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, (count(*) + 31) // 32) FROM e)",
+      "WHERE vec_id >= 50") + s""",
+      newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 50),
+      assign_new AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT n.vec_id, n.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM newb n CROSS JOIN cent2 c) WHERE rn = 1),
       allm AS (
         SELECT * FROM assign UNION ALL SELECT * FROM assign_new),
       capped AS (
@@ -6057,6 +6291,72 @@ ${pqPartsPivot(16)}
                  count(*) OVER (PARTITION BY cell) AS cn
           FROM allm) WHERE cn <= (SELECT 64 * greatest(32,
             CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e))
+      SELECT cell, id_a, id_b, sim FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM capped a JOIN capped b
+          ON a.cell = b.cell AND b.is_batch AND a.id <> b.id
+          AND (NOT a.is_batch OR a.id < b.id))
+      WHERE sim >= 0.35 ORDER BY id_b, id_a"""))
+
+  /** Incremental SemDeDup against a HIERARCHICAL IVF index (r15,
+    * VERDICT r14 #1 — the streaming semantic gate's family at
+    * constant occupancy, hash-oracled end to end): the index builds
+    * with [[Similarity.buildIvfIndexHier]] on the vec_id ≥ 50 corpus
+    * (two-level quantizer FROZEN at build: coarse persisted +
+    * collected, fine persisted + joined), the vec_id < 50 batch is
+    * FIRST APPENDED through the family-blind append (which walks the
+    * persisted fine layer) and the probe then EXCLUDES that partition
+    * — the exact [[graft.streaming.StreamingFeatures.semanticGateBatch]]
+    * replay path, now riding constant occupancy. Same gate
+    * orientation as q_semdedup_append; the oracle replays BOTH Lloyd
+    * levels on the corpus ([[hierLloydAssignSqlExpr]]), descends the
+    * batch through the frozen cent2 → fcent2, caps the union at the
+    * pinned constant 64·occ, and pairs batch-involving rows. */
+  private val semDedupAppendHierQ = Q("q_semdedup_append_h",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + full rebuild each run; single-writer
+      // by harness contract — the q_semdedup_append convention
+      val indexDir = s"/tmp/graft_semdedup_append_h/$tag"
+      val emb = Tables.embeddings(s, d)
+      val occ = 32 // CONSTANT — the hierarchy's whole point
+      Similarity.buildIvfIndexHier(emb.filter(col("vec_id") >= 50),
+        "vec_id", "embedding", indexDir, targetOccupancy = occ,
+        trainIters = 2, trainFraction = 0.25)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", indexDir, batchId = 0L)
+      Similarity.semDedupAgainstIndex(emb.filter(col("vec_id") < 50),
+          indexDir, "vec_id", "embedding", threshold = 0.35,
+          maxCell = 64 * occ, excludeBatchId = Some(0L))
+        .orderBy(col("id_b"), col("id_a"))
+    },
+    Some(hierLloydAssignSqlExpr(32, "WHERE vec_id >= 50") + s""",
+      newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 50),
+      nb_c AS (
+        SELECT vec_id, v, cell AS ccell FROM (
+          SELECT n.vec_id, n.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM newb n CROSS JOIN cent2 c) WHERE rn = 1),
+      assign_new AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT t.vec_id, t.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   round(list_cosine_similarity(t.v, f.cv), 6) DESC,
+                   f.cell_id) AS rn
+          FROM nb_c t JOIN fcent2 f ON t.ccell = f.ccell) WHERE rn = 1),
+      allm AS (
+        SELECT neighbor_id, cv, cell, FALSE AS is_batch FROM assign
+        UNION ALL
+        SELECT neighbor_id, cv, cell, TRUE AS is_batch FROM assign_new),
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v, is_batch FROM (
+          SELECT cell, neighbor_id, cv, is_batch,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM allm) WHERE cn <= ${64 * 32})
       SELECT cell, id_a, id_b, sim FROM (
         SELECT a.cell, a.id AS id_a, b.id AS id_b,
                round(list_cosine_similarity(a.v, b.v), 6) AS sim
@@ -8672,14 +8972,15 @@ ${pqPartsPivot(16)}
     driftReport, spanDedup, spanScrub, spanIncremental,
     temperatureSample, hardNegatives,
     outlierMad, semDedup, knnGraphQ, semDedupHierQ, knnGraphHierQ,
-    semDedupTreeQ, knnGraphTreeQ,
+    semDedupTreeQ, knnGraphTreeQ, semDedupTree2Q,
     decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
     dsirSample, randomProjection, rpTopK, sourceOverlap, bradleyTerryQ,
     labelProp, scoreCalibration, bm25Q, bm25IndexQ, noveltyQ,
     splitDedupAwareQ,
     ivfAppend, pqAppendQ, knnAppendQ, knnIndexQ, knnIndexHierQ,
-    semDedupAppendQ,
+    knnIndexTreeQ,
+    semDedupAppendQ, semDedupAppendHierQ,
     ivfOccupancy, ivfMaintainQ,
     embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,

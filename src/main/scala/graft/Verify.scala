@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Arm the oracle-depth guards (r15, ADVICE r14): queries whose
+    // DuckDB oracle unrolls a FIXED tree depth fail fast with a named
+    // error — instead of a bare hash mismatch — when this harness
+    // runs at an sf whose dial implies another depth. Bench and
+    // production runs never set this.
+    sys.props("graft.verifyContext") = "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
