@@ -730,8 +730,9 @@ object Dedup {
     * [[IndexLayout.compactTable]]'s staged swap; single-writer,
     * beyond the replay horizon (see compactTable's contract). */
   def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    IndexLayout.compactTable(spark, s"$indexDir/spans")(df =>
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
+    IndexLayout.compactTable(spark, s"$indexDir/spans",
+        excludeBatchId = excludeBatchId)(df =>
       df.groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"))
         .repartitionByRange(col("h")).sortWithinPartitions(col("h")))
 
@@ -742,8 +743,9 @@ object Dedup {
     * file set, collapsing the per-append file growth. Same staged
     * swap and single-writer contract as [[compactSpanIndex]]. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    IndexLayout.compactTable(spark, s"$indexDir/bands")(df =>
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
+    IndexLayout.compactTable(spark, s"$indexDir/bands",
+        excludeBatchId = excludeBatchId)(df =>
       df.select(col("id"), col("band"), col("bucket")).distinct()
         .repartitionByRange(col("band"), col("bucket"))
         .sortWithinPartitions(col("band"), col("bucket")))
@@ -766,14 +768,16 @@ object Dedup {
   /** [[compactSpanIndex]] under the cross-process
     * [[graft.fs.DirLock]]. */
   def compactSpanIndexLocked(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(compactSpanIndex(spark, indexDir))
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      compactSpanIndex(spark, indexDir, excludeBatchId))
 
   /** [[compactMinhashIndex]] under the cross-process
     * [[graft.fs.DirLock]]. */
   def compactMinhashIndexLocked(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(compactMinhashIndex(spark, indexDir))
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      compactMinhashIndex(spark, indexDir, excludeBatchId))
 
   private def spanIndexDelta(df: DataFrame, textCol: String,
       idCol: String, k: Int): DataFrame =

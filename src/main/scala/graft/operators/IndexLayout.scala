@@ -44,18 +44,43 @@ private[graft] object IndexLayout {
     * ([[graft.fs.DirLock]] is the opt-in cross-process guard), and a
     * replay of a pre-compaction batchId afterwards would re-add
     * already-folded deltas — compact only beyond the replay
-    * horizon. */
+    * horizon, OR pass `excludeBatchId` (r15, VERDICT r14 #7): that
+    * batch's partition is preserved VERBATIM in the compacted table
+    * instead of folded into the base, so the one batch still inside
+    * the replay horizon — a streaming gate compacting at its own
+    * micro-batch boundary — keeps its overwrite-idempotent partition
+    * and its probe exclusion (a fold would hide the prior attempt's
+    * rows inside `batch_id=-1`, where `excludeBatchId` probes can no
+    * longer see past them: the batch would dedup against itself). */
   def compactTable(spark: SparkSession, tableDir: String,
-      partitionByCols: Seq[String] = Nil)(
+      partitionByCols: Seq[String] = Nil,
+      excludeBatchId: Option[Long] = None)(
       fold: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame): Unit = {
     val live = new org.apache.hadoop.fs.Path(tableDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(spark, tableDir)
     val stage = new org.apache.hadoop.fs.Path(tableDir + StageSuffix)
-    val w = fold(spark.read.parquet(tableDir)).write.mode("overwrite")
+    val all = spark.read.parquet(tableDir)
+    val foldIn = excludeBatchId match {
+      case Some(b) if all.columns.contains("batch_id") =>
+        all.filter(org.apache.spark.sql.functions.col("batch_id") =!= b)
+      case _ => all
+    }
+    val w = fold(foldIn).write.mode("overwrite")
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*)
      else w).parquet(s"$stage/batch_id=-1")
+    // the excluded batch's partition rides into the stage untouched
+    // (rewritten, not folded) — the table stays complete through the
+    // swap and the batch's own append overwrite stays idempotent
+    excludeBatchId.foreach { b =>
+      val part = new org.apache.hadoop.fs.Path(live, s"batch_id=$b")
+      if (fs.exists(part)) {
+        val pw = spark.read.parquet(part.toString).write.mode("overwrite")
+        (if (partitionByCols.nonEmpty) pw.partitionBy(partitionByCols: _*)
+         else pw).parquet(s"$stage/batch_id=$b")
+      }
+    }
     fs.create(new org.apache.hadoop.fs.Path(stage, Marker), true).close()
     swapStage(fs, stage, live)
   }

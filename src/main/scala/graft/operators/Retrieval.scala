@@ -300,8 +300,19 @@ object Retrieval {
     * value-preserving on its own); single-writer, beyond the replay
     * horizon. */
   def compactKeywordIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, idCol: String): Unit = {
+      indexDir: String, idCol: String,
+      excludeBatchId: Option[Long] = None): Unit = {
     val cap = keywordIndexMaxDf(spark, indexDir)
+    // excludeBatchId (r15, VERDICT r14 #7): a streaming gate compacting
+    // at its own micro-batch boundary keeps that batch's partitions
+    // verbatim (compactTable's contract) — so the cap decisions here
+    // must also judge WITHOUT it, matching what a first attempt at
+    // this boundary would have seen
+    def minusBatch(df: DataFrame): DataFrame = excludeBatchId match {
+      case Some(b) if df.columns.contains("batch_id") =>
+        df.filter(col("batch_id") =!= lit(b))
+      case _ => df
+    }
     // fold the tombstone set first: the postings fold prunes against
     // it (a term that crossed the cap mid-life sheds its frozen
     // standing postings here — the healing half of the contract)
@@ -325,7 +336,7 @@ object Retrieval {
         spark.emptyDataFrame.select(lit("").as("term")).limit(0)
       val prunedAll =
         if (fs.exists(prunedPath))
-          Some(spark.read.parquet(s"$indexDir/pruned"))
+          Some(minusBatch(spark.read.parquet(s"$indexDir/pruned")))
         else None
       val standing = prunedAll.fold(emptyTerms)(_.select(col("term")))
       // carry any EXISTING batch_id=-2 terms into the new write: the
@@ -339,7 +350,7 @@ object Retrieval {
         .filter(_.columns.contains("batch_id"))
         .fold(emptyTerms)(_.filter(col("batch_id") === lit(-2L))
           .select(col("term")))
-      spark.read.parquet(s"$indexDir/postings")
+      minusBatch(spark.read.parquet(s"$indexDir/postings"))
         .groupBy(col("term"))
         .agg(countDistinct(col(idCol)).as("__df")) // folded TOTAL df
         .filter(col("__df") > c)
@@ -354,10 +365,12 @@ object Retrieval {
         .localCheckpoint(false)
         .write.mode("overwrite")
         .parquet(s"$indexDir/pruned/batch_id=-2")
-      IndexLayout.compactTable(spark, s"$indexDir/pruned")(df =>
+      IndexLayout.compactTable(spark, s"$indexDir/pruned",
+          excludeBatchId = excludeBatchId)(df =>
         df.select(col("term")).distinct())
     }
-    IndexLayout.compactTable(spark, s"$indexDir/postings") { df =>
+    IndexLayout.compactTable(spark, s"$indexDir/postings",
+        excludeBatchId = excludeBatchId) { df =>
       val folded0 = df.groupBy(col(idCol), col("term"))
         .agg(sum(col("tf")).as("tf"))
       val folded = cap.fold(folded0) { c =>
@@ -374,9 +387,11 @@ object Retrieval {
         .repartitionByRange(col("term"), col(idCol))
         .sortWithinPartitions(col("term"), col(idCol))
     }
-    IndexLayout.compactTable(spark, s"$indexDir/doclens")(df =>
+    IndexLayout.compactTable(spark, s"$indexDir/doclens",
+        excludeBatchId = excludeBatchId)(df =>
       df.groupBy(col(idCol)).agg(sum(col("dl")).as("dl")))
-    IndexLayout.compactTable(spark, s"$indexDir/totals")(df =>
+    IndexLayout.compactTable(spark, s"$indexDir/totals",
+        excludeBatchId = excludeBatchId)(df =>
       df.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
           coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
         .coalesce(1))
@@ -398,9 +413,10 @@ object Retrieval {
   /** [[compactKeywordIndex]] under the cross-process
     * [[graft.fs.DirLock]]. */
   def compactKeywordIndexLocked(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, idCol: String): Unit =
+      indexDir: String, idCol: String,
+      excludeBatchId: Option[Long] = None): Unit =
     graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
-      compactKeywordIndex(spark, indexDir, idCol))
+      compactKeywordIndex(spark, indexDir, idCol, excludeBatchId))
 
   /** [[bm25Search]] against a PERSISTED [[buildKeywordIndex]] index —
     * identical ranking arithmetic (the roundtrip must be invisible,

@@ -1563,8 +1563,9 @@ object Similarity {
 
   /** [[compactPqIndex]] under the cross-process [[graft.fs.DirLock]]. */
   def compactPqIndexLocked(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(compactPqIndex(spark, indexDir))
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      compactPqIndex(spark, indexDir, excludeBatchId))
 
   /** [[compactKnnGraphIndex]] under the cross-process
     * [[graft.fs.DirLock]]. */
@@ -1992,8 +1993,9 @@ object Similarity {
     * (neighbor-sorted for row-group locality), codebooks untouched.
     * Same staged-swap and single-writer contracts. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    IndexLayout.compactTable(spark, s"$indexDir/codes")(df =>
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
+    IndexLayout.compactTable(spark, s"$indexDir/codes",
+        excludeBatchId = excludeBatchId)(df =>
       df.select(col("neighbor_id"), col("j"), col("cid"))
         .repartitionByRange(col("neighbor_id"), col("j"))
         .sortWithinPartitions(col("neighbor_id"), col("j")))

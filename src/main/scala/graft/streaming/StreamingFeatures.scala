@@ -318,7 +318,23 @@ object StreamingFeatures {
       batchId: Long,
       k: Int = 8,
       maxDupRatio: Double = 0.5,
-      updateIndex: Boolean = true): DataFrame = {
+      updateIndex: Boolean = true,
+      compactEvery: Long = 0L): DataFrame = {
+    // COMPACTION CADENCE (r15, VERDICT r14 #7): the gate appends one
+    // file set per micro-batch forever — every `compactEvery` batches
+    // fold the accumulated deltas into the batch_id=-1 base before the
+    // probe's scan becomes a metadata storm. Runs BEFORE the batch's
+    // probe/append and EXCLUDES the batch's own batch_id (the
+    // maintainEvery placement, ADVICE r14): a replayed boundary
+    // batch's prior-attempt partition is preserved verbatim — never
+    // folded into the base where the probe's excludeBatchId could no
+    // longer hide it (the batch would self-match at dup_ratio 1.0 and
+    // silently vanish from the sink). Probe sums are associative, so
+    // gate decisions are unchanged by the fold. 0 = off.
+    if (updateIndex && compactEvery > 0L && batchId >= 0L &&
+        (batchId + 1L) % compactEvery == 0L)
+      graft.operators.Dedup.compactSpanIndex(batch.sparkSession,
+        indexDir, excludeBatchId = Some(batchId))
     val dups = graft.operators.Dedup
       .spanDupStatsAgainst(batch, textCol, idCol, k, indexDir,
         excludeBatchId = Some(batchId),
@@ -395,8 +411,20 @@ object StreamingFeatures {
       indexDir: String,
       batchId: Long,
       threshold: Double = 0.7,
-      updateIndex: Boolean = true): DataFrame = {
+      updateIndex: Boolean = true,
+      compactEvery: Long = 0L): DataFrame = {
     import graft.operators.Dedup
+    // compaction cadence (r15, VERDICT r14 #7) — the spanGateBatch
+    // hook: fold the per-batch band partitions into the base every
+    // `compactEvery` micro-batches, BEFORE the probe and EXCLUDING the
+    // batch's own batch_id (a replay's prior-attempt bands stay in
+    // their own partition, visible to neither the fold nor the probe).
+    // Band rows are distinct-preserving under the fold, so candidates
+    // — and gate decisions — are unchanged. 0 = off.
+    if (updateIndex && compactEvery > 0L && batchId >= 0L &&
+        (batchId + 1L) % compactEvery == 0L)
+      Dedup.compactMinhashIndex(batch.sparkSession, indexDir,
+        excludeBatchId = Some(batchId))
     val idxDups = Dedup
       .minhashNearDupsAgainstIndex(batch, corpus, textCol, idCol,
         indexDir, threshold = threshold, excludeBatchId = Some(batchId))
@@ -530,7 +558,20 @@ object StreamingFeatures {
       textCol: String,
       idCol: String,
       indexDir: String,
-      batchId: Long): DataFrame = {
+      batchId: Long,
+      compactEvery: Long = 0L): DataFrame = {
+    // compaction cadence (r15, VERDICT r14 #7): fold the per-batch
+    // postings/doclens/totals deltas into the base every
+    // `compactEvery` micro-batches, BEFORE the batch's append and
+    // EXCLUDING its batch_id — a replay's prior-attempt deltas stay
+    // in their own partition, which the replay's overwrite replaces
+    // (folded into the base they would double-count). df/dl/totals
+    // folds are sum-associative, so probe scores are unchanged.
+    // 0 = off.
+    if (compactEvery > 0L && batchId >= 0L &&
+        (batchId + 1L) % compactEvery == 0L)
+      graft.operators.Retrieval.compactKeywordIndex(batch.sparkSession,
+        indexDir, idCol, excludeBatchId = Some(batchId))
     // pin once: the index append and the caller's sink write must see
     // the same rows (diamond DAGs recompute)
     val pinned = batch.localCheckpoint(false)
@@ -558,7 +599,18 @@ object StreamingFeatures {
       idCol: String,
       vecCol: String,
       indexDir: String,
-      batchId: Long): DataFrame = {
+      batchId: Long,
+      compactEvery: Long = 0L): DataFrame = {
+    // compaction cadence (r15, VERDICT r14 #7): fold the per-batch
+    // code partitions into the base every `compactEvery` micro-batches,
+    // BEFORE the batch's append and EXCLUDING its batch_id (the
+    // keywordIndexBatch rationale — a base-folded prior attempt would
+    // double-count under the replay's overwrite). Codes ride the fold
+    // verbatim, so probes are unchanged. 0 = off.
+    if (compactEvery > 0L && batchId >= 0L &&
+        (batchId + 1L) % compactEvery == 0L)
+      graft.operators.Similarity.compactPqIndex(batch.sparkSession,
+        indexDir, excludeBatchId = Some(batchId))
     // pin once: the index append and the caller's sink write must see
     // the same rows (diamond DAGs recompute)
     val pinned = batch.localCheckpoint(false)

@@ -484,6 +484,197 @@ class StreamingSpec extends SparkSpec {
       "post-swap gate must drop the clone and keep the novel vector")
   }
 
+  test("semantic gate rides a HIERARCHICAL IVF index: constant-" +
+      "occupancy probes gate correctly, survive replay, and keep the " +
+      "index current (r15, VERDICT r14 #1)") {
+    import graft.operators.Similarity
+    val dir = s"/tmp/graft_ivfh_stream_${java.util.UUID.randomUUID()}"
+    val mk = (id: Long, x: Double, y: Double) => (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(100, 1.0, 0.0), mk(101, 0.9, 0.1),
+      mk(110, 0.0, 1.0), mk(111, 0.1, 0.9)).toDF("vec_id", "embedding")
+    Similarity.buildIvfIndexHier(corpus, "vec_id", "embedding", dir,
+      targetOccupancy = 2, trainIters = 2)
+    assert(spark.read.parquet(s"$dir/centroids_fine").count() > 0,
+      "fixture must exercise the hier layout")
+    // 1 near-copies the corpus; 2 is novel; 3 near-copies 2
+    val allVecs = Seq(mk(1, 0.99, 0.01), mk(2, 0.6, 0.8),
+      mk(3, 0.61, 0.79)).toDF("vec_id", "embedding")
+    def gate(ids: Seq[Long], batchId: Long) = StreamingFeatures
+      .semanticGateBatch(allVecs.filter($"vec_id".isin(ids: _*)),
+        "vec_id", "embedding", dir, batchId, threshold = 0.98)
+      .select("vec_id").as[Long].collect().toSet
+    // batch 1: the corpus near-copy drops, the novel vector survives
+    // and appends UNDER THE FROZEN HIER QUANTIZER (family-blind path)
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L))
+    // replay: its own appended partition must not change the decisions
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L), "replay changed the gate")
+    // batch 2: a near-copy of batch 1's survivor — caught only if the
+    // hier append actually landed in the cell the probe walks to
+    assert(gate(Seq(3L), 1L).isEmpty, "batch-1 survivor's copy leaked")
+    // the index stayed hierarchical throughout
+    assert(spark.read.parquet(s"$dir/centroids_fine").count() > 0)
+  }
+
+  test("span gate compaction cadence: delta partitions fold at the " +
+      "boundary, the batch's own partition is preserved, gate " +
+      "decisions and replay survive the fold (r15, VERDICT r14 #7)") {
+    import graft.operators.Dedup
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = s"/tmp/graft_spanidx_cadence_${java.util.UUID.randomUUID()}"
+    Dedup.buildSpanIndex(
+      Seq((100L, s"$shared iota kappa lambda mu")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 4, dir)
+    val tA = "completely different words about streams windows joins state"
+    val tB = "fresh unrelated content describing parquet row groups stats"
+    def gate(rows: Seq[(Long, String)], id: Long) = StreamingFeatures
+      .spanGateBatch(rows.toDF("doc_id", "text"), "text", "doc_id",
+        dir, id, k = 4, maxDupRatio = 0.3, compactEvery = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    // batch 0: (0+1) % 2 != 0 — no compact; novel doc kept + appended
+    assert(gate(Seq((1L, tA)), 0L) == Set(1L))
+    assert(spark.read.parquet(s"$dir/spans").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 0L))
+    // batch 1 IS the boundary: prior deltas fold into the base; the
+    // batch's own append stays in its own partition
+    assert(gate(Seq((2L, tB)), 1L) == Set(2L))
+    assert(spark.read.parquet(s"$dir/spans").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 1L),
+      "boundary compact did not fold the prior deltas")
+    // fold-correctness: a copy of the FOLDED batch-0 doc still gates
+    assert(gate(Seq((3L, s"$tA and a tail"), (4L,
+      "wholly novel passage on quantizer retrain swap protocols")), 2L)
+      == Set(4L), "folded deltas lost the batch-0 spans")
+    // replay of a boundary batch: the cadence re-fires, the batch's
+    // prior-attempt partition is EXCLUDED from the fold (preserved
+    // verbatim) — survivors unchanged, nothing double-counted
+    assert(gate(Seq((2L, tB)), 1L) == Set(2L),
+      "boundary replay dropped its survivors")
+    val counts = spark.read.parquet(s"$dir/spans")
+      .groupBy("h").agg(sum("n_docs").as("n")).select("n")
+      .as[Long].collect()
+    assert(counts.forall(_ <= 2L), // shared spans: corpus+copy pairs
+      "a span hash carries duplicated deltas after the boundary replay")
+  }
+
+  test("minhash gate compaction cadence: band partitions fold at the " +
+      "boundary; decisions and replay survive (r15, VERDICT r14 #7)") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val novel = "completely different content about compaction locks " +
+      "and staged swaps in index maintenance"
+    val novel2 = "entirely fresh sentence describing quantizer retrain " +
+      "swap protocols in careful detail"
+    val dir = s"/tmp/graft_mhidx_cadence_${java.util.UUID.randomUUID()}"
+    Dedup.buildMinhashIndex(Seq((100L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", dir, shingleN = 3, bands = 4, rows = 4)
+    val allDocs = Seq((100L, base), (1L, base + "!"), (2L, novel),
+      (3L, novel + "!"), (4L, novel2)).toDF("doc_id", "text")
+    def gate(ids: Seq[Long], batchId: Long) = StreamingFeatures
+      .minhashGateBatch(allDocs.filter($"doc_id".isin(ids: _*)),
+        allDocs, "text", "doc_id", dir, batchId, threshold = 0.4,
+        compactEvery = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    // batch 0 (off-boundary): corpus near-copy drops, novel kept
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L))
+    // batch 1 (boundary): folds batch 0's bands into the base
+    assert(gate(Seq(4L), 1L) == Set(4L))
+    assert(spark.read.parquet(s"$dir/bands").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 1L),
+      "boundary compact did not fold the prior band partitions")
+    // fold-correctness: a near-copy of the FOLDED batch-0 survivor
+    // still gates against the base
+    assert(gate(Seq(3L), 2L).isEmpty, "folded bands lost the survivor")
+    // boundary replay: prior-attempt partition preserved, not folded —
+    // the survivor must not self-match away
+    assert(gate(Seq(4L), 1L) == Set(4L),
+      "boundary replay dropped its survivor")
+    val dupBands = spark.read.parquet(s"$dir/bands")
+      .groupBy("id", "band").count().filter(col("count") > 1).count()
+    assert(dupBands == 0,
+      "a band row is duplicated after the boundary replay")
+  }
+
+  test("keyword index compaction cadence: postings fold at the " +
+      "boundary; scores equal the never-compacted twin and survive " +
+      "boundary replay (r15, VERDICT r14 #7)") {
+    import graft.operators.Retrieval
+    val dir = s"/tmp/graft_kwidx_cadence_${java.util.UUID.randomUUID()}"
+    val twin = s"/tmp/graft_kwidx_cadence_t_${java.util.UUID.randomUUID()}"
+    val seed = Seq((100L, "seed document about parquet files"))
+      .toDF("doc_id", "text")
+    Retrieval.buildKeywordIndex(seed, "doc_id", "text", dir)
+    Retrieval.buildKeywordIndex(seed, "doc_id", "text", twin)
+    val b0 = Seq((1L, "zebra quantum harmonics in vector spaces"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((2L, "another zebra sighting in embedding space"))
+      .toDF("doc_id", "text")
+    StreamingFeatures.keywordIndexBatch(b0, "text", "doc_id", dir, 0L,
+      compactEvery = 2L)
+    // boundary batch: fold 0's deltas, append 1's in its own partition
+    StreamingFeatures.keywordIndexBatch(b1, "text", "doc_id", dir, 1L,
+      compactEvery = 2L)
+    assert(spark.read.parquet(s"$dir/postings").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 1L),
+      "boundary compact did not fold the postings deltas")
+    // the never-compacted twin must score identically
+    StreamingFeatures.keywordIndexBatch(b0, "text", "doc_id", twin, 0L)
+    StreamingFeatures.keywordIndexBatch(b1, "text", "doc_id", twin, 1L)
+    def scores(d: String) = Retrieval
+      .bm25SearchFromIndex(spark, d, "doc_id", Seq("zebra"), 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    val s1 = scores(dir)
+    assert(s1 == scores(twin), "fold changed the served scores")
+    assert(s1.map(_._1) == Set(1L, 2L), s"probe lost docs: $s1")
+    // boundary replay: the batch's preserved partition is replaced,
+    // never double-counted into the folded base
+    StreamingFeatures.keywordIndexBatch(b1, "text", "doc_id", dir, 1L,
+      compactEvery = 2L)
+    assert(scores(dir) == s1, "boundary replay changed the scores")
+  }
+
+  test("PQ index compaction cadence: code partitions fold at the " +
+      "boundary; probes unchanged, boundary replay idempotent (r15, " +
+      "VERDICT r14 #7)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val build = emb.filter($"vec_id" >= 50)
+    val dir = s"/tmp/graft_pq_cadence_${java.util.UUID.randomUUID()}"
+    Similarity.buildPqIndex(build, "vec_id", "embedding", dir,
+      m = 16, trainIters = 2, trainFraction = 0.25)
+    val clone0 = build.filter($"vec_id" === 60)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    val clone1 = build.filter($"vec_id" === 61)
+      .select(lit(9998L).as("vec_id"), $"embedding")
+    StreamingFeatures.pqIndexBatch(clone0, "vec_id", "embedding", dir,
+      0L, compactEvery = 2L)
+    def probe() = Similarity.pqTopKFromIndex(
+        build.filter($"vec_id" === 60), dir, "vec_id", "embedding",
+        k = 10)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect().toSet
+    val before = probe()
+    assert(before.map(_._1).contains(9999L), "streamed codes missing")
+    // boundary: batch 0's codes fold into the base, batch 1's land
+    // in their own partition — probe scores must not move
+    StreamingFeatures.pqIndexBatch(clone1, "vec_id", "embedding", dir,
+      1L, compactEvery = 2L)
+    assert(spark.read.parquet(s"$dir/codes").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 1L),
+      "boundary compact did not fold the code partitions")
+    val after = probe()
+    // the fold must not CHANGE any existing code's score (the new
+    // 9998 entry may legitimately displace the old rank-10 item)
+    assert(after.filter(_._1 != 9998L).subsetOf(before),
+      s"the fold changed existing codes' scores:\n$before\n$after")
+    // boundary replay: preserved partition replaced, not double-counted
+    StreamingFeatures.pqIndexBatch(clone1, "vec_id", "embedding", dir,
+      1L, compactEvery = 2L)
+    assert(probe() == after, "boundary replay changed the probe")
+    val dupCodes = spark.read.parquet(s"$dir/codes")
+      .groupBy("neighbor_id", "j").count().filter(col("count") > 1)
+      .count()
+    assert(dupCodes == 0, "duplicated code rows after boundary replay")
+  }
+
   test("foreachBatch PQ-index maintenance: probes find streamed codes; " +
       "replay is idempotent (r12)") {
     import graft.operators.Similarity
