@@ -27,9 +27,39 @@ import graft.plans.BoundedTopK
 object Similarity {
 
   /** Shared top-k tail: scored(query_id, neighbor_id, sim) → best k per
-    * query with dense 1-based rank, ties broken by neighbor_id asc. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored
+    * query with dense 1-based rank, ties broken by neighbor_id asc.
+    *
+    * `expectedPairs` (r15): the all-pairs GRAPH callers feed this a
+    * corpus×occupancy-sized pair stream whose aggregation state does
+    * NOT fit the equi-join's nCells-keyed partitioning at scale —
+    * [[graft.plans.BoundedTopK]] is a TypedImperativeAggregate, so the
+    * partial ObjectHashAggregate falls back to an external KV sort
+    * past the (small) hash-map threshold, and a task holding
+    * pairs/shufflePartitions rows grows a pointer array + sort pages
+    * with the corpus (measured: 5M×32-occ vectors at 32 threads in a
+    * 16 GiB heap died in `UnsafeKVExternalSorter` page acquisition —
+    * the same per-task-memory cliff the constant-occupancy quantizers
+    * exist to kill, resurfacing one stage later). Callers that know
+    * the pair volume pass it; past [[PairRowsPerTask]] per default
+    * partition the stream re-keys by `query_id` over
+    * ceil(pairs/PairRowsPerTask) partitions — the groupBy then reuses
+    * that partitioning (no second exchange), each task's fallback
+    * sorter is bounded, and per-task memory is flat in the corpus
+    * again. Query-bounded probe callers (top-k per query batch) leave
+    * it unset — their pair streams are batch-sized. */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      expectedPairs: Long = -1L): DataFrame = {
+    val pre =
+      if (expectedPairs < 0L) scored
+      else {
+        val conf = scored.sparkSession.sessionState.conf
+        val parts = math.min(4096L,
+          expectedPairs / PairRowsPerTask + 1L).toInt
+        if (parts > conf.numShufflePartitions)
+          scored.repartition(parts, col("query_id"))
+        else scored
+      }
+    pre
       .groupBy(col("query_id"))
       .agg(BoundedTopK.column(col("sim"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -37,6 +67,20 @@ object Similarity {
         col("col.neighbor_id").as("neighbor_id"),
         col("col.sim").as("sim"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Pair rows a single heap-aggregation task should hold: 1M narrow
+    * (query_id, neighbor_id, sim) rows ≈ tens of MB of fallback-sort
+    * state — safe at full thread fan-out in a 16 GiB heap, large
+    * enough that the re-key never fires below ~32M pairs at the
+    * default 32 shuffle partitions (the sf0.1 suite plans are
+    * untouched). Overridable via the `graft.pairRowsPerTask` system
+    * property so specs can force the re-keyed plan at spec scale and
+    * assert it is result-identical (the fineBroadcastMaxRows
+    * convention). */
+  private def PairRowsPerTask: Long =
+    sys.props.get("graft.pairRowsPerTask").map(_.toLong)
+      .getOrElse(1L << 20)
 
   /** Hard cap on [[bruteForceTopK]]'s broadcast query side: past ~10⁵
     * query vectors the broadcast table stops fitting executor memory
@@ -799,7 +843,8 @@ object Similarity {
     val scored = a.join(b, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
-    topKPerQuery(scored, k)
+    topKPerQuery(scored, k,
+      expectedPairs = n * (targetOccupancy + 1L))
   }
 
   /** (ccell → cell_id-sorted fine struct array) — the broadcast side
@@ -869,6 +914,7 @@ object Similarity {
       assignCellsHier(corpus, idCol, vecCol, coarse, fine),
       Seq("cell"), maxCell, Some("knn_graph_h_cells"))
       .localCheckpoint(false) // feeds both self-join sides
+    val n = capped.count() // bounded: a cached-block count, feeds the pair dial
     val a = capped.select(col("cell"), col("id").as("query_id"),
       col("v").as("qv"))
     val b = capped.select(col("cell"), col("id").as("neighbor_id"),
@@ -876,7 +922,8 @@ object Similarity {
     val scored = a.join(b, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
-    topKPerQuery(scored, k)
+    topKPerQuery(scored, k, expectedPairs =
+      n * (n / math.max(1L, nCoarse.toLong * nFinePerCoarse) + 1L))
   }
 
   /** All-pairs k-NN GRAPH over the corpus (r11) — every vector's
@@ -914,6 +961,7 @@ object Similarity {
     val capped = Guards.capBuckets(assigned, Seq("cell"), maxCell,
       Some("knn_graph_cells"))
       .localCheckpoint(false)
+    val n = capped.count() // bounded: a cached-block count, feeds the pair dial
     val a = capped.select(col("cell"), col("id").as("query_id"),
       col("v").as("qv"))
     val b = capped.select(col("cell"), col("id").as("neighbor_id"),
@@ -921,7 +969,8 @@ object Similarity {
     val scored = a.join(b, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
-    topKPerQuery(scored, k)
+    topKPerQuery(scored, k,
+      expectedPairs = n * (n / math.max(1, nCells) + 1L))
   }
 
   /** Build and PERSIST the k-NN graph index (r13, VERDICT r12 #1) —

@@ -2276,6 +2276,39 @@ class PipelineOpsSpec extends SparkSpec {
       "rescaled tree quantizer fragmented the corpus")
   }
 
+  test("pair-volume re-key: the graph builders' heap aggregation is " +
+      "result-identical when the pair stream re-keys by query_id " +
+      "(r15 — the per-task fallback-sorter bound behind the sf100 " +
+      "32-thread completion)") {
+    import graft.operators.Similarity
+    val corpus = annFixture
+    def graphs() = (
+      Similarity.knnGraph(corpus, "id", "v", k = 3, nCells = 6,
+          trainIters = 2, trainFraction = 0.5, maxCell = 100)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq,
+      Similarity.knnGraphHier(corpus, "id", "v", k = 3, nCoarse = 3,
+          nFinePerCoarse = 3, trainIters = 2, trainFraction = 0.5,
+          maxCell = 100)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq,
+      Similarity.knnGraphTree(corpus, "id", "v", k = 3,
+          targetOccupancy = 8, branch = 4, trainIters = 2,
+          trainFraction = 0.5, maxCell = 100)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq)
+    val (flat0, hier0, tree0) = graphs()
+    assert(flat0.nonEmpty && hier0.nonEmpty && tree0.nonEmpty)
+    // one pair row per task: every builder takes the re-keyed plan
+    sys.props("graft.pairRowsPerTask") = "1"
+    try {
+      val (flat1, hier1, tree1) = graphs()
+      assert(flat1 == flat0, "re-keyed flat graph != default plan")
+      assert(hier1 == hier0, "re-keyed hier graph != default plan")
+      assert(tree1 == tree0, "re-keyed tree graph != default plan")
+    } finally sys.props.remove("graft.pairRowsPerTask")
+  }
+
   test("fine-side shuffle-join regime: assignments and serves are " +
       "identical when the deepest level exceeds the broadcast dial " +
       "(r15, VERDICT r14 #2 — uncapped constant occupancy)") {
