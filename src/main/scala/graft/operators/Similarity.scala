@@ -1488,13 +1488,19 @@ object Similarity {
     * single-writer/replay-horizon contract as
     * [[IndexLayout.compactTable]]. */
   def compactKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit = {
     val (k, _) = knnGraphIndexMeta(spark, indexDir)
     IndexLayout.compactTable(spark, s"$indexDir/assigned",
-      partitionByCols = Seq("cell"))(df =>
+      partitionByCols = Seq("cell"),
+      excludeBatchId = excludeBatchId)(df =>
       df.select(col("neighbor_id"), col("cv"), col("cell"))
         .repartition(col("cell")))
-    IndexLayout.compactTable(spark, s"$indexDir/graph")(df =>
+    // graph fold minus the preserved batch is serve-invisible by the
+    // same heap associativity the full fold rides — topK(topK(A)∪B) =
+    // topK(A∪B), and the serve's dropDuplicates still collapses a
+    // pair standing in both the folded base and the preserved delta
+    IndexLayout.compactTable(spark, s"$indexDir/graph",
+      excludeBatchId = excludeBatchId)(df =>
       topKPerQuery(
         df.select(col("query_id"), col("neighbor_id"), col("sim"))
           .dropDuplicates("query_id", "neighbor_id"), k)
@@ -1607,8 +1613,9 @@ object Similarity {
 
   /** [[compactIvfIndex]] under the cross-process [[graft.fs.DirLock]]. */
   def compactIvfIndexLocked(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(compactIvfIndex(spark, indexDir))
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      compactIvfIndex(spark, indexDir, excludeBatchId))
 
   /** [[compactPqIndex]] under the cross-process [[graft.fs.DirLock]]. */
   def compactPqIndexLocked(spark: org.apache.spark.sql.SparkSession,
@@ -1619,8 +1626,9 @@ object Similarity {
   /** [[compactKnnGraphIndex]] under the cross-process
     * [[graft.fs.DirLock]]. */
   def compactKnnGraphIndexLocked(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(compactKnnGraphIndex(spark, indexDir))
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      compactKnnGraphIndex(spark, indexDir, excludeBatchId))
 
   /** [[rebuildIvfIndex]] under the cross-process [[graft.fs.DirLock]]. */
   def rebuildIvfIndexLocked(corpus: DataFrame, idCol: String,
@@ -1803,9 +1811,10 @@ object Similarity {
     * staged-swap crash protocol and single-writer/replay-horizon
     * contract as [[graft.operators.IndexLayout.compactTable]]. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
+      indexDir: String, excludeBatchId: Option[Long] = None): Unit =
     IndexLayout.compactTable(spark, s"$indexDir/assigned",
-      partitionByCols = Seq("cell"))(df =>
+      partitionByCols = Seq("cell"),
+      excludeBatchId = excludeBatchId)(df =>
       df.select(col("neighbor_id"), col("cv"), col("cell"))
         .repartition(col("cell")))
 

@@ -491,7 +491,8 @@ object StreamingFeatures {
       threshold: Double = 0.85,
       maxCell: Int = 2000,
       updateIndex: Boolean = true,
-      maintainEvery: Long = 0L): DataFrame = {
+      maintainEvery: Long = 0L,
+      compactEvery: Long = 0L): DataFrame = {
     // MAINTENANCE CADENCE (r14, VERDICT r13 #7; ORDER fixed r15,
     // ADVICE r14): every `maintainEvery` micro-batches the gate runs
     // the occupancy monitor against the index's own PINNED contract —
@@ -513,6 +514,18 @@ object StreamingFeatures {
       graft.operators.Similarity
         .maintainIvfIndex(batch.sparkSession, indexDir,
           excludeBatchId = Some(batchId))
+    // compaction cadence (r15, VERDICT r14 #7 extended to this family):
+    // fold the per-batch assigned partitions into the base every
+    // `compactEvery` micro-batches, AFTER a same-boundary maintain (a
+    // rebuild leaves nothing to fold) and BEFORE the probe/append,
+    // EXCLUDING the batch's own batch_id — the preserved prior-attempt
+    // partition keeps the probe exclusion and the overwrite idempotent
+    // on replay. Probe results are fold-invariant (partition pruning
+    // rides the cell layout, which the fold preserves). 0 = off.
+    if (updateIndex && compactEvery > 0L && batchId >= 0L &&
+        (batchId + 1L) % compactEvery == 0L)
+      graft.operators.Similarity.compactIvfIndex(batch.sparkSession,
+        indexDir, excludeBatchId = Some(batchId))
     val dups = graft.operators.Similarity
       .semDedupAgainstIndex(batch, indexDir, idCol, vecCol, threshold,
         maxCell = maxCell, excludeBatchId = Some(batchId))
@@ -639,7 +652,8 @@ object StreamingFeatures {
       vecCol: String,
       indexDir: String,
       batchId: Long,
-      maintainEvery: Long = 0L): DataFrame = {
+      maintainEvery: Long = 0L,
+      compactEvery: Long = 0L): DataFrame = {
     // maintenance cadence (r14, VERDICT r13 #7) — the semanticGateBatch
     // hook for the graph family: every `maintainEvery` micro-batches,
     // monitor occupancy against the index's pinned (k, maxCell) and
@@ -655,6 +669,16 @@ object StreamingFeatures {
       graft.operators.Similarity
         .maintainKnnGraphIndex(batch.sparkSession, indexDir,
           excludeBatchId = Some(batchId))
+    // compaction cadence (r15, VERDICT r14 #7 extended to this
+    // family): fold assigned + graph delta partitions into their
+    // bases every `compactEvery` micro-batches, after a
+    // same-boundary maintain and before the append, excluding the
+    // batch's own batch_id — serve results are fold-invariant by the
+    // heap associativity the fold itself rides. 0 = off.
+    if (compactEvery > 0L && batchId >= 0L &&
+        (batchId + 1L) % compactEvery == 0L)
+      graft.operators.Similarity.compactKnnGraphIndex(
+        batch.sparkSession, indexDir, excludeBatchId = Some(batchId))
     // pin once: the index append and the caller's sink write must see
     // the same rows (diamond DAGs recompute)
     val pinned = batch.localCheckpoint(false)

@@ -675,6 +675,84 @@ class StreamingSpec extends SparkSpec {
     assert(dupCodes == 0, "duplicated code rows after boundary replay")
   }
 
+  test("semantic gate compaction cadence: assigned partitions fold at " +
+      "the boundary; gate decisions and boundary replay survive " +
+      "(r15, VERDICT r14 #7 extended)") {
+    import graft.operators.Similarity
+    val dir = s"/tmp/graft_ivf_cadence2_${java.util.UUID.randomUUID()}"
+    val mk = (id: Long, x: Double, y: Double) =>
+      (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(100, 1.0, 0.0), mk(101, 0.9, 0.1),
+      mk(110, 0.0, 1.0), mk(111, 0.1, 0.9)).toDF("vec_id", "embedding")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 2, trainIters = 2)
+    val allVecs = Seq(mk(1, 0.99, 0.01), mk(2, 0.6, 0.8),
+      mk(3, 0.61, 0.79), mk(4, -0.7, 0.7)).toDF("vec_id", "embedding")
+    def gate(ids: Seq[Long], batchId: Long) = StreamingFeatures
+      .semanticGateBatch(allVecs.filter($"vec_id".isin(ids: _*)),
+        "vec_id", "embedding", dir, batchId, threshold = 0.98,
+        compactEvery = 2L)
+      .select("vec_id").as[Long].collect().toSet
+    // batch 0 (off-boundary): corpus near-copy drops, novel kept
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L))
+    // batch 1 (boundary): batch 0's partition folds into the base
+    assert(gate(Seq(4L), 1L) == Set(4L))
+    assert(spark.read.parquet(s"$dir/assigned").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 1L),
+      "boundary compact did not fold the assigned partitions")
+    // fold-correctness: a near-copy of the FOLDED survivor still gates
+    assert(gate(Seq(3L), 2L).isEmpty, "folded partition lost the survivor")
+    // boundary replay: the preserved prior-attempt partition stays
+    // excluded from probe and fold — the survivor must not self-match
+    assert(gate(Seq(4L), 1L) == Set(4L),
+      "boundary replay dropped its survivor")
+    val dupVecs = spark.read.parquet(s"$dir/assigned")
+      .groupBy("neighbor_id").count().filter(col("count") > 1).count()
+    assert(dupVecs == 0, "duplicated vectors after the boundary replay")
+  }
+
+  test("knn-graph gate compaction cadence: assigned+graph partitions " +
+      "fold at the boundary; the served graph and boundary replay " +
+      "survive (r15, VERDICT r14 #7 extended)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val build = emb.filter($"vec_id" >= 50 && $"vec_id" < 200)
+    val dir = s"/tmp/graft_knn_cadence_${java.util.UUID.randomUUID()}"
+    val n = build.count()
+    val occ = Similarity.balancedOccupancy(n, minOccupancy = 32)
+    Similarity.buildKnnGraphIndex(build, "vec_id", "embedding", dir,
+      k = 5, nCells = Similarity.cellsForOccupancy(n, occ),
+      trainIters = 2, trainFraction = 0.25,
+      maxCell = (64L * occ).toInt)
+    val clone0 = build.filter($"vec_id" === 60)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    val clone1 = build.filter($"vec_id" === 61)
+      .select(lit(9998L).as("vec_id"), $"embedding")
+    def served() = Similarity.knnGraphFromIndex(spark, dir)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    StreamingFeatures.knnGraphIndexBatch(clone0, "vec_id", "embedding",
+      dir, 0L, compactEvery = 2L)
+    // boundary: batch 0's partitions fold; batch 1's stay their own
+    StreamingFeatures.knnGraphIndexBatch(clone1, "vec_id", "embedding",
+      dir, 1L, compactEvery = 2L)
+    assert(spark.read.parquet(s"$dir/assigned").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 1L),
+      "boundary compact did not fold the assigned partitions")
+    assert(spark.read.parquet(s"$dir/graph").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 1L),
+      "boundary compact did not fold the graph deltas")
+    val s1 = served()
+    assert(s1.contains((60L, 9999L, 1)) && s1.contains((61L, 9998L, 1)),
+      "folded graph lost streamed members")
+    // boundary replay: the append (reading the index minus its own
+    // partition) sees the folded base exactly as the first attempt
+    // saw the unfolded deltas — same vector set, same heaps
+    StreamingFeatures.knnGraphIndexBatch(clone1, "vec_id", "embedding",
+      dir, 1L, compactEvery = 2L)
+    assert(served() == s1, "boundary replay changed the served graph")
+  }
+
   test("foreachBatch PQ-index maintenance: probes find streamed codes; " +
       "replay is idempotent (r12)") {
     import graft.operators.Similarity
