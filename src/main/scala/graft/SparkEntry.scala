@@ -4965,6 +4965,46 @@ $roundCtes"""
         FROM capped a JOIN capped b ON a.cell = b.cell AND a.id < b.id)
       WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
 
+  /** q_semdedup_h with the fine-level assignment forced through the
+    * SHUFFLE-join regime (r15, VERDICT r14 #2): the same two-level
+    * Lloyd arithmetic, same DuckDB oracle, but every coarse→fine walk
+    * rides the parent-keyed shuffle join instead of the broadcast —
+    * the plan the uncapped dial takes past [[Similarity
+    * .fineBroadcastMaxRows]] (deepest levels beyond ~2²⁰ cells, where
+    * "constant occupancy forever" actually lives). A hash-equal row
+    * here proves the regime's VALUES, not just the spec's
+    * result-identity at toy scale; the dial is a join-strategy knob,
+    * so the oracle is q_semdedup_h's verbatim. */
+  private val semDedupHierShuffleQ = Q("q_semdedup_h_sj",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val occ = 32
+      val (nc, nf) = Similarity.hierCells(n, occ)
+      sys.props("graft.fineBroadcastMaxRows") = "1"
+      try
+        Similarity.semDedupPairsHier(emb, "vec_id", "embedding",
+            nCoarse = nc, nFinePerCoarse = nf, trainIters = 2,
+            trainFraction = 0.25, threshold = 0.35, maxCell = 64 * occ)
+          .orderBy(col("id_a"), col("id_b"))
+          // EAGER pin: the caller's write executes lazily, after this
+          // function returned and the finally reset the dial — a lazy
+          // checkpoint would plan the broadcast regime after all
+          .localCheckpoint(true)
+      finally sys.props.remove("graft.fineBroadcastMaxRows")
+    },
+    Some(hierLloydAssignSqlExpr(32) + s""",
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM assign) WHERE cn <= ${64 * 32})
+      SELECT cell, id_a, id_b, sim FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id < b.id)
+      WHERE sim >= 0.35 ORDER BY id_a, id_b"""))
+
   /** All-pairs k-NN graph at CONSTANT occupancy
     * ([[Similarity.knnGraphHier]]) — q_knn_graph's scale mode, same
     * ranking semantics, same shared hierarchical-Lloyd oracle. */
@@ -8971,7 +9011,8 @@ ${pqPartsPivot(16)}
     countsIncremental,
     driftReport, spanDedup, spanScrub, spanIncremental,
     temperatureSample, hardNegatives,
-    outlierMad, semDedup, knnGraphQ, semDedupHierQ, knnGraphHierQ,
+    outlierMad, semDedup, knnGraphQ, semDedupHierQ, semDedupHierShuffleQ,
+    knnGraphHierQ,
     semDedupTreeQ, knnGraphTreeQ, semDedupTree2Q,
     decayFeatures, featureHash,
     majorityVote, preferencePairs, paddingEff,
