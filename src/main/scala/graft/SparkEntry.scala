@@ -5387,6 +5387,85 @@ $roundCtes"""
         FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
       WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Persisted TREE k-NN graph index lifecycle at DEPTH 3 (r16,
+    * VERDICT r15 #4 — the deep PERSISTED lifecycle hash-oracled,
+    * closing "no query hash-oracles the persisted build+append+serve
+    * at depth ≥ 2"): the [[semDedupTree2Q]] branch-forced corpus pin
+    * composed with the [[knnIndexTreeQ]] lifecycle. The build corpus
+    * pins to the 450 vec_id ∈ [50, 500) rows (identical at every
+    * sf ≥ 0.01, so the depth never moves under the harness); occ 8 ×
+    * branch 4 gives nCells = 57 → levels [4, 4, 4] — a coarse Lloyd
+    * plus TWO persisted distributed fine levels. The vec_id < 50
+    * batch appends through the family-blind path (the fineLevelPaths
+    * dispatch walks BOTH persisted levels with the frozen-descent
+    * argmax — the arithmetic q_semdedup_t2 proves in-memory, here
+    * exercised through the PERSISTED `centroids_level_1..2` tables),
+    * and the serve fold must equal the full within-cell top-k over
+    * the union under the frozen tree. Oracle: the depth-3 Lloyd
+    * unroll on the build corpus ([[treeLloydAssignSqlExpr]]), the
+    * batch descended through the frozen cent2 → fcent1b → fcent2b,
+    * union capped at the pinned constant 64·occ. */
+  private val knnIndexTree2Q = Q("q_knn_index_t2",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + full rebuild each run; single-writer
+      // by harness contract — the q_knn_index convention
+      val indexDir = s"/tmp/graft_knn_tree2/$tag"
+      val emb = Tables.embeddings(s, d)
+      val build = emb.filter(col("vec_id") >= 50 && col("vec_id") < 500)
+      val sizes = Similarity.treeLevelSizes(build.count(), 8, branch = 4)
+      require(sizes.length == 3,
+        s"q_knn_index_t2: corpus pin broken — depth ${sizes.length} " +
+          "!= 3 (the declared oracle unrolls exactly 2 fine levels)")
+      Similarity.buildKnnGraphIndexTree(build, "vec_id", "embedding",
+        indexDir, k = 5, targetOccupancy = 8, branch = 4,
+        trainIters = 2, trainFraction = 0.25)
+      Similarity.appendToKnnGraphIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", indexDir, batchId = 0L)
+      Similarity.knnGraphFromIndex(s, indexDir)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(treeLloydAssignSqlExpr(8, 4, 3,
+      "WHERE vec_id >= 50 AND vec_id < 500") + s""",
+      newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 50),
+      nb0 AS (
+        SELECT vec_id, v, cell AS ccell FROM (
+          SELECT n.vec_id, n.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM newb n CROSS JOIN cent2 c) WHERE rn = 1),
+      nb1 AS (
+        SELECT vec_id, v, cell AS ccell FROM (
+          SELECT t.vec_id, t.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   round(list_cosine_similarity(t.v, f.cv), 6) DESC,
+                   f.cell_id) AS rn
+          FROM nb0 t JOIN fcent1b f ON t.ccell = f.ccell) WHERE rn = 1),
+      assign_new AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT t.vec_id, t.v, f.cell_id AS cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   round(list_cosine_similarity(t.v, f.cv), 6) DESC,
+                   f.cell_id) AS rn
+          FROM nb1 t JOIN fcent2b f ON t.ccell = f.ccell) WHERE rn = 1),
+      allm AS (
+        SELECT * FROM assign UNION ALL SELECT * FROM assign_new),
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v FROM (
+          SELECT cell, neighbor_id, cv,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM allm) WHERE cn <= ${64 * 8})
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+               row_number() OVER (PARTITION BY a.id ORDER BY
+                 round(list_cosine_similarity(a.v, b.v), 6) DESC, b.id)
+                 AS rank
+        FROM capped a JOIN capped b ON a.cell = b.cell AND a.id <> b.id)
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
     * of q_outlier_zscore: modified z = 0.6745·(v − median)/MAD, flag
     * |z| > 3.5 (Iglewicz–Hoaglin). Mean/stddev outliers mask each
@@ -6388,6 +6467,76 @@ ${pqPartsPivot(16)}
                    round(list_cosine_similarity(t.v, f.cv), 6) DESC,
                    f.cell_id) AS rn
           FROM nb_c t JOIN fcent2 f ON t.ccell = f.ccell) WHERE rn = 1),
+      allm AS (
+        SELECT neighbor_id, cv, cell, FALSE AS is_batch FROM assign
+        UNION ALL
+        SELECT neighbor_id, cv, cell, TRUE AS is_batch FROM assign_new),
+      capped AS (
+        SELECT cell, neighbor_id AS id, cv AS v, is_batch FROM (
+          SELECT cell, neighbor_id, cv, is_batch,
+                 count(*) OVER (PARTITION BY cell) AS cn
+          FROM allm) WHERE cn <= ${64 * 32})
+      SELECT cell, id_a, id_b, sim FROM (
+        SELECT a.cell, a.id AS id_a, b.id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM capped a JOIN capped b
+          ON a.cell = b.cell AND b.is_batch AND a.id <> b.id
+          AND (NOT a.is_batch OR a.id < b.id))
+      WHERE sim >= 0.35 ORDER BY id_b, id_a"""))
+
+  /** Incremental SemDeDup against a TREE IVF index (r16, VERDICT r15
+    * #1 — the production semantic gate's ASYMPTOTIC mode, hash-oracled
+    * end to end): the index builds with
+    * [[Similarity.buildIvfIndexTree]] on the vec_id ≥ 50 corpus
+    * (log-depth quantizer FROZEN at build: coarse persisted +
+    * collected, `centroids_level_<i>` persisted + joined), the
+    * vec_id < 50 batch is FIRST APPENDED through the family-blind
+    * append (the fineLevelPaths dispatch walks the levels) and the
+    * probe then EXCLUDES that partition — the exact
+    * [[graft.streaming.StreamingFeatures.semanticGateBatch]] replay
+    * path, now riding O(branch·log N) assignment sims at constant
+    * occupancy (the two-level q_semdedup_append_h pays 2√nCells per
+    * row — N^1.5 total — and its coarse literal walls at 2¹⁶; the
+    * tree has neither wall). THE ORACLE REPLAYS THE DEPTH ITS
+    * VERIFIED SCALE IMPLIES (the q_knn_index_t convention): at
+    * sf0.01 the 450-row build corpus gives nCells = 15 ≤ branch —
+    * depth 1, whose tree build IS the flat Lloyd exactly; the
+    * deep-descent arithmetic is hash-oracled by q_semdedup_t2 /
+    * q_knn_index_t2 and the multi-level IVF lifecycle by the
+    * branch-forced spec suite. */
+  private val semDedupAppendTreeQ = Q("q_semdedup_append_t",
+    (s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // stable per-dataset path + full rebuild each run; single-writer
+      // by harness contract — the q_semdedup_append convention
+      val indexDir = s"/tmp/graft_semdedup_append_t/$tag"
+      val emb = Tables.embeddings(s, d)
+      val occ = 32 // CONSTANT — the quantizer family's whole point
+      val build = emb.filter(col("vec_id") >= 50)
+      requireOracleDepth("q_semdedup_append_t",
+        Similarity.treeLevelSizes(build.count(), occ, branch = 64), 1)
+      Similarity.buildIvfIndexTree(build, "vec_id", "embedding",
+        indexDir, targetOccupancy = occ, branch = 64,
+        trainIters = 2, trainFraction = 0.25)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", indexDir, batchId = 0L)
+      Similarity.semDedupAgainstIndex(emb.filter(col("vec_id") < 50),
+          indexDir, "vec_id", "embedding", threshold = 0.35,
+          maxCell = 64 * occ, excludeBatchId = Some(0L))
+        .orderBy(col("id_b"), col("id_a"))
+    },
+    Some(lloydAssignSqlExpr(
+      "(SELECT greatest(1, (count(*) + 31) // 32) FROM e)",
+      "WHERE vec_id >= 50") + s""",
+      newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 50),
+      assign_new AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+          SELECT n.vec_id, n.v, c.cell_id AS cell,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                   c.cell_id) AS rn
+          FROM newb n CROSS JOIN cent2 c) WHERE rn = 1),
       allm AS (
         SELECT neighbor_id, cv, cell, FALSE AS is_batch FROM assign
         UNION ALL
@@ -9020,8 +9169,8 @@ ${pqPartsPivot(16)}
     labelProp, scoreCalibration, bm25Q, bm25IndexQ, noveltyQ,
     splitDedupAwareQ,
     ivfAppend, pqAppendQ, knnAppendQ, knnIndexQ, knnIndexHierQ,
-    knnIndexTreeQ,
-    semDedupAppendQ, semDedupAppendHierQ,
+    knnIndexTreeQ, knnIndexTree2Q,
+    semDedupAppendQ, semDedupAppendHierQ, semDedupAppendTreeQ,
     ivfOccupancy, ivfMaintainQ,
     embedAudit, tokenizerFertility,
     sessionPack, dedupTrend, weightedMedianQ, containmentQ,

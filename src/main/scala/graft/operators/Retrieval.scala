@@ -376,10 +376,22 @@ object Retrieval {
       val folded = cap.fold(folded0) { c =>
         // pin: the fold feeds the keep-list agg AND the semi-join
         val p0 = folded0.localCheckpoint(false)
+        // minusBatch on the pruned read too (r16, ADVICE r15): after
+        // the pruned compact above, the table still contains the
+        // excluded batch's PRESERVED partition — on a boundary replay
+        // of a capped index, that batch's batch-local tombstones would
+        // shed those terms' postings from the folded base here, while
+        // the replay's append (judging against the now-smaller df) may
+        // not re-tombstone the term and then overwrites the batch's
+        // pruned partition: base postings permanently dropped with no
+        // standing tombstone (the idf resurrection), diverging from a
+        // first attempt. The fold must judge WITHOUT the excluded
+        // batch on all four paths — standing/early/df above and this
+        // keep-list anti-join.
         val keep = p0.groupBy(col("term"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= c).select(col("term"))
-          .join(spark.read.parquet(s"$indexDir/pruned")
+          .join(minusBatch(spark.read.parquet(s"$indexDir/pruned"))
             .select(col("term")), Seq("term"), "left_anti")
         p0.join(keep, Seq("term"), "left_semi")
       }

@@ -53,8 +53,21 @@ object Similarity {
       if (expectedPairs < 0L) scored
       else {
         val conf = scored.sparkSession.sessionState.conf
+        // parts caps at 4096 (ADVICE r15): past ~4096·PairRowsPerTask
+        // expected pairs (≈ 4.3B at the default 2²⁰) per-task
+        // fallback-sorter state resumes growing linearly with the
+        // corpus — log the saturation instead of hitting the cliff
+        // silently; the remedy is a larger graft.pairRowsPerTask (more
+        // heap per task) or more partitions upstream of the cap.
         val parts = math.min(4096L,
           expectedPairs / PairRowsPerTask + 1L).toInt
+        if (parts == 4096)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"topKPerQuery: pair re-key saturated at 4096 partitions " +
+              s"(expectedPairs=$expectedPairs, rowsPerTask=" +
+              s"$PairRowsPerTask → ~${expectedPairs / 4096} rows/task " +
+              "of bounded-heap fallback state) — per-task memory grows " +
+              "with the corpus again past this point")
         if (parts > conf.numShufflePartitions)
           scored.repartition(parts, col("query_id"))
         else scored
@@ -79,8 +92,17 @@ object Similarity {
     * assert it is result-identical (the fineBroadcastMaxRows
     * convention). */
   private def PairRowsPerTask: Long =
-    sys.props.get("graft.pairRowsPerTask").map(_.toLong)
-      .getOrElse(1L << 20)
+    // validated like the other dials (ADVICE r15): a '0' would divide
+    // by zero and a malformed value would NumberFormatException at
+    // plan time, far from the property name — require > 0, named
+    sys.props.get("graft.pairRowsPerTask").map { s =>
+      val v = try s.toLong catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.pairRowsPerTask='$s' is not a long", e)
+      }
+      require(v > 0, s"graft.pairRowsPerTask=$v must be > 0")
+      v
+    }.getOrElse(1L << 20)
 
   /** Hard cap on [[bruteForceTopK]]'s broadcast query side: past ~10⁵
     * query vectors the broadcast table stops fitting executor memory
@@ -663,7 +685,14 @@ object Similarity {
     * `graft.fineBroadcastMaxRows` system property so specs and
     * measured runs can force the shuffle regime. Default 2²⁰ rows
     * ≈ 0.5 GB at 64 d: the bound the old nCells cap encoded, now a
-    * JOIN-STRATEGY dial instead of a sizing cap. */
+    * JOIN-STRATEGY dial instead of a sizing cap.
+    *
+    * PROCESS-GLOBAL (r16, ADVICE r15): a sys.props mutation around
+    * plan construction (the q_semdedup_h_sj pattern) is only safe
+    * because Verify/Bench build queries SEQUENTIALLY — concurrent
+    * plan construction in one JVM would leak the forced regime into
+    * unrelated plans built inside the try window. Parallel harnesses
+    * must set the dial once per JVM, not per query. */
   private[graft] def fineBroadcastMaxRows: Long =
     sys.props.get("graft.fineBroadcastMaxRows").map(_.toLong)
       .getOrElse(1L << 20)
@@ -1170,22 +1199,7 @@ object Similarity {
     coarse.toDF("cell_id", "cv0")
       .coalesce(1) // bounded: coarse level ≤ branch rows
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    // clear any deeper levels a previous (deeper) build left behind:
-    // fineLevelPaths walks while-exists, so a stale level_2 under a
-    // now-depth-2 tree would silently mis-assign every probe
-    Iterator.from(1).map(i => s"$indexDir/centroids_level_$i")
-      .takeWhile { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(hp)
-      }
-      .foreach(p => IndexLayout.clear(spark, p))
-    levels.zipWithIndex.foreach { case (fine, i) =>
-      fine.select(col("ccell"), col("cell_id"), col("cv"))
-        .coalesce(1) // bounded by the level's cell count (≤ nCells)
-        .write.mode("overwrite")
-        .parquet(s"$indexDir/centroids_level_${i + 1}")
-    }
+    writeTreeLevels(spark, indexDir, levels)
     IndexLayout.clear(spark, s"$indexDir/assigned")
     IndexLayout.clear(spark, s"$indexDir/graph")
     assigned
@@ -1258,6 +1272,29 @@ object Similarity {
         idOrFail(col(idCol).cast("long"), op).as("id"),
         col(vecCol).cast("array<double>").as("v")),
       indexDir, col("v"))
+
+  /** Persist a tree quantizer's deeper levels as
+    * `centroids_level_1..d` (coarse-to-fine) — shared by
+    * [[buildKnnGraphIndexTree]] and [[buildIvfIndexTree]]. Clears any
+    * deeper levels a previous (deeper) build left behind first:
+    * [[fineLevelPaths]] walks while-exists, so a stale level_2 under
+    * a now-depth-2 tree would silently mis-assign every probe. */
+  private def writeTreeLevels(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, levels: Seq[DataFrame]): Unit = {
+    Iterator.from(1).map(i => s"$indexDir/centroids_level_$i")
+      .takeWhile { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(hp)
+      }
+      .foreach(p => IndexLayout.clear(spark, p))
+    levels.zipWithIndex.foreach { case (fine, i) =>
+      fine.select(col("ccell"), col("cell_id"), col("cv"))
+        .coalesce(1) // bounded by the level's cell count (≤ nCells)
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/centroids_level_${i + 1}")
+    }
+  }
 
   /** The fine-level layouts a persisted index may carry, coarse-to-
     * fine: the log-depth TREE family persists `centroids_level_1..d`
@@ -1911,6 +1948,104 @@ object Similarity {
       rebuildIvfIndexHier(corpus, idCol, vecCol, indexDir,
         targetOccupancy, trainIters, trainFraction, skewFactor))
 
+  /** Build and PERSIST the IVF index under the LOG-DEPTH TREE
+    * quantizer (r16, VERDICT r15 #1 — the production semantic gate's
+    * asymptotic mode): the [[buildKnnGraphIndexTree]] layout under
+    * the [[buildIvfIndexHier]] meta contract. The coarse level
+    * (≤ branch rows) persists at `centroids`, every deeper level at
+    * `centroids_level_<i>` (coarse-to-fine, each joined through the
+    * [[joinFineSide]] dial at assignment time, never collected);
+    * `meta` pins (max_cell, min_occupancy, occupancy, branch) —
+    * occupancy marks the constant-occupancy family, branch marks the
+    * tree member, so maintenance retrains re-derive the level sizes
+    * from the grown count while the dials never move. The assigned
+    * layout, append ([[appendToIvfIndex]]), probe
+    * ([[ivfTopKFromIndex]] — the level-walking [[ivfProbesHier]]),
+    * incremental dedup ([[semDedupAgainstIndex]]) and compaction are
+    * all shared with the flat/hier family through the family-blind
+    * [[withCellUnderIndex]]/[[fineLevelPaths]] dispatch: only the
+    * quantizer differs, so
+    * [[graft.streaming.StreamingFeatures.semanticGateBatch]] rides
+    * the tree with no caller change. This retires the two-level
+    * mode's [[hierCells]] 2¹⁶-coarse wall for the family: every
+    * level's per-parent size is branch-bounded, per-row assignment is
+    * O(branch·log N) sims (vs the two-level split's 2√nCells = the
+    * N^1.5 total the r15 verdict flagged one decade short of the
+    * 100 TB bar), and constant occupancy holds at any corpus size.
+    * nCells ≤ branch degenerates to exactly the flat [[buildIvfIndex]]
+    * layout (no persisted fine level — spec-gated). */
+  def buildIvfIndexTree(corpus0: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, targetOccupancy: Int = 32,
+      branch: Int = 64, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit = {
+    // same build-side NULL-loud id contract as buildIvfIndex
+    val corpus = corpus0.withColumn(idCol,
+      idOrFail(col(idCol), "buildIvfIndexTree"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val sizes = treeLevelSizes(n, targetOccupancy, branch)
+    val maxCell = math.min(Int.MaxValue.toLong,
+      skewFactor.toLong * targetOccupancy).toInt
+    // the descent's own assignment is reused as the stored table (the
+    // r14 perf rule: the final Σ-level argmax is the dominant term
+    // and must not be paid twice)
+    val (coarse, levels, assigned) = kmeansFitTreeAssigned(corpus,
+      idCol, vecCol, sizes, trainIters, 20, trainFraction)
+    // min_occupancy = the pinned constant dial itself (the
+    // buildIvfIndexHier convention); branch pins the tree member
+    Seq((maxCell, targetOccupancy, targetOccupancy, branch))
+      .toDF("max_cell", "min_occupancy", "occupancy", "branch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    coarse.toDF("cell_id", "cv0")
+      .coalesce(1) // bounded: coarse level ≤ branch rows
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    writeTreeLevels(spark, indexDir, levels)
+    IndexLayout.clear(spark, s"$indexDir/assigned")
+    assigned
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/assigned/batch_id=-1")
+  }
+
+  /** Crash-safe staged retrain of a TREE IVF index —
+    * [[rebuildIvfIndex]]'s log-depth twin. */
+  def rebuildIvfIndexTree(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, targetOccupancy: Int = 32,
+      branch: Int = 64, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit =
+    IndexLayout.stagedRebuild(corpus.sparkSession, indexDir)(stage =>
+      buildIvfIndexTree(corpus, idCol, vecCol, stage, targetOccupancy,
+        branch, trainIters, trainFraction, skewFactor))
+
+  /** [[rebuildIvfIndexTree]] under the cross-process
+    * [[graft.fs.DirLock]]. */
+  def rebuildIvfIndexTreeLocked(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, targetOccupancy: Int = 32,
+      branch: Int = 64, trainIters: Int = 2,
+      trainFraction: Double = 1.0, skewFactor: Int = 64): Unit =
+    graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir))(
+      rebuildIvfIndexTree(corpus, idCol, vecCol, indexDir,
+        targetOccupancy, branch, trainIters, trainFraction, skewFactor))
+
+  /** The pinned branching factor of a TREE IVF index; None for the
+    * flat/two-level families (no branch column — the
+    * [[knnGraphIndexBranch]] convention). */
+  private def ivfIndexBranch(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Int] = {
+    val df = spark.read.parquet(s"$indexDir/meta")
+    if (!df.columns.contains("branch")) None
+    else {
+      val m = df.select(col("branch").cast("int"))
+        .limit(2).collect() // bounded: meta is one pinned-params row
+      require(m.length == 1, s"ivf index $indexDir: malformed meta")
+      if (m(0).isNullAt(0)) None else Some(m(0).getInt(0))
+    }
+  }
+
   /** The pinned constant-occupancy dial of a hierarchical IVF index;
     * None for flat indexes (whose meta has no occupancy column —
     * absence marks the family, the [[knnGraphIndexOccupancy]]
@@ -1972,15 +2107,25 @@ object Similarity {
     else {
       graft.fs.DirLock.withLock(IndexLayout.lockDir(indexDir)) {
         val corpus = stored().select(col("neighbor_id"), col("cv"))
-        ivfIndexOccupancy(spark, indexDir) match {
+        (ivfIndexOccupancy(spark, indexDir),
+            ivfIndexBranch(spark, indexDir)) match {
+          // tree index (r16): retrain at the PINNED (occupancy,
+          // branch) — level sizes re-derive from the grown count,
+          // the dials themselves never move (the
+          // maintainKnnGraphIndex dispatch pattern)
+          case (Some(occ), Some(br)) =>
+            rebuildIvfIndexTree(corpus, "neighbor_id", "cv", indexDir,
+              targetOccupancy = occ, branch = br,
+              trainIters = trainIters, trainFraction = trainFraction,
+              skewFactor = skewFactor)
           // hierarchical index (r15): the retrain stays at the PINNED
           // constant occupancy — nCoarse/nFine re-derive from the
           // grown count, the dial itself never moves
-          case Some(occ) =>
+          case (Some(occ), None) =>
             rebuildIvfIndexHier(corpus, "neighbor_id", "cv", indexDir,
               targetOccupancy = occ, trainIters, trainFraction,
               skewFactor = skewFactor)
-          case None =>
+          case _ =>
             val n = corpus.count()
             val occ = balancedOccupancy(n, minOccupancy)
             // re-pin max_cell at skewFactor × the rescaled occupancy
@@ -2081,20 +2226,41 @@ object Similarity {
       .select(col("query_id"), col("qv"), cellCol.as(outCell))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val cprobes = rankKeep(
+    // r16: walk EVERY persisted level (the two-level family has one,
+    // the tree family d−1) — intermediate levels keep the top
+    // nProbeCoarse parents (the recall dial applies per level), the
+    // DEEPEST keeps the top nProbe serve cells. One level reproduces
+    // the r15 two-level probe exactly.
+    val levels = fineLevelPaths(spark, indexDir)
+    require(levels.nonEmpty,
+      s"ivfProbesHier: $indexDir has no persisted fine level — flat " +
+        "indexes probe through ivfProbes")
+    var probes = rankKeep(
       q.crossJoin(broadcast(spark.read.parquet(s"$indexDir/centroids"))),
       round(VectorFns.cosineFast(col("qv"), col("cv0")), 6),
       col("cell_id"), nProbeCoarse, "ccell")
-    // the fine side joins on the probed parent only — broadcast-sized
-    // below the dial, parent-keyed shuffle above (the joinFineSide
-    // regime, but the probe needs the per-centroid rows, not the
-    // struct-array fold)
-    val fine = spark.read.parquet(s"$indexDir/centroids_fine")
-      .select(col("ccell"), col("cell_id"), col("cv"))
-    rankKeep(
-      cprobes.join(broadcast(fine), Seq("ccell")),
-      round(VectorFns.cosineFast(col("qv"), col("cv")), 6),
-      col("cell_id"), nProbe, "cell")
+    levels.zipWithIndex.foreach { case (p, i) =>
+      val deepest = i == levels.length - 1
+      // the level joins on the probed parent only — broadcast-sized
+      // below the fineBroadcastMaxRows dial, parent-keyed shuffle
+      // above (the joinFineSide regime, but the probe needs the
+      // per-centroid rows, not the struct-array fold)
+      val lvl = spark.read.parquet(p)
+        .select(col("ccell"), col("cell_id"), col("cv"))
+      val dial = fineBroadcastMaxRows
+      val capProbe = math.max(1L,
+        math.min(dial, Int.MaxValue.toLong - 1)).toInt
+      val nLvl = lvl.limit(capProbe + 1).count() // bounded: ≤ dial+1 rows
+      val joined =
+        if (nLvl <= dial && nLvl <= capProbe)
+          probes.join(broadcast(lvl), Seq("ccell"))
+        else probes.join(lvl, Seq("ccell"))
+      probes = rankKeep(joined,
+        round(VectorFns.cosineFast(col("qv"), col("cv")), 6),
+        col("cell_id"), if (deepest) nProbe else nProbeCoarse,
+        if (deepest) "cell" else "ccell")
+    }
+    probes
   }
 
   /** Probe a persisted [[buildIvfIndex]] index. Identical ranking

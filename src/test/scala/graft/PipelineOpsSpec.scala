@@ -2355,4 +2355,131 @@ class PipelineOpsSpec extends SparkSpec {
         "append assignment depends on the join-strategy dial")
     } finally sys.props.remove("graft.fineBroadcastMaxRows")
   }
+
+  test("tree IVF index at branch 2: family-blind append/probe/gate/" +
+      "maintain under the persisted log-depth quantizer; full-probe " +
+      "serve equals brute force and maintain retrains at the PINNED " +
+      "(occupancy, branch) (r16, VERDICT r15 #1 — the production " +
+      "semantic gate's asymptotic mode persisted)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_tree").toString + "/idx"
+    val all = annFixture
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val corpusA = all.filter(col("id") < 40)
+    val batchB = all.filter(col("id") >= 40)
+    // occ 2, branch 2 on 40 rows → 20 cells → REAL depth (≥ 2 fine
+    // levels), not the depth-1 flat degeneration
+    Similarity.buildIvfIndexTree(corpusA, "id", "v", dir,
+      targetOccupancy = 2, branch = 2, trainIters = 2,
+      trainFraction = 0.5, skewFactor = 64)
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(meta.getAs[Int]("occupancy") == 2 &&
+      meta.getAs[Int]("branch") == 2,
+      "tree dials not pinned in meta")
+    val levelDirs = Iterator.from(1)
+      .map(i => s"$dir/centroids_level_$i")
+      .takeWhile(p => new java.io.File(p).exists).toSeq
+    assert(levelDirs.size >= 2,
+      s"branch-2 fixture must persist a real multi-level tree: $levelDirs")
+    // the SHARED append path walks the persisted levels: the batch's
+    // cells equal the frozen-tree walk's assignment
+    Similarity.appendToIvfIndex(batchB, "id", "v", dir, batchId = 0L)
+    val coarse = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val levels = levelDirs.map(p => spark.read.parquet(p)
+      .select(col("ccell"), col("cell_id"), col("cv")))
+    val refCells = Similarity.assignCellsTree(batchB, "id", "v",
+        coarse, levels)
+      .select(col("id"), col("cell")).as[(Long, Long)].collect().toSet
+    def appended() = spark.read.parquet(s"$dir/assigned")
+      .filter(col("batch_id") === 0L)
+      .select(col("neighbor_id"), col("cell"))
+      .as[(Long, Long)].collect().toSet
+    assert(appended() == refCells,
+      "append assigned under something other than the persisted tree")
+    // replay: the overwrite-per-batchId append is idempotent
+    Similarity.appendToIvfIndex(batchB, "id", "v", dir, batchId = 0L)
+    assert(appended() == refCells, "replay changed the appended cells")
+    // full-probe serve (every level fully probed) == brute force
+    val queries = all.filter(col("id").isin(0L, 1L, 50L))
+    val nDeepest = levels.last.count().toInt
+    def serve() = Similarity.ivfTopKFromIndex(queries, dir, "id", "v",
+        k = 5, nProbe = nDeepest, nProbeCoarse = corpusA.count().toInt)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val bf = Similarity.bruteForceTopK(queries, all, "id", "v", k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val s1 = serve()
+    assert(s1 == bf, "full-probe tree serve != brute force")
+    // compaction is serve-invisible and family-blind
+    Similarity.compactIvfIndex(spark, dir)
+    assert(serve() == s1, "compact changed the served top-k")
+    // gate probe: semDedupAgainstIndex pairs equal the frozen-tree
+    // full-recompute restricted to batch-involving pairs
+    val batchC = Seq(
+      (100L, Seq(1.0, 0.1, 0.0, 0.0)),   // clone of cluster-0 base
+      (101L, Seq(-5.0, 0.2, -4.0, 1.0))  // far from everything
+    ).toDF("id", "v")
+    val gotPairs = Similarity.semDedupAgainstIndex(batchC, dir, "id",
+        "v", threshold = 0.99, maxCell = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unionAssign = Similarity.assignCellsTree(all.unionByName(batchC),
+        "id", "v", coarse, levels).localCheckpoint(false)
+    val refPairs = unionAssign.as("a").join(unionAssign.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.id") =!= col("b.id") && col("b.id") >= 100L &&
+          (col("a.id") < 100L || col("a.id") < col("b.id")))
+      .withColumn("sim", round(
+        graft.functions.VectorFns.cosineFast(col("a.v"), col("b.v")), 6))
+      .filter(col("sim") >= 0.99)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(gotPairs == refPairs,
+      s"tree gate probe != frozen full recompute: $gotPairs vs $refPairs")
+    assert(gotPairs.exists(_._2 == 100L) && !gotPairs.exists(_._2 == 101L),
+      "fixture must catch the clone and pass the novel vector")
+    // maintain: healthy tree index untouched; a drifted one retrains
+    // at the PINNED (occupancy, branch) — the r16 dispatch arm
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("ivf_tree_m").toString + "/idx"
+    val mk = (id: Long, x: Double, y: Double) =>
+      (id, Seq(x.toFloat, y.toFloat))
+    Similarity.buildIvfIndexTree(
+      Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1), mk(10, 0.0, 1.0),
+        mk(11, 0.1, 0.9)).toDF("id", "v"),
+      "id", "v", dir2, targetOccupancy = 4, branch = 2,
+      trainIters = 2, skewFactor = 2) // pinned max_cell = 8
+    assert(!Similarity.maintainIvfIndex(spark, dir2),
+      "healthy tree IVF index was rebuilt")
+    val flood = (0 until 12).map { i =>
+      val a = i * (math.Pi / 2) / 12
+      mk(100L + i, math.cos(a), math.sin(a))
+    }.toDF("id", "v")
+    Similarity.appendToIvfIndex(flood, "id", "v", dir2, batchId = 0L)
+    assert(Similarity.maintainIvfIndex(spark, dir2),
+      "drifted tree IVF index not rebuilt")
+    val meta2 = spark.read.parquet(s"$dir2/meta").collect()(0)
+    assert(meta2.getAs[Int]("occupancy") == 4 &&
+      meta2.getAs[Int]("branch") == 2,
+      "maintain moved the pinned (occupancy, branch) dials")
+    // 16 rows at occ 4 → 4 cells at branch 2 → a REAL level table now
+    assert(new java.io.File(s"$dir2/centroids_level_1").exists,
+      "rescaled tree retrain did not persist its level table")
+    // nothing lost: every vector (build + flood) is still assigned
+    assert(spark.read.parquet(s"$dir2/assigned")
+      .select("neighbor_id").as[Long].collect().toSet ==
+      (Set(1L, 2L, 10L, 11L) ++ (0 until 12).map(100L + _)),
+      "rebuild lost vectors")
+    // depth-1 degeneration: nCells ≤ branch persists NO level table —
+    // exactly the flat buildIvfIndex layout (family marker absent)
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("ivf_tree_d1").toString + "/idx"
+    Similarity.buildIvfIndexTree(
+      Seq(mk(1, 1.0, 0.0), mk(2, 0.0, 1.0)).toDF("id", "v"),
+      "id", "v", dir3, targetOccupancy = 4, branch = 64, trainIters = 2)
+    assert(!new java.io.File(s"$dir3/centroids_level_1").exists,
+      "depth-1 tree build persisted a level table")
+  }
 }

@@ -515,6 +515,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/centroids_fine").count() > 0)
   }
 
+  test("semantic gate rides a TREE IVF index: log-depth probes gate " +
+      "correctly, survive replay, and keep the index current (r16, " +
+      "VERDICT r15 #1 — the production gate's asymptotic mode)") {
+    import graft.operators.Similarity
+    val dir = s"/tmp/graft_ivft_stream_${java.util.UUID.randomUUID()}"
+    val mk = (id: Long, x: Double, y: Double) => (id, Seq(x.toFloat, y.toFloat))
+    // 8 corpus vectors in two clusters: occ 2 → 4 cells at branch 2 →
+    // a REAL persisted level (depth 2), not the flat degeneration
+    val corpus = Seq(mk(100, 1.0, 0.0), mk(101, 0.9, 0.1),
+      mk(102, 0.95, 0.05), mk(103, 0.85, 0.15),
+      mk(110, 0.0, 1.0), mk(111, 0.1, 0.9),
+      mk(112, 0.05, 0.95), mk(113, 0.15, 0.85))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfIndexTree(corpus, "vec_id", "embedding", dir,
+      targetOccupancy = 2, branch = 2, trainIters = 2)
+    assert(new java.io.File(s"$dir/centroids_level_1").exists,
+      "fixture must exercise the tree layout")
+    // 1 near-copies the corpus; 2 is novel; 3 near-copies 2
+    val allVecs = Seq(mk(1, 0.99, 0.01), mk(2, 0.6, 0.8),
+      mk(3, 0.61, 0.79)).toDF("vec_id", "embedding")
+    def gate(ids: Seq[Long], batchId: Long) = StreamingFeatures
+      .semanticGateBatch(allVecs.filter($"vec_id".isin(ids: _*)),
+        "vec_id", "embedding", dir, batchId, threshold = 0.98)
+      .select("vec_id").as[Long].collect().toSet
+    // batch 1: the corpus near-copy drops, the novel vector survives
+    // and appends UNDER THE FROZEN TREE (family-blind path walks the
+    // persisted levels)
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L))
+    // replay: its own appended partition must not change the decisions
+    assert(gate(Seq(1L, 2L), 0L) == Set(2L), "replay changed the gate")
+    // batch 2: a near-copy of batch 1's survivor — caught only if the
+    // tree append actually landed in the cell the probe descends to
+    assert(gate(Seq(3L), 1L).isEmpty, "batch-1 survivor's copy leaked")
+    // the index stayed a tree throughout
+    assert(new java.io.File(s"$dir/centroids_level_1").exists)
+  }
+
   test("span gate compaction cadence: delta partitions fold at the " +
       "boundary, the batch's own partition is preserved, gate " +
       "decisions and replay survive the fold (r15, VERDICT r14 #7)") {
@@ -751,6 +788,66 @@ class StreamingSpec extends SparkSpec {
     StreamingFeatures.knnGraphIndexBatch(clone1, "vec_id", "embedding",
       dir, 1L, compactEvery = 2L)
     assert(served() == s1, "boundary replay changed the served graph")
+  }
+
+  test("knn-graph gate maintain+compact at ONE boundary: a drift-" +
+      "triggered rebuild leaves nothing to fold, a crash after the " +
+      "fold replays with no duplicated members (r16, VERDICT r15 #7)") {
+    import graft.operators.Similarity
+    val dir = s"/tmp/graft_knn_mc_${java.util.UUID.randomUUID()}"
+    val mk = (id: Long, x: Double, y: Double) => (id, Seq(x.toFloat, y.toFloat))
+    Similarity.buildKnnGraphIndex(
+      Seq(mk(1, 1.0, 0.0), mk(2, 0.9, 0.1), mk(10, 0.0, 1.0),
+        mk(11, 0.1, 0.9)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, k = 2, nCells = 2, trainIters = 2,
+      maxCell = 8)
+    // batch 0: a 12-vector arc floods the cells past the pinned cap
+    val flood = (0 until 12).map { i =>
+      val a = i * (math.Pi / 2) / 12
+      mk(100L + i, math.cos(a), math.sin(a))
+    }.toDF("vec_id", "embedding")
+    StreamingFeatures.knnGraphIndexBatch(flood, "vec_id", "embedding",
+      dir, 0L)
+    def served() = Similarity.knnGraphFromIndex(spark, dir)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    def dupMembers() = spark.read.parquet(s"$dir/assigned")
+      .groupBy("neighbor_id").count().filter($"count" > 1).count()
+    // batch 1 IS both cadences' boundary: maintain sees the drifted
+    // occupancy and REBUILDS (excluding batch 1 — not yet appended;
+    // batch 0 folds into the retrained base), the SAME-boundary
+    // compact then finds no append partitions left to fold — the
+    // documented rebuild-then-compact composition, here driven on the
+    // graph family whose append additionally orders graph-delta
+    // before assigned — and the batch appends against the RETRAINED
+    // quantizer
+    val b1 = Seq(mk(200, 0.7, 0.7)).toDF("vec_id", "embedding")
+    def boundary() = StreamingFeatures.knnGraphIndexBatch(b1, "vec_id",
+      "embedding", dir, 1L, maintainEvery = 2L, compactEvery = 2L)
+    boundary()
+    assert(spark.read.parquet(s"$dir/assigned").select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(-1L, 1L),
+      "rebuild did not fold the drift batch into the base, or lost " +
+        "the boundary batch's own partition")
+    val s1 = served()
+    assert(s1.exists(_._1 == 200L), "boundary batch not served")
+    assert(dupMembers() == 0, "duplicated members after the boundary")
+    // crash AFTER the fold, BEFORE the append: the replay re-runs the
+    // whole boundary — monitor and compact EXCLUDE the batch's
+    // prior-attempt partition (healthy after the rescaled retrain, so
+    // no second rebuild), the append overwrites it
+    Similarity.maintainKnnGraphIndex(spark, dir,
+      excludeBatchId = Some(1L))
+    Similarity.compactKnnGraphIndex(spark, dir,
+      excludeBatchId = Some(1L))
+    boundary()
+    assert(served() == s1, "post-crash boundary replay changed the " +
+      "served graph")
+    assert(dupMembers() == 0, "boundary replay duplicated members")
+    // full-boundary replay (crash after a complete attempt)
+    boundary()
+    assert(served() == s1, "boundary replay changed the served graph")
+    assert(dupMembers() == 0, "boundary replay duplicated members")
   }
 
   test("foreachBatch PQ-index maintenance: probes find streamed codes; " +
