@@ -158,6 +158,12 @@ object Bench {
       // kernel zero-fill showed up as seconds of SYSTEM time per window
       // query (instrumented r3). Small benches want small pages.
       .config("spark.buffer.pageSize", "4m")
+      // Corpus-keyed BoundedTopK partial aggs hash instead of
+      // sort-falling-back at 128 keys (r16, VERDICT r15 #2) — see
+      // graft.plans.BoundedTopK.RecommendedHashAggKeys for the sizing
+      // rule; topKPerQuery re-keys only when the load exceeds this.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.plans.BoundedTopK.RecommendedHashAggKeys.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY")

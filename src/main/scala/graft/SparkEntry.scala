@@ -4981,17 +4981,31 @@ $roundCtes"""
       val n = emb.count()
       val occ = 32
       val (nc, nf) = Similarity.hierCells(n, occ)
+      // PROCESS-GLOBAL dial around plan construction — safe only
+      // because Verify/Bench run queries sequentially (r16, ADVICE
+      // r15; the single-threaded-harness note at fineBroadcastMaxRows)
       sys.props("graft.fineBroadcastMaxRows") = "1"
-      try
-        Similarity.semDedupPairsHier(emb, "vec_id", "embedding",
-            nCoarse = nc, nFinePerCoarse = nf, trainIters = 2,
-            trainFraction = 0.25, threshold = 0.35, maxCell = 64 * occ)
+      try {
+        val out = Similarity.semDedupPairsHier(emb, "vec_id",
+            "embedding", nCoarse = nc, nFinePerCoarse = nf,
+            trainIters = 2, trainFraction = 0.25, threshold = 0.35,
+            maxCell = 64 * occ)
           .orderBy(col("id_a"), col("id_b"))
-          // EAGER pin: the caller's write executes lazily, after this
-          // function returned and the finally reset the dial — a lazy
-          // checkpoint would plan the broadcast regime after all
-          .localCheckpoint(true)
-      finally sys.props.remove("graft.fineBroadcastMaxRows")
+        // EAGER pin: the caller's write executes lazily, after this
+        // function returned and the finally reset the dial — a lazy
+        // checkpoint would plan the broadcast regime after all.
+        // DISK-backed (r16): the r15 localCheckpoint(true) pinned the
+        // same thing but UNROLLED the full pair output into storage
+        // memory — at sf100 (5M vectors, ~38M surviving pairs) the
+        // 32-way unroll OOMed a 16 GiB heap in MemoryStore
+        // (measured; the regime itself was fine — the flag-forced
+        // shuffle run completed). DISK_ONLY streams blocks out
+        // without the unroll; the count() forces materialization
+        // inside the dial window.
+        out.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        out.count()
+        out
+      } finally sys.props.remove("graft.fineBroadcastMaxRows")
     },
     Some(hierLloydAssignSqlExpr(32) + s""",
       capped AS (

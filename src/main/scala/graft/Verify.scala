@@ -24,6 +24,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.buffer.pageSize", "4m") // see Bench.scala
+      // hash-agg regime for corpus-keyed BoundedTopK folds (r16) —
+      // see Bench.scala / graft.plans.BoundedTopK.RecommendedHashAggKeys
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.plans.BoundedTopK.RecommendedHashAggKeys.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

