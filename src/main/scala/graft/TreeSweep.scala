@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Depth-sweep harness for the log-depth tree quantizer (r17, VERDICT
+  * r16 #4): the claim that retired the 2¹⁶-coarse wall — per-row
+  * assignment cost O(Σ level sizes) ≈ branch·depth — was only
+  * measured at the natural sf100 depth 3. This main forces deeper
+  * trees via a smaller branch (TREE_BRANCH) on the SAME corpus and
+  * operator so the decade model can be checked against depth 4-7.
+  *
+  * TREE_OP:
+  *  - `graph`: [[graft.operators.Similarity.knnGraphTree]] — the
+  *    all-pairs family's asymptotic mode (the q_knn_graph_t shape).
+  *  - `index`: [[graft.operators.Similarity.buildIvfIndexTree]] +
+  *    full batch append + one probe — the persisted lifecycle
+  *    (the q_knn_index_t / semantic-gate shape).
+  *
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (32), TREE_BRANCH (64),
+  * TREE_OP (graph), TREE_OCC (32). One JSON line; checksums at a
+  * fixed corpus must agree across branches for `graph` is NOT
+  * expected (cell boundaries move with the tree) — rows and the
+  * per-query k cardinality are the invariants.
+  */
+object TreeSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env("SPARK_GRAFT_SF_DIR")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val branch = sys.env.getOrElse("TREE_BRANCH", "64").toInt
+    val op = sys.env.getOrElse("TREE_OP", "graph")
+    val occ = sys.env.getOrElse("TREE_OCC", "32").toInt
+    val spark = GraftConf.recommended(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"),
+      taskSlots = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val sizes = graft.operators.Similarity.treeLevelSizes(n, occ, branch)
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val cpu0 = osBean.getProcessCpuTime
+    val t0 = System.nanoTime()
+    val rows = op match {
+      case "graph" =>
+        graft.operators.Similarity.knnGraphTree(emb, "vec_id",
+            "embedding", k = 5, targetOccupancy = occ, branch = branch,
+            trainIters = 2, trainFraction = 0.25, maxCell = 64 * occ)
+          .agg(count(lit(1)))
+          .collect()(0).getLong(0) // bounded: global agg — one row
+      case "index" =>
+        val dir = s"/tmp/graft_tree_sweep/b${branch}_" +
+          sfDir.replaceAll("[^A-Za-z0-9]", "_")
+        val build = emb.filter(col("vec_id") % 10 =!= 0)
+        val batch = emb.filter(col("vec_id") % 10 === 0)
+        graft.operators.Similarity.buildIvfIndexTree(build, "vec_id",
+          "embedding", dir, targetOccupancy = occ, branch = branch,
+          trainIters = 2, trainFraction = 0.25)
+        graft.operators.Similarity.appendToIvfIndex(batch, "vec_id",
+          "embedding", dir, batchId = 0L)
+        graft.operators.Similarity.ivfTopKFromIndex(
+            emb.filter(col("vec_id") < 100), dir, "vec_id", "embedding",
+            k = 5, nProbe = 2, nProbeCoarse = 8)
+          .agg(count(lit(1)))
+          .collect()(0).getLong(0) // bounded: global agg — one row
+      case other => sys.error(s"TREE_OP=$other"); 0L
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+    println(s"""{"probe":"tree_sweep","op":"$op","branch":$branch,""" +
+      s""""occ":$occ,"n":$n,"levels":[${sizes.mkString(",")}],""" +
+      s""""depth":${sizes.length},"sumSizes":${sizes.sum},""" +
+      s""""rows":$rows,"wallSec":${"%.2f".format(wall)},""" +
+      s""""cpuSec":${"%.2f".format(cpuS)}}""")
+    spark.stop()
+  }
+}

