@@ -15,7 +15,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // shared recommended dials (derived hash-agg threshold, page size,
     // map-key policy) — see GraftConf (r17, VERDICT r16 missing #1)
-    val spark = GraftConf.recommended(SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,8 +23,12 @@ object Verify {
       // Defensive: older testdata wrote events.ts as timestamp[ns];
       // keep the legacy flag so Tables.events' Long-nanos branch still
       // works if the generator flips back (current data is timestamp[us]).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true"),
-      taskSlots = cpus.toInt)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // RAM-backed shuffle dirs at driver-testdata scale (r17; see
+    // Bench.localDirFor — drops ~16 s/query of shuffle-file kernel time)
+    val builder = Bench.localDirFor(sfDir)
+      .fold(builder0)(d => builder0.config("spark.local.dir", d))
+    val spark = GraftConf.recommended(builder, taskSlots = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -79,4 +79,34 @@ class GraftConfSpec extends SparkSpec {
     assert(GraftConf.executorHeapBytes(spark) ==
       Runtime.getRuntime.maxMemory)
   }
+
+  test("bench local-dir routing: RAM-backed shuffle dirs ONLY for the " +
+    "driver's small-sf testdata tree, never for scale dirs; the env " +
+    "override wins both ways (r17 — the sys>user 'hot window' was the " +
+    "harness's own shuffle-file churn on the virtio disk)") {
+    // scale-calibration dirs must stay on disk regardless of /dev/shm:
+    // their shuffle + DISK_ONLY pinned blocks are GBs by design
+    for (d <- Seq("/tmp/graft_sf1", "/tmp/graft_sf10", "/tmp/graft_sf100"))
+      assert(Bench.localDirFor(d, overrideDir = None).isEmpty,
+        s"scale dir $d must not get a RAM-backed local.dir")
+    // driver testdata: RAM-backed iff /dev/shm exists with ≥8 GiB free
+    // (probe the same condition the implementation uses, so this spec
+    // is environment-honest rather than environment-assuming)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val shmOk = java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.getFileStore(shm).getUsableSpace > (8L << 30)
+    assert(Bench.localDirFor("/root/testdata/sf0.1", overrideDir = None)
+      .isDefined == shmOk)
+    assert(Bench.localDirFor("/root/testdata/sf0.01", overrideDir = None)
+      .isDefined == shmOk)
+    // explicit override wins in both directions
+    assert(Bench.localDirFor("/root/testdata/sf0.1",
+      overrideDir = Some("/scratch/disk1")).contains("/scratch/disk1"))
+    assert(Bench.localDirFor("/tmp/graft_sf100",
+      overrideDir = Some("/dev/shm/i-know-it-fits"))
+      .contains("/dev/shm/i-know-it-fits"))
+    // empty override = unset
+    assert(Bench.localDirFor("/tmp/graft_sf100",
+      overrideDir = Some("")).isEmpty)
+  }
 }
