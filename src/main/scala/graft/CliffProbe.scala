@@ -73,13 +73,13 @@ object CliffProbe {
 
     val pairs = q * occ
     // synthetic scored pairs: query_id contiguous per input split
-    // (range is ordered), neighbor ids and sims from mixing hashes —
-    // deterministic, so cross-mode checksums must agree
+    // (range is ordered), neighbor ids and sims from xxhash64 mixing —
+    // deterministic so cross-mode checksums must agree, and (unlike a
+    // multiplicative mix) free of ANSI Long-overflow at any row count
     val scored = spark.range(pairs).select(
       (col("id") / occ).cast("long").as("query_id"),
-      pmod(col("id") * 2654435761L + 12345L, lit(math.max(q, 7L)))
-        .as("neighbor_id"),
-      (pmod(col("id") * 1099511628211L, lit(1000003L)) / 1000003.0)
+      pmod(xxhash64(col("id")), lit(math.max(q, 7L))).as("neighbor_id"),
+      (pmod(xxhash64(col("id"), lit(42)), lit(1000003L)) / 1000003.0)
         .as("sim"))
     val top = graft.operators.Similarity.topKPerQuery(scored, k,
       expectedPairs = pairs, expectedQueries = q)
@@ -92,7 +92,9 @@ object CliffProbe {
     val t0 = System.nanoTime()
     val out = top.agg(
         count(lit(1)).as("rows"),
-        sum(xxhash64(col("query_id"), col("neighbor_id"), col("rank")))
+        // bit_xor: order-independent AND overflow-free at any row count
+        // (a sum of 240M 64-bit hashes would trip ANSI long overflow)
+        bit_xor(xxhash64(col("query_id"), col("neighbor_id"), col("rank")))
           .as("checksum"))
       .collect()(0) // bounded: global agg — exactly one row
     val wall = (System.nanoTime() - t0) / 1e9
