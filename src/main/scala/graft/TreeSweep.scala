@@ -44,9 +44,19 @@ object TreeSweep {
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // TREE_REPEAT (default 2): warm passes in one JVM — the cold
+    // pass's ~2-3 min of JIT would otherwise swamp the per-decade cpu
+    // deltas the sweep exists to compare; the summary takes the
+    // min-cpu pass (the Bench convention).
+    val passes = sys.env.getOrElse("TREE_REPEAT", "2").toInt
+    var bestWall = Double.MaxValue
+    var bestCpu = Double.MaxValue
+    var rows = 0L
+    var p = 0
+    while (p < passes) {
     val cpu0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
-    val rows = op match {
+    rows = op match {
       case "graph" =>
         graft.operators.Similarity.knnGraphTree(emb, "vec_id",
             "embedding", k = 5, targetOccupancy = occ, branch = branch,
@@ -54,7 +64,7 @@ object TreeSweep {
           .agg(count(lit(1)))
           .collect()(0).getLong(0) // bounded: global agg — one row
       case "index" =>
-        val dir = s"/tmp/graft_tree_sweep/b${branch}_" +
+        val dir = s"/tmp/graft_tree_sweep/b${branch}_p${p}_" +
           sfDir.replaceAll("[^A-Za-z0-9]", "_")
         val build = emb.filter(col("vec_id") % 10 =!= 0)
         val batch = emb.filter(col("vec_id") % 10 === 0)
@@ -72,11 +82,18 @@ object TreeSweep {
     }
     val wall = (System.nanoTime() - t0) / 1e9
     val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+    println(s"""{"probe":"tree_sweep_pass","pass":${p + 1},""" +
+      s""""wallSec":${"%.2f".format(wall)},""" +
+      s""""cpuSec":${"%.2f".format(cpuS)}}""")
+    if (cpuS < bestCpu) { bestCpu = cpuS; bestWall = wall }
+    p += 1
+    }
     println(s"""{"probe":"tree_sweep","op":"$op","branch":$branch,""" +
       s""""occ":$occ,"n":$n,"levels":[${sizes.mkString(",")}],""" +
       s""""depth":${sizes.length},"sumSizes":${sizes.sum},""" +
-      s""""rows":$rows,"wallSec":${"%.2f".format(wall)},""" +
-      s""""cpuSec":${"%.2f".format(cpuS)}}""")
+      s""""passes":$passes,"rows":$rows,""" +
+      s""""wallSec":${"%.2f".format(bestWall)},""" +
+      s""""cpuSec":${"%.2f".format(bestCpu)}}""")
     spark.stop()
   }
 }

@@ -718,8 +718,23 @@ object Similarity {
         .select(col("_v").as("v"),
           graft.plans.CentroidArgmax.column(col("fines"), col("_v"))
             .as("label"))
+      // cluster on the fold key BEFORE the array reassembly (r17):
+      // labelCentroids' output is (label, pos)-partitioned, so a
+      // map-side partial collect_list sees nearly EVERY fine cell as
+      // a distinct key (a label's dim rows hash across all tasks) —
+      // per-task hash state that grows with the corpus (~nFine
+      // entries of list wrapper + struct boxing per task, combining
+      // ~1 row each; measured −16% query cpu on the sf100 hier gate
+      // in a controlled A/B), and one decade out (~625k labels/task)
+      // it crosses the derived 2¹⁹ session threshold into the
+      // build-a-map-then-dump-it mid-fallback. Map-side combining is
+      // worthless here (each (label, pos) group is one row per task),
+      // so repartitioning first costs the SAME exchange volume and
+      // bounds the agg map at nFine/parts keys — hash regime at any
+      // threshold, flat in the corpus per task.
       val upd = labelCentroids(assignedF, "label", "v", shift)
         .select(col("label"), col("pos"), col("centroid"))
+        .repartition(col("label"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
           .as("_pc"))

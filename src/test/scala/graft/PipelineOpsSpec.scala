@@ -2328,6 +2328,19 @@ class PipelineOpsSpec extends SparkSpec {
       assert(hier2 == hier0, "hash-regime hier graph != default plan")
       assert(tree2 == tree0, "hash-regime tree graph != default plan")
     } finally spark.conf.set(thresholdKey, prevThreshold)
+    // MID-threshold regime (r17): a threshold that lets an agg map
+    // grow and THEN dump into the external sorter — the shape the
+    // derived session conf put the hier Lloyd reassembly fold in at
+    // sf100 before that fold was clustered on its key (the
+    // trainFineLevel repartition). Values must not depend on where
+    // the fallback lands mid-map.
+    spark.conf.set(thresholdKey, "4")
+    try {
+      val (flat3, hier3, tree3) = graphs()
+      assert(flat3 == flat0, "mid-fallback flat graph != default plan")
+      assert(hier3 == hier0, "mid-fallback hier graph != default plan")
+      assert(tree3 == tree0, "mid-fallback tree graph != default plan")
+    } finally spark.conf.set(thresholdKey, prevThreshold)
   }
 
   test("fine-side shuffle-join regime: assignments and serves are " +
