@@ -718,23 +718,31 @@ object Similarity {
         .select(col("_v").as("v"),
           graft.plans.CentroidArgmax.column(col("fines"), col("_v"))
             .as("label"))
-      // cluster on the fold key BEFORE the array reassembly (r17):
-      // labelCentroids' output is (label, pos)-partitioned, so a
-      // map-side partial collect_list sees nearly EVERY fine cell as
-      // a distinct key (a label's dim rows hash across all tasks) —
-      // per-task hash state that grows with the corpus (~nFine
-      // entries of list wrapper + struct boxing per task, combining
-      // ~1 row each; measured −16% query cpu on the sf100 hier gate
-      // in a controlled A/B), and one decade out (~625k labels/task)
-      // it crosses the derived 2¹⁹ session threshold into the
-      // build-a-map-then-dump-it mid-fallback. Map-side combining is
-      // worthless here (each (label, pos) group is one row per task),
-      // so repartitioning first costs the SAME exchange volume and
-      // bounds the agg map at nFine/parts keys — hash regime at any
-      // threshold, flat in the corpus per task.
-      val upd = labelCentroids(assignedF, "label", "v", shift)
+      // cluster on the fold key BEFORE the whole update fold (r17):
+      // unpartitioned, labelCentroids' PARTIAL (label, pos) agg ran on
+      // label-scattered input (a label's ~occupancy train rows hash
+      // across all tasks), so every map task built a distinct-keys ≈
+      // input-rows unsafe map that combined ~nothing, the exchange
+      // carried ~input-sized partial rows, and the downstream
+      // collect_list reassembly saw nearly EVERY fine cell as a
+      // distinct key per task — object-map state that grows with the
+      // corpus (measured −16% query cpu on the sf100 hier gate when
+      // first bounded; one decade out ~625k labels/task would cross
+      // the derived 2¹⁹ session threshold into the
+      // build-a-map-then-dump-it mid-fallback). ONE exchange on
+      // `label` BEFORE the centroid fold serves both aggregations
+      // (HashPartitioning(label) satisfies the (label, pos) clustering
+      // — a subset of the keys — and the reassembly's): the exchange
+      // moves the narrow (v, label) train rows ONCE instead of an
+      // input-sized partial-row stream, the (label, pos) partial agg
+      // now combines a cell's co-located rows ~occupancy:1 map-side,
+      // and both agg maps are bounded at nFine/parts keys at ANY
+      // corpus — hash regime at any threshold, flat in the corpus per
+      // task. Values are partition-invariant (fixed-point long sums;
+      // the reassembly is array_sort-normalized).
+      val upd = labelCentroids(assignedF.repartition(col("label")),
+          "label", "v", shift)
         .select(col("label"), col("pos"), col("centroid"))
-        .repartition(col("label"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
           .as("_pc"))

@@ -621,6 +621,47 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"q_cms_audit scans lineitem ${liScans.size}× — the ×d union crept back:\n${physical(df)}")
   }
 
+  test("Lloyd centroid-update fold: ONE label exchange serves both " +
+      "aggregations (r17) — and values match the unpartitioned control") {
+    // trainFineLevel's per-iteration update chain: (v, label) rows →
+    // labelCentroids' (label, pos) fixed-point mean → per-label array
+    // reassembly. Repartitioning by label ONCE below both folds must
+    // satisfy the (label, pos) clustering (subset key) AND the
+    // reassembly's, so the whole chain plans a single shuffle — the
+    // shape that keeps every agg map bounded at nFine/parts keys at
+    // any corpus (no input-sized partial-row exchange, no
+    // corpus-grown object map). Guards the r17 exchange-reuse fix.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.{array_sort, col, collect_list,
+      expr, struct}
+    import spark.implicits._
+    val emb = (0 until 512).map { i =>
+      (i.toLong % 37, Seq.tabulate(8)(d => (i * 31 + d * 7 % 97) / 96.0))
+    }.toDF("label", "v")
+    def fold(in: DataFrame): DataFrame =
+      graft.operators.Similarity.labelCentroids(in, "label", "v")
+        .select(col("label"), col("pos"), col("centroid"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+          .as("_pc"))
+        .select(col("label"),
+          expr("transform(_pc, x -> x.centroid)").as("cv"))
+    val optimized = fold(emb.repartition(col("label")))
+    optimized.count() // materialize so AQE finalizes the plan
+    val shuffles = collectWithSubqueries(
+      optimized.queryExecution.executedPlan) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.size == 1,
+      s"expected ONE exchange under the fold chain, got " +
+        s"${shuffles.size}:\n${optimized.queryExecution.executedPlan}")
+    // result identity vs the unpartitioned plan (two exchanges)
+    val control = fold(emb).orderBy("label").collect() // bounded: 37 labels
+    val got = optimized.orderBy("label").collect() // bounded: 37 labels
+    assert(got.toSeq == control.toSeq,
+      "label-clustered fold changed the centroid values")
+  }
+
   test("every main-source .collect() call site carries a bound guard (VERDICT r10 #9)") {
     // The r10 audit found all 16 driver-side collects individually
     // bounded (nCells centroids, maxPlayers, vocab-bounded merges,
